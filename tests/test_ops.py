@@ -1,0 +1,166 @@
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from youku_mplug_tpu.ops import (
+    cross_entropy_with_logits,
+    layer_norm,
+    lm_cross_entropy,
+    mha_reference,
+)
+from youku_mplug_tpu.ops.cross_entropy import masked_mean_loss
+
+
+def test_layer_norm_matches_numpy(rng):
+    x = rng.normal(size=(4, 7, 32)).astype(np.float32)
+    scale = rng.normal(size=(32,)).astype(np.float32)
+    bias = rng.normal(size=(32,)).astype(np.float32)
+    got = layer_norm(jnp.asarray(x), jnp.asarray(scale), jnp.asarray(bias),
+                     eps=1e-6)
+    mean = x.mean(-1, keepdims=True)
+    var = x.var(-1, keepdims=True)
+    want = (x - mean) / np.sqrt(var + 1e-6) * scale + bias
+    np.testing.assert_allclose(np.asarray(got), want, rtol=2e-5, atol=2e-5)
+
+
+def test_layer_norm_bf16_fp32_island(rng):
+    x = (rng.normal(size=(2, 8, 16)) * 100).astype(np.float32)
+    scale = np.ones(16, np.float32)
+    bias = np.zeros(16, np.float32)
+    got = layer_norm(jnp.asarray(x, jnp.bfloat16), jnp.asarray(scale),
+                     jnp.asarray(bias))
+    assert got.dtype == jnp.bfloat16
+    # stats in fp32: normalized output bounded regardless of input magnitude
+    assert np.abs(np.asarray(got, np.float32)).max() < 10
+
+
+def test_mha_reference_causal(rng):
+    b, h, s, d = 2, 3, 16, 8
+    q = rng.normal(size=(b, h, s, d)).astype(np.float32)
+    k = rng.normal(size=(b, h, s, d)).astype(np.float32)
+    v = rng.normal(size=(b, h, s, d)).astype(np.float32)
+    out = mha_reference(jnp.asarray(q), jnp.asarray(k), jnp.asarray(v),
+                        causal=True)
+    # naive numpy
+    scores = np.einsum("bhqd,bhkd->bhqk", q, k) / np.sqrt(d)
+    mask = np.tril(np.ones((s, s), bool))
+    scores = np.where(mask, scores, -1e30)
+    p = np.exp(scores - scores.max(-1, keepdims=True))
+    p = p / p.sum(-1, keepdims=True)
+    want = np.einsum("bhqk,bhkd->bhqd", p, v)
+    np.testing.assert_allclose(np.asarray(out), want, rtol=1e-4, atol=1e-4)
+
+
+def test_mha_reference_kv_len_mask(rng):
+    b, h, s, d = 2, 2, 8, 4
+    q = rng.normal(size=(b, h, s, d)).astype(np.float32)
+    k = rng.normal(size=(b, h, s, d)).astype(np.float32)
+    v = rng.normal(size=(b, h, s, d)).astype(np.float32)
+    kv_len = jnp.array([5, 8])
+    out = mha_reference(jnp.asarray(q), jnp.asarray(k), jnp.asarray(v),
+                        kv_len=kv_len)
+    # batch 0 must equal attention over first 5 keys only
+    out0 = mha_reference(jnp.asarray(q[:1, :, :, :]),
+                         jnp.asarray(k[:1, :, :5, :]),
+                         jnp.asarray(v[:1, :, :5, :]))
+    np.testing.assert_allclose(np.asarray(out[0]), np.asarray(out0[0]),
+                               rtol=1e-5, atol=1e-5)
+
+
+def test_flash_attention_interpret_matches_reference(rng):
+    from youku_mplug_tpu.ops import flash_attention as fa
+    import unittest.mock as mock
+    b, h, s, d = 2, 2, 256, 64
+    q = jnp.asarray(rng.normal(size=(b, h, s, d)), jnp.float32)
+    k = jnp.asarray(rng.normal(size=(b, h, s, d)), jnp.float32)
+    v = jnp.asarray(rng.normal(size=(b, h, s, d)), jnp.float32)
+    import functools
+    from jax.experimental import pallas as pl
+    with mock.patch.object(
+            pl, "pallas_call", functools.partial(pl.pallas_call,
+                                                 interpret=True)):
+        for causal in (False, True):
+            got = fa.flash_attention(q, k, v, causal=causal, block_q=128,
+                                     block_k=128)
+            want = mha_reference(q, k, v, causal=causal)
+            np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                       rtol=2e-3, atol=2e-3)
+
+
+def test_flash_attention_grads_interpret(rng):
+    from youku_mplug_tpu.ops import flash_attention as fa
+    import unittest.mock as mock
+    import functools
+    from jax.experimental import pallas as pl
+    b, h, s, d = 1, 2, 128, 32
+    q = jnp.asarray(rng.normal(size=(b, h, s, d)), jnp.float32)
+    k = jnp.asarray(rng.normal(size=(b, h, s, d)), jnp.float32)
+    v = jnp.asarray(rng.normal(size=(b, h, s, d)), jnp.float32)
+
+    def loss_flash(q, k, v):
+        return jnp.sum(fa.flash_attention(q, k, v, causal=True,
+                                          block_q=128, block_k=128) ** 2)
+
+    def loss_ref(q, k, v):
+        return jnp.sum(mha_reference(q, k, v, causal=True) ** 2)
+
+    with mock.patch.object(
+            pl, "pallas_call", functools.partial(pl.pallas_call,
+                                                 interpret=True)):
+        g_flash = jax.grad(loss_flash, argnums=(0, 1, 2))(q, k, v)
+    g_ref = jax.grad(loss_ref, argnums=(0, 1, 2))(q, k, v)
+    for a, b_ in zip(g_flash, g_ref):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b_),
+                                   rtol=2e-3, atol=2e-3)
+
+
+def test_cross_entropy_matches_logsoftmax(rng):
+    logits = jnp.asarray(rng.normal(size=(3, 5, 11)), jnp.float32)
+    labels = jnp.asarray(rng.integers(0, 11, size=(3, 5)))
+    loss = cross_entropy_with_logits(logits, labels)
+    want = -jax.nn.log_softmax(logits)[
+        jnp.arange(3)[:, None], jnp.arange(5)[None], labels]
+    np.testing.assert_allclose(np.asarray(loss), np.asarray(want),
+                               rtol=1e-5, atol=1e-5)
+
+
+def test_lm_cross_entropy_chunked_equals_dense(rng):
+    b, s, hdim, v = 2, 12, 16, 37
+    hidden = jnp.asarray(rng.normal(size=(b, s, hdim)), jnp.float32)
+    emb = jnp.asarray(rng.normal(size=(v, hdim)), jnp.float32)
+    labels = jnp.asarray(rng.integers(0, v, size=(b, s)))
+    dense = lm_cross_entropy(hidden, emb, labels)
+    chunked = lm_cross_entropy(hidden, emb, labels, chunk=4)
+    np.testing.assert_allclose(np.asarray(dense), np.asarray(chunked),
+                               rtol=1e-5, atol=1e-5)
+
+
+def test_masked_mean_loss():
+    losses = jnp.asarray([[1.0, 2.0, 3.0], [4.0, 5.0, 6.0]])
+    mask = jnp.asarray([[1, 1, 0], [0, 1, 0]])
+    got = masked_mean_loss(losses, mask)
+    np.testing.assert_allclose(float(got), (1 + 2 + 5) / 3, rtol=1e-6)
+
+
+def test_vocab_sharded_ce_matches_replicated(rng):
+    """Sharding the embedding on vocab over the model axis must not change
+    the loss (the GSPMD analog of vocab_parallel_cross_entropy)."""
+    from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+    from youku_mplug_tpu.runtime import MeshConfig, make_mesh
+
+    mesh = make_mesh(MeshConfig(data=2, model=4))
+    b, s, hdim, v = 4, 8, 16, 64
+    hidden = jnp.asarray(rng.normal(size=(b, s, hdim)), jnp.float32)
+    emb = jnp.asarray(rng.normal(size=(v, hdim)), jnp.float32)
+    labels = jnp.asarray(rng.integers(0, v, size=(b, s)))
+
+    want = lm_cross_entropy(hidden, emb, labels)
+
+    with jax.set_mesh(mesh):
+        hidden_s = jax.device_put(hidden, NamedSharding(mesh, P("data")))
+        emb_s = jax.device_put(emb, NamedSharding(mesh, P("model", None)))
+        labels_s = jax.device_put(labels, NamedSharding(mesh, P("data")))
+        got = jax.jit(lm_cross_entropy)(hidden_s, emb_s, labels_s)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-5, atol=1e-5)

@@ -1,0 +1,341 @@
+"""Pallas TPU flash attention (forward + backward), fp32 softmax island.
+
+The TPU-native replacement for the reference's fused CUDA attention path
+(megatron ``FusedScaleMaskSoftmax`` + preallocated ``baddbmm`` buffers,
+reference: modeling_distributed_gpt3.py:689-817) and the vision encoder's
+``qk_float`` attention (vision_transformer.py:165-207): an online-softmax
+kernel that never materializes the [Sq, Sk] score matrix in HBM, with the
+softmax accumulated in fp32 (the reference's numerics contract — its
+per-layer query-key scaling trick cancels mathematically and exists only to
+keep fp16 in range; bf16+fp32-softmax needs no such trick).
+
+Layout: q, k, v are [B, H, S, D].  Sq == Sk is required when causal=True
+(always the case here: full-sequence decoder training and vision encoding).
+Sequences are padded to block multiples by the wrapper; padded *keys* are
+masked via a static `kv_len`, padded query rows are sliced off.
+
+Backward follows the standard FlashAttention-2 recipe: recompute p from
+(q, k, lse); dq in one kernel (grid over q blocks), dk/dv in another (grid
+over k blocks), all accumulation in fp32.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+NEG_INF = float(jnp.finfo(jnp.float32).min)
+
+
+def _pick_block(s: int, preferred: int = 512) -> int:
+    """Largest multiple-of-128 block <= preferred that tiles s (s % 128 == 0)."""
+    for b in (preferred, 256, 128):
+        if s % b == 0:
+            return b
+    return 128
+
+
+# ---------------------------------------------------------------------------
+# Forward
+# ---------------------------------------------------------------------------
+
+
+def _fwd_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref, *, scale, causal,
+                kv_len, block_k):
+    bq = q_ref.shape[2]
+    d = q_ref.shape[3]
+    sk = k_ref.shape[2]
+    i = pl.program_id(2)
+    n_kv = sk // block_k
+
+    q = q_ref[0, 0].astype(jnp.float32)  # [bq, d]
+
+    if causal:
+        # Skip key blocks strictly above the diagonal for this query block.
+        hi = jax.lax.div((i + 1) * bq + block_k - 1, block_k)
+        hi = jnp.minimum(hi, n_kv)
+    else:
+        hi = n_kv
+
+    def body(j, carry):
+        acc, m, l = carry
+        k = k_ref[0, 0, pl.ds(j * block_k, block_k), :].astype(jnp.float32)
+        v = v_ref[0, 0, pl.ds(j * block_k, block_k), :]
+        s = jax.lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32) * scale  # [bq, bk]
+        ki = j * block_k + jax.lax.broadcasted_iota(
+            jnp.int32, (bq, block_k), 1)
+        if causal:
+            qi = i * bq + jax.lax.broadcasted_iota(
+                jnp.int32, (bq, block_k), 0)
+            s = jnp.where(qi >= ki, s, NEG_INF)
+        if kv_len is not None and kv_len < sk:
+            s = jnp.where(ki < kv_len, s, NEG_INF)
+        m_new = jnp.maximum(m, jnp.max(s, axis=1, keepdims=True))
+        alpha = jnp.exp(m - m_new)
+        p = jnp.exp(s - m_new)
+        l = l * alpha + jnp.sum(p, axis=1, keepdims=True)
+        pv = jax.lax.dot_general(
+            p.astype(v.dtype), v, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        acc = acc * alpha + pv
+        return acc, m_new, l
+
+    acc0 = jnp.zeros((bq, d), jnp.float32)
+    m0 = jnp.full((bq, 1), NEG_INF, jnp.float32)
+    l0 = jnp.zeros((bq, 1), jnp.float32)
+    acc, m, l = jax.lax.fori_loop(0, hi, body, (acc0, m0, l0))
+
+    l = jnp.maximum(l, 1e-30)
+    o_ref[0, 0] = (acc / l).astype(o_ref.dtype)
+    lse_ref[0, 0] = (m + jnp.log(l))[:, 0]
+
+
+def _fwd(q, k, v, *, scale, causal, kv_len, block_q, block_k):
+    b, h, sq, d = q.shape
+    sk = k.shape[2]
+    grid = (b, h, sq // block_q)
+    out, lse = pl.pallas_call(
+        functools.partial(
+            _fwd_kernel, scale=scale, causal=causal, kv_len=kv_len,
+            block_k=block_k),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, 1, block_q, d), lambda b_, h_, i: (b_, h_, i, 0)),
+            pl.BlockSpec((1, 1, sk, d), lambda b_, h_, i: (b_, h_, 0, 0)),
+            pl.BlockSpec((1, 1, sk, d), lambda b_, h_, i: (b_, h_, 0, 0)),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, 1, block_q, d), lambda b_, h_, i: (b_, h_, i, 0)),
+            pl.BlockSpec((1, 1, block_q), lambda b_, h_, i: (b_, h_, i)),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((b, h, sq, d), q.dtype),
+            jax.ShapeDtypeStruct((b, h, sq), jnp.float32),
+        ],
+        cost_estimate=pl.CostEstimate(
+            flops=int(4 * b * h * sq * sk * d * (0.5 if causal else 1.0)),
+            bytes_accessed=int((q.size + k.size + v.size + q.size)
+                               * q.dtype.itemsize),
+            transcendentals=int(b * h * sq * sk),
+        ),
+    )(q, k, v)
+    return out, lse
+
+
+# ---------------------------------------------------------------------------
+# Backward
+# ---------------------------------------------------------------------------
+
+
+def _bwd_dq_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref, dq_ref,
+                   *, scale, causal, kv_len, block_k):
+    bq = q_ref.shape[2]
+    d = q_ref.shape[3]
+    sk = k_ref.shape[2]
+    i = pl.program_id(2)
+    n_kv = sk // block_k
+
+    q = q_ref[0, 0].astype(jnp.float32)
+    do = do_ref[0, 0].astype(jnp.float32)
+    lse = lse_ref[0, 0][:, None]      # [bq, 1]
+    delta = delta_ref[0, 0][:, None]  # [bq, 1]
+
+    if causal:
+        hi = jax.lax.div((i + 1) * bq + block_k - 1, block_k)
+        hi = jnp.minimum(hi, n_kv)
+    else:
+        hi = n_kv
+
+    def body(j, dq):
+        k = k_ref[0, 0, pl.ds(j * block_k, block_k), :].astype(jnp.float32)
+        v = v_ref[0, 0, pl.ds(j * block_k, block_k), :].astype(jnp.float32)
+        s = jax.lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32) * scale
+        ki = j * block_k + jax.lax.broadcasted_iota(
+            jnp.int32, (bq, block_k), 1)
+        if causal:
+            qi = i * bq + jax.lax.broadcasted_iota(
+                jnp.int32, (bq, block_k), 0)
+            s = jnp.where(qi >= ki, s, NEG_INF)
+        if kv_len is not None and kv_len < sk:
+            s = jnp.where(ki < kv_len, s, NEG_INF)
+        p = jnp.exp(s - lse)
+        dp = jax.lax.dot_general(
+            do, v, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        ds = p * (dp - delta) * scale
+        dq = dq + jax.lax.dot_general(
+            ds, k, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        return dq
+
+    dq = jax.lax.fori_loop(0, hi, body, jnp.zeros((bq, d), jnp.float32))
+    dq_ref[0, 0] = dq.astype(dq_ref.dtype)
+
+
+def _bwd_dkv_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
+                    dk_ref, dv_ref, *, scale, causal, kv_len, block_q):
+    bk = k_ref.shape[2]
+    d = k_ref.shape[3]
+    sq = q_ref.shape[2]
+    j = pl.program_id(2)
+    n_q = sq // block_q
+
+    k = k_ref[0, 0].astype(jnp.float32)
+    v = v_ref[0, 0].astype(jnp.float32)
+
+    if causal:
+        lo = jax.lax.div(j * bk, block_q)
+    else:
+        lo = 0
+
+    def body(i, carry):
+        dk, dv = carry
+        q = q_ref[0, 0, pl.ds(i * block_q, block_q), :].astype(jnp.float32)
+        do = do_ref[0, 0, pl.ds(i * block_q, block_q), :].astype(jnp.float32)
+        lse = lse_ref[0, 0, pl.ds(i * block_q, block_q)][:, None]
+        delta = delta_ref[0, 0, pl.ds(i * block_q, block_q)][:, None]
+        s = jax.lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32) * scale  # [bq, bk]
+        ki = j * bk + jax.lax.broadcasted_iota(jnp.int32, (block_q, bk), 1)
+        if causal:
+            qi = i * block_q + jax.lax.broadcasted_iota(
+                jnp.int32, (block_q, bk), 0)
+            s = jnp.where(qi >= ki, s, NEG_INF)
+        if kv_len is not None and kv_len < k_ref.shape[2] * pl.num_programs(2):
+            s = jnp.where(ki < kv_len, s, NEG_INF)
+        p = jnp.exp(s - lse)
+        dv = dv + jax.lax.dot_general(
+            p, do, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        dp = jax.lax.dot_general(
+            do, v, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        ds = p * (dp - delta) * scale
+        dk = dk + jax.lax.dot_general(
+            ds, q, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        return dk, dv
+
+    dk0 = jnp.zeros((bk, d), jnp.float32)
+    dv0 = jnp.zeros((bk, d), jnp.float32)
+    dk, dv = jax.lax.fori_loop(lo, n_q, body, (dk0, dv0))
+    dk_ref[0, 0] = dk.astype(dk_ref.dtype)
+    dv_ref[0, 0] = dv.astype(dv_ref.dtype)
+
+
+def _bwd(scale, causal, kv_len, block_q, block_k, res, g):
+    q, k, v, out, lse = res
+    b, h, sq, d = q.shape
+    sk = k.shape[2]
+    do = g
+    delta = jnp.sum(
+        do.astype(jnp.float32) * out.astype(jnp.float32), axis=-1)  # [B,H,Sq]
+
+    dq = pl.pallas_call(
+        functools.partial(
+            _bwd_dq_kernel, scale=scale, causal=causal, kv_len=kv_len,
+            block_k=block_k),
+        grid=(b, h, sq // block_q),
+        in_specs=[
+            pl.BlockSpec((1, 1, block_q, d), lambda b_, h_, i: (b_, h_, i, 0)),
+            pl.BlockSpec((1, 1, sk, d), lambda b_, h_, i: (b_, h_, 0, 0)),
+            pl.BlockSpec((1, 1, sk, d), lambda b_, h_, i: (b_, h_, 0, 0)),
+            pl.BlockSpec((1, 1, block_q, d), lambda b_, h_, i: (b_, h_, i, 0)),
+            pl.BlockSpec((1, 1, block_q), lambda b_, h_, i: (b_, h_, i)),
+            pl.BlockSpec((1, 1, block_q), lambda b_, h_, i: (b_, h_, i)),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, 1, block_q, d), lambda b_, h_, i: (b_, h_, i, 0)),
+        out_shape=jax.ShapeDtypeStruct((b, h, sq, d), q.dtype),
+    )(q, k, v, do, lse, delta)
+
+    dk, dv = pl.pallas_call(
+        functools.partial(
+            _bwd_dkv_kernel, scale=scale, causal=causal, kv_len=kv_len,
+            block_q=block_q),
+        grid=(b, h, sk // block_k),
+        in_specs=[
+            pl.BlockSpec((1, 1, sq, d), lambda b_, h_, j: (b_, h_, 0, 0)),
+            pl.BlockSpec((1, 1, block_k, d), lambda b_, h_, j: (b_, h_, j, 0)),
+            pl.BlockSpec((1, 1, block_k, d), lambda b_, h_, j: (b_, h_, j, 0)),
+            pl.BlockSpec((1, 1, sq, d), lambda b_, h_, j: (b_, h_, 0, 0)),
+            pl.BlockSpec((1, 1, sq), lambda b_, h_, j: (b_, h_, 0)),
+            pl.BlockSpec((1, 1, sq), lambda b_, h_, j: (b_, h_, 0)),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, 1, block_k, d), lambda b_, h_, j: (b_, h_, j, 0)),
+            pl.BlockSpec((1, 1, block_k, d), lambda b_, h_, j: (b_, h_, j, 0)),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((b, h, sk, d), k.dtype),
+            jax.ShapeDtypeStruct((b, h, sk, d), v.dtype),
+        ],
+    )(q, k, v, do, lse, delta)
+
+    return dq, dk, dv
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6, 7))
+def _flash(q, k, v, scale, causal, kv_len, block_q, block_k):
+    out, _ = _fwd(q, k, v, scale=scale, causal=causal, kv_len=kv_len,
+                  block_q=block_q, block_k=block_k)
+    return out
+
+
+def _flash_fwd(q, k, v, scale, causal, kv_len, block_q, block_k):
+    out, lse = _fwd(q, k, v, scale=scale, causal=causal, kv_len=kv_len,
+                    block_q=block_q, block_k=block_k)
+    return out, (q, k, v, out, lse)
+
+
+_flash.defvjp(_flash_fwd, _bwd)
+
+
+def flash_attention(
+    q: jax.Array,
+    k: jax.Array,
+    v: jax.Array,
+    *,
+    causal: bool = False,
+    kv_len: Optional[int] = None,
+    scale: Optional[float] = None,
+    block_q: int = 512,
+    block_k: int = 512,
+) -> jax.Array:
+    """Flash attention over [B, H, S, D] with automatic padding.
+
+    ``kv_len`` (static int): true key length when k/v carry trailing padding.
+    """
+    if scale is None:
+        scale = q.shape[-1] ** -0.5
+    b, h, sq, d = q.shape
+    sk = k.shape[2]
+    if causal and sq != sk:
+        raise ValueError("causal flash attention requires Sq == Sk")
+
+    sq_pad = -(-sq // 128) * 128
+    sk_pad = -(-sk // 128) * 128
+    true_kv = kv_len if kv_len is not None else sk
+    if sq_pad != sq or sk_pad != sk:
+        q = jnp.pad(q, ((0, 0), (0, 0), (0, sq_pad - sq), (0, 0)))
+        k = jnp.pad(k, ((0, 0), (0, 0), (0, sk_pad - sk), (0, 0)))
+        v = jnp.pad(v, ((0, 0), (0, 0), (0, sk_pad - sk), (0, 0)))
+
+    bq = min(_pick_block(sq_pad), block_q)
+    bk = min(_pick_block(sk_pad), block_k)
+    eff_kv = None if true_kv == sk_pad else true_kv
+
+    out = _flash(q, k, v, float(scale), bool(causal), eff_kv, bq, bk)
+    if sq_pad != sq:
+        out = out[:, :, :sq, :]
+    return out

@@ -1,0 +1,104 @@
+"""Parameter sharding via path-pattern rules (the GSPMD analog of Megatron
+Column/Row/VocabParallel layers).
+
+The reference hand-shards each layer type (reference:
+modeling_distributed_gpt3.py:843-857 ColumnParallelLinear QKV,
+RowParallelLinear output/MLP; :619 VocabParallelEmbedding).  TPU-natively the
+model is written as plain einsums and the *same partitioning* is expressed as
+``NamedSharding`` rules matched against parameter tree paths; XLA then
+inserts exactly the collectives Megatron hand-codes (all-reduce after
+row-parallel matmul, etc.).
+
+Tensor-parallel layout for the GPT-3 decoder (hidden H, heads n, ffn F=4H,
+vocab V) over mesh axis ``model``:
+
+- qkv kernel        [H, 3, n, d]   shard heads (n)        — column-parallel
+- attn out kernel   [n, d, H]      shard heads (n)        — row-parallel
+- mlp fc1 kernel    [H, F]         shard F                — column-parallel
+- mlp fc2 kernel    [F, H]         shard F                — row-parallel
+- token embedding   [V, H]         shard V                — vocab-parallel
+"""
+
+from __future__ import annotations
+
+import re
+from typing import Any, Sequence
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+ShardingRules = Sequence[tuple[str, P]]
+
+# Rules are matched first-hit against '/'-joined flax param paths.
+GPT3_SHARDING_RULES: ShardingRules = (
+    # decoder
+    (r".*word_embeddings/embedding$", P("model", None)),
+    (r".*decoder.*/attn/qkv/kernel$", P(None, "model")),
+    (r".*decoder.*/attn/qkv/bias$", P("model")),
+    (r".*decoder.*/attn/out/kernel$", P("model", None)),
+    (r".*decoder.*/mlp/fc1/kernel$", P(None, "model")),
+    (r".*decoder.*/mlp/fc1/bias$", P("model")),
+    (r".*decoder.*/mlp/fc2/kernel$", P("model", None)),
+    # vision encoder: replicate (it is small and batch-bound); the MLP of
+    # the giant EVA variant would get its own rules.
+    (r".*", P()),
+)
+
+
+def _match(path: str, rules: ShardingRules) -> P:
+    for pattern, spec in rules:
+        if re.match(pattern, path):
+            return spec
+    return P()
+
+
+def _path_str(path) -> str:
+    parts = []
+    for p in path:
+        if hasattr(p, "key"):
+            parts.append(str(p.key))
+        elif hasattr(p, "idx"):
+            parts.append(str(p.idx))
+        else:
+            parts.append(str(p))
+    return "/".join(parts)
+
+
+def sharding_for_params(params: Any, mesh: Mesh,
+                        rules: ShardingRules = GPT3_SHARDING_RULES):
+    """Pytree of NamedShardings matching ``params`` via path rules.
+
+    Scanned-layer params (leading layer dim from nn.scan) are handled by the
+    rules operating on trailing dims: a spec P(a, b) applied to a rank-3
+    scanned kernel [L, x, y] is promoted to P(None, a, b).
+    """
+    flat = jax.tree_util.tree_flatten_with_path(params)[0]
+
+    def spec_for(path, leaf):
+        spec = _match(_path_str(path), rules)
+        ndim = np.ndim(leaf)
+        n = len(spec)
+        if n < ndim:  # promote: pad leading None (scan dim etc.)
+            spec = P(*([None] * (ndim - n) + list(spec)))
+        elif n > ndim:
+            spec = P(*spec[n - ndim:])
+        return NamedSharding(mesh, spec)
+
+    specs = {jax.tree_util.keystr(path): spec_for(path, leaf)
+             for path, leaf in flat}
+    return jax.tree_util.tree_map_with_path(
+        lambda path, _: specs[jax.tree_util.keystr(path)], params)
+
+
+def shard_params(params: Any, mesh: Mesh,
+                 rules: ShardingRules = GPT3_SHARDING_RULES):
+    """Device-put params with rule-derived shardings."""
+    shardings = sharding_for_params(params, mesh, rules)
+    return jax.tree.map(jax.device_put, params, shardings)
+
+
+def data_sharding(mesh: Mesh, *trailing: Any) -> NamedSharding:
+    """Batch-dim sharding over the data axis (DistributedSampler analog)."""
+    return NamedSharding(mesh, P("data", *trailing))
