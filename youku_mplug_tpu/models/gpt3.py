@@ -1,0 +1,376 @@
+"""GPT-3 decoder (the frozen Chinese GPT-3 of mPLUG-Video), TPU-native.
+
+Re-implements the capability of the reference's Megatron-TP decoder
+(reference: models/modeling_distributed_gpt3.py — GPT3Model:1272,
+GPT3ParallelTransformer:1092, GPT3ParallelAttention:820, GPT3ParallelMLP:550,
+GPT3Embedding:598) as a plain-einsum flax module whose tensor parallelism is
+expressed entirely through sharding rules (youku_mplug_tpu/parallel/sharding.py):
+
+- fused QKV kernel stored [H, 3, n_heads, head_dim], sharded on heads —
+  the ColumnParallelLinear layout without the hand-written collectives.
+- attention output kernel [n_heads, head_dim, H], sharded on heads —
+  RowParallelLinear; XLA inserts the forward all-reduce GSPMD-style.
+- MLP [H, 4H] / [4H, H] sharded on the hidden-ffn dim.
+- token embedding [V, H] sharded on vocab; logits stay vocab-sharded through
+  the tied-embedding matmul and the fp32 cross-entropy
+  (youku_mplug_tpu/ops/cross_entropy.py).
+
+Numerics contract (matches the reference bf16 path):
+- fp32 layernorms (megatron fused LayerNorm → ops.layer_norm)
+- fp32 attention softmax (FusedScaleMaskSoftmax w/ query-key layer scaling →
+  flash attention with fp32 online softmax; the layer-number rescaling
+  cancels mathematically and is dropped)
+- tanh-approx GELU with fused bias (megatron bias_gelu_impl)
+- fp32 cross-entropy on vocab-sharded logits
+- causal-only attention mask: padded positions participate as keys, exactly
+  like the reference (build_attention_mask_and_position_ids:1288-1298);
+  padding is excluded from the loss via loss_mask, never the attention.
+
+Layers run under ``nn.scan`` (single compiled layer body, stacked params)
+with optional ``jax.checkpoint`` rematerialization.
+
+Decode path: explicit KV-cache pytree (k/v stacked over layers) threaded
+through the scan — the jit-compatible replacement for the reference's
+InferenceParams buffer + swap_key_value_dict beam reorder
+(modeling_distributed_gpt3.py:1446-1473).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+from typing import Any, Optional
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from youku_mplug_tpu.ops.attention import dot_product_attention, mha_reference
+from youku_mplug_tpu.ops.cross_entropy import lm_cross_entropy, masked_mean_loss
+from youku_mplug_tpu.ops.layernorm import layer_norm
+from youku_mplug_tpu.runtime.precision import Policy, DEFAULT_POLICY
+
+
+@dataclasses.dataclass(frozen=True)
+class GPT3Config:
+    """Decoder hyperparameters; JSON layout matches the reference's
+    configs/models/config_gpt3_*.json contract."""
+
+    vocab_size: int = 25600
+    hidden_size: int = 768
+    ffn_hidden_size: Optional[int] = None
+    num_hidden_layers: int = 12
+    num_attention_heads: int = 12
+    max_position_embeddings: int = 2048
+    layernorm_epsilon: float = 1e-12
+    hidden_dropout: float = 0.1
+    attention_dropout: float = 0.1
+    init_method_std: float = 0.02
+    # generation defaults
+    eod_id: int = 7
+    tokens_to_generate: int = 100
+    top_k: int = 0
+    top_p: float = 0.9
+    # engineering knobs (ours, not the reference's)
+    scan_layers: bool = True
+    remat: bool = False
+    ce_chunk: int = 0
+
+    @property
+    def ffn_dim(self) -> int:
+        return self.ffn_hidden_size or 4 * self.hidden_size
+
+    @property
+    def head_dim(self) -> int:
+        assert self.hidden_size % self.num_attention_heads == 0
+        return self.hidden_size // self.num_attention_heads
+
+    @classmethod
+    def from_json_file(cls, path: str, **overrides) -> "GPT3Config":
+        with open(path) as f:
+            raw = json.load(f)
+        mapped = dict(
+            vocab_size=raw.get("vocab_size", 25600),
+            hidden_size=raw.get("hidden_size", 768),
+            ffn_hidden_size=raw.get("ffn_hidden_size"),
+            num_hidden_layers=raw.get("num_hidden_layers", 12),
+            num_attention_heads=raw.get("num_attention_heads", 12),
+            max_position_embeddings=raw.get("max_position_embeddings", 2048),
+            layernorm_epsilon=raw.get("layernorm_epsilon", 1e-12),
+            hidden_dropout=raw.get("hidden_dropout_prob", 0.1),
+            attention_dropout=raw.get("attention_probs_dropout_prob", 0.1),
+            init_method_std=raw.get("initializer_range", 0.02),
+            eod_id=raw.get("eod_id", 7),
+        )
+        mapped.update(overrides)
+        return cls(**mapped)
+
+
+def _dense_init(std):
+    return nn.initializers.normal(stddev=std)
+
+
+class GPT3Attention(nn.Module):
+    """Self-attention with heads-sharded fused QKV and explicit KV cache."""
+
+    config: GPT3Config
+    layer_scale_std: float
+    policy: Policy = DEFAULT_POLICY
+
+    @nn.compact
+    def __call__(self, x, *, cache=None, cache_len=None,
+                 deterministic=True):
+        cfg = self.config
+        n, d, h = cfg.num_attention_heads, cfg.head_dim, cfg.hidden_size
+
+        qkv_kernel = self.param(
+            "qkv_kernel", _dense_init(cfg.init_method_std), (h, 3, n, d))
+        qkv_bias = self.param("qkv_bias", nn.initializers.zeros, (3, n, d))
+        out_kernel = self.param(
+            "out_kernel", _dense_init(self.layer_scale_std), (n, d, h))
+        out_bias = self.param("out_bias", nn.initializers.zeros, (h,))
+
+        dtype = self.policy.compute_dtype if x.dtype != jnp.float32 else x.dtype
+        qkv = jnp.einsum("bsh,hcnd->bcsnd", x, qkv_kernel.astype(dtype))
+        qkv = qkv + qkv_bias.astype(dtype)[None, :, None]
+        q, k, v = [jnp.moveaxis(qkv[:, i], 2, 1) for i in range(3)]  # [B,n,S,d]
+
+        new_cache = None
+        if cache is None:
+            out = dot_product_attention(q, k, v, causal=True)
+        else:
+            # Decode: write this chunk into the static-size cache, attend to
+            # everything written so far.  cache k/v: [B, n, M, d].
+            ck, cv = cache
+            m = ck.shape[2]
+            s = q.shape[2]
+            idx = cache_len
+            ck = jax.lax.dynamic_update_slice(ck, k.astype(ck.dtype),
+                                              (0, 0, idx, 0))
+            cv = jax.lax.dynamic_update_slice(cv, v.astype(cv.dtype),
+                                              (0, 0, idx, 0))
+            new_cache = (ck, cv)
+            # mask: key j visible to query i(abs = cache_len+i) iff j <= abs
+            ki = jnp.arange(m)[None, :]
+            qi = cache_len + jnp.arange(s)[:, None]
+            bias = jnp.where(ki <= qi, 0.0, jnp.finfo(jnp.float32).min)
+            out = mha_reference(q, ck, cv, bias=bias[None, None])
+
+        out = jnp.moveaxis(out, 1, 2)  # [B,S,n,d]
+        y = jnp.einsum("bsnd,ndh->bsh", out, out_kernel.astype(out.dtype))
+        y = y + out_bias.astype(y.dtype)
+        return y, new_cache
+
+
+class GPT3MLP(nn.Module):
+    config: GPT3Config
+    layer_scale_std: float
+    policy: Policy = DEFAULT_POLICY
+
+    @nn.compact
+    def __call__(self, x, deterministic=True):
+        cfg = self.config
+        h, f = cfg.hidden_size, cfg.ffn_dim
+        fc1_kernel = self.param(
+            "fc1_kernel", _dense_init(cfg.init_method_std), (h, f))
+        fc1_bias = self.param("fc1_bias", nn.initializers.zeros, (f,))
+        fc2_kernel = self.param(
+            "fc2_kernel", _dense_init(self.layer_scale_std), (f, h))
+        fc2_bias = self.param("fc2_bias", nn.initializers.zeros, (h,))
+        y = jnp.einsum("bsh,hf->bsf", x, fc1_kernel.astype(x.dtype))
+        # fused bias + tanh-approx gelu (megatron bias_gelu_impl contract,
+        # reference: modeling_distributed_gpt3.py:586-588)
+        y = jax.nn.gelu(y + fc1_bias.astype(y.dtype), approximate=True)
+        y = jnp.einsum("bsf,fh->bsh", y, fc2_kernel.astype(y.dtype))
+        y = y + fc2_bias.astype(y.dtype)
+        return y
+
+
+class GPT3Layer(nn.Module):
+    """Pre-LN transformer layer (reference GPT3ParallelTransformerLayer:982)."""
+
+    config: GPT3Config
+    policy: Policy = DEFAULT_POLICY
+
+    @nn.compact
+    def __call__(self, x, cache=None, cache_len=None, deterministic=True):
+        cfg = self.config
+        # scaled init for output-facing kernels (megatron
+        # scaled_init_method_normal: std / sqrt(2*num_layers))
+        scaled_std = cfg.init_method_std / (2.0 * cfg.num_hidden_layers) ** 0.5
+
+        ln1_scale = self.param("ln1_scale", nn.initializers.ones,
+                               (cfg.hidden_size,))
+        ln1_bias = self.param("ln1_bias", nn.initializers.zeros,
+                              (cfg.hidden_size,))
+        ln2_scale = self.param("ln2_scale", nn.initializers.ones,
+                               (cfg.hidden_size,))
+        ln2_bias = self.param("ln2_bias", nn.initializers.zeros,
+                              (cfg.hidden_size,))
+
+        attn_in = layer_norm(x, ln1_scale, ln1_bias,
+                             eps=cfg.layernorm_epsilon)
+        attn_out, new_cache = GPT3Attention(
+            cfg, layer_scale_std=scaled_std, policy=self.policy,
+            name="attn")(attn_in, cache=cache, cache_len=cache_len,
+                         deterministic=deterministic)
+        if not deterministic and cfg.hidden_dropout > 0:
+            attn_out = nn.Dropout(rate=cfg.hidden_dropout)(
+                attn_out, deterministic=False)
+        x = x + attn_out
+
+        mlp_in = layer_norm(x, ln2_scale, ln2_bias, eps=cfg.layernorm_epsilon)
+        mlp_out = GPT3MLP(cfg, layer_scale_std=scaled_std,
+                          policy=self.policy, name="mlp")(
+            mlp_in, deterministic=deterministic)
+        if not deterministic and cfg.hidden_dropout > 0:
+            mlp_out = nn.Dropout(rate=cfg.hidden_dropout)(
+                mlp_out, deterministic=False)
+        x = x + mlp_out
+        return x, new_cache
+
+
+class GPT3Decoder(nn.Module):
+    """Embedding + scanned layer stack + final layernorm.
+
+    ``__call__(input_embeds, positions)`` -> [B, S, H] hidden states.
+    Token embedding lookup lives in :class:`GPT3LM` so callers can build
+    mixed (query-prefix + token) input embeddings, mirroring the reference's
+    prefix-LM forward (distributed_gpt3.py:155-157).
+    """
+
+    config: GPT3Config
+    policy: Policy = DEFAULT_POLICY
+
+    @nn.compact
+    def __call__(self, input_embeds, positions, *, cache=None, cache_len=None,
+                 deterministic=True):
+        cfg = self.config
+        pos_emb = self.param(
+            "position_embeddings", _dense_init(cfg.init_method_std),
+            (cfg.max_position_embeddings, cfg.hidden_size))
+        x = input_embeds + pos_emb[positions].astype(input_embeds.dtype)
+        if not deterministic and cfg.hidden_dropout > 0:
+            x = nn.Dropout(rate=cfg.hidden_dropout)(x, deterministic=False)
+
+        layer = GPT3Layer
+        if cfg.remat:
+            layer = nn.remat(
+                layer, static_argnums=(3,),
+                policy=jax.checkpoint_policies.nothing_saveable)
+
+        if cfg.scan_layers:
+            scanned = nn.scan(
+                layer,
+                variable_axes={"params": 0},
+                split_rngs={"params": True, "dropout": True},
+                in_axes=(0, nn.broadcast, nn.broadcast),
+                out_axes=0,
+                length=cfg.num_hidden_layers,
+                metadata_params={nn.meta.PARTITION_NAME: "layers"},
+            )
+            if cache is None:
+                cache_in = None
+            else:
+                cache_in = cache
+            x, new_cache = scanned(cfg, policy=self.policy, name="layers")(
+                x, cache_in, cache_len, deterministic)
+        else:
+            new_layers = []
+            for i in range(cfg.num_hidden_layers):
+                layer_cache = None if cache is None else jax.tree.map(
+                    lambda c: c[i], cache)
+                x, nc = layer(cfg, policy=self.policy, name=f"layers_{i}")(
+                    x, layer_cache, cache_len, deterministic)
+                new_layers.append(nc)
+            new_cache = (None if cache is None else
+                         jax.tree.map(lambda *xs: jnp.stack(xs), *new_layers))
+
+        ln_f_scale = self.param("ln_f_scale", nn.initializers.ones,
+                                (cfg.hidden_size,))
+        ln_f_bias = self.param("ln_f_bias", nn.initializers.zeros,
+                               (cfg.hidden_size,))
+        x = layer_norm(x, ln_f_scale, ln_f_bias, eps=cfg.layernorm_epsilon)
+        return x, new_cache
+
+
+class GPT3LM(nn.Module):
+    """Tied-embedding LM head over the decoder.
+
+    forward(tokens | input_embeds, labels, loss_mask) computes the
+    reference's masked-mean LM loss (modeling_distributed_gpt3.py:1578-1618):
+    per-position fp32 CE against vocab-sharded tied-embedding logits; the
+    caller supplies already-shifted labels and the loss mask (queries +
+    prompt positions zeroed).
+    """
+
+    config: GPT3Config
+    policy: Policy = DEFAULT_POLICY
+
+    def setup(self):
+        cfg = self.config
+        self.word_embeddings = nn.Embed(
+            cfg.vocab_size, cfg.hidden_size,
+            embedding_init=_dense_init(cfg.init_method_std),
+            name="word_embeddings")
+        self.decoder = GPT3Decoder(cfg, policy=self.policy, name="decoder")
+
+    def embed(self, tokens):
+        return self.word_embeddings(tokens).astype(self.policy.compute_dtype)
+
+    def logits(self, hidden):
+        emb = self.word_embeddings.embedding
+        return jnp.einsum("bsh,vh->bsv", hidden, emb.astype(hidden.dtype),
+                          preferred_element_type=jnp.float32)
+
+    def __call__(self, tokens=None, input_embeds=None, labels=None,
+                 loss_mask=None, positions=None, deterministic=True,
+                 return_logits=False):
+        cfg = self.config
+        if input_embeds is None:
+            input_embeds = self.embed(tokens)
+        else:
+            input_embeds = input_embeds.astype(self.policy.compute_dtype)
+        b, s, _ = input_embeds.shape
+        if positions is None:
+            positions = jnp.broadcast_to(jnp.arange(s)[None], (b, s))
+        hidden, _ = self.decoder(input_embeds, positions,
+                                 deterministic=deterministic)
+
+        out = {"last_hidden_state": hidden}
+        if labels is not None:
+            losses = lm_cross_entropy(
+                hidden, self.word_embeddings.embedding, labels,
+                chunk=cfg.ce_chunk)
+            out["losses"] = losses
+            if loss_mask is not None:
+                # drop the last position, exactly like the reference
+                # (losses[:, :-1], modeling_distributed_gpt3.py:1612-1617)
+                out["loss"] = masked_mean_loss(losses[:, :-1], loss_mask)
+        if return_logits:
+            out["logits"] = self.logits(hidden)
+        return out
+
+    # ------------------------------------------------------------------
+    # Decode path (explicit cache pytree)
+    # ------------------------------------------------------------------
+
+    def init_cache(self, batch, max_len, dtype=None):
+        cfg = self.config
+        dtype = dtype or self.policy.compute_dtype
+        shape = (cfg.num_hidden_layers, batch, cfg.num_attention_heads,
+                 max_len, cfg.head_dim)
+        return (jnp.zeros(shape, dtype), jnp.zeros(shape, dtype))
+
+    def decode_step(self, input_embeds, cache, cache_len):
+        """Run a chunk (prefill: S>1; decode: S=1) through the decoder with
+        the KV cache. Returns (vocab logits of the last position, new cache).
+        """
+        b, s, _ = input_embeds.shape
+        positions = cache_len + jnp.arange(s)[None]
+        positions = jnp.broadcast_to(positions, (b, s))
+        hidden, new_cache = self.decoder(
+            input_embeds.astype(self.policy.compute_dtype), positions,
+            cache=cache, cache_len=cache_len, deterministic=True)
+        logits = self.logits(hidden[:, -1:])[:, 0]
+        return logits, new_cache

@@ -1,0 +1,466 @@
+"""Vision encoders: TimeSformer (divided space-time attention), plain ViT,
+and the AttentionPool visual abstractor.
+
+Re-implements the behavior of the reference encoders (reference:
+models/vision_transformer.py — TimeSformer:440, Block:211, Attention:113,
+AttentionPool:341, PatchEmbed:377, VisionTransformer:595) TPU-first:
+
+- patchify is an einsum over folded patches (one big MXU matmul) rather
+  than a conv.
+- all layernorms run through the fp32 island (LayerNormWithForceFP32
+  contract, vision_transformer.py:43-75).
+- QK matmuls accumulate in fp32 (the ``qk_float`` contract,
+  vision_transformer.py:180-183) via the shared attention op.
+- gradient checkpointing via nn.remat per block (reference grad_ckpt,
+  vision_transformer.py:575-577).
+
+Behavioral quirks preserved because downstream weights/accuracy depend on
+them:
+- qkv has *no fused bias*; instead separate q/v biases with k's bias fixed
+  at zero (vision_transformer.py:127-131, 172-175).
+- the divided space-time block keeps ONE cls token, repeated per frame for
+  spatial attention and mean-pooled across frames afterwards
+  (vision_transformer.py:253-266).
+- temporal attention output passes through ``temporal_fc`` which is
+  zero-initialized for every block except the first (TimeSformer init,
+  vision_transformer.py:491-498) so pretrained-image weights start as an
+  identity over time.
+- residual-projection kernels are rescaled by 1/sqrt(2*layer_id) at init
+  (fix_init_weight, vision_transformer.py:513-519).
+- pos-embed is tiled per frame and the temporal embed repeat-interleaved
+  per patch, added in time-major token order (vision_transformer.py:559-565).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+from typing import Any, Optional
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from youku_mplug_tpu.ops.attention import dot_product_attention
+from youku_mplug_tpu.ops.layernorm import layer_norm
+from youku_mplug_tpu.runtime.precision import Policy, DEFAULT_POLICY
+
+
+@dataclasses.dataclass(frozen=True)
+class VisionConfig:
+    """Matches the reference's configs/models/{vit,clip}-*.json contract."""
+
+    img_size: int = 224
+    patch_size: int = 16
+    in_chans: int = 3
+    embed_dim: int = 768
+    depth: int = 12
+    num_heads: int = 12
+    mlp_ratio: float = 4.0
+    num_frames: int = 4
+    drop_path: float = 0.0
+    drop_rate: float = 0.0
+    attn_drop_rate: float = 0.0
+    grad_ckpt: bool = False
+    stop_grad_conv1: bool = False
+    use_abs_pos_emb: bool = True
+    clip_model: bool = False
+    init_std: float = 0.015
+    ln_eps: float = 1e-6
+    pretrained_ckpt: Optional[str] = None
+
+    @property
+    def num_patches(self) -> int:
+        return (self.img_size // self.patch_size) ** 2
+
+    @classmethod
+    def from_json_file(cls, path: str, **overrides) -> "VisionConfig":
+        with open(path) as f:
+            raw = json.load(f)
+        known = {f.name for f in dataclasses.fields(cls)}
+        mapped = {k: v for k, v in raw.items() if k in known}
+        mapped.update(overrides)
+        return cls(**mapped)
+
+
+def _trunc_normal(std):
+    return nn.initializers.truncated_normal(stddev=std, lower=-2, upper=2)
+
+
+def _scaled_trunc_normal(std, scale):
+    base = _trunc_normal(std)
+
+    def init(key, shape, dtype=jnp.float32):
+        return base(key, shape, dtype) / scale
+    return init
+
+
+class LayerNormFP32(nn.Module):
+    """Named parameter holder around ops.layer_norm."""
+
+    dim: int
+    eps: float = 1e-6
+
+    @nn.compact
+    def __call__(self, x):
+        scale = self.param("scale", nn.initializers.ones, (self.dim,))
+        bias = self.param("bias", nn.initializers.zeros, (self.dim,))
+        return layer_norm(x, scale, bias, eps=self.eps)
+
+
+class VisionAttention(nn.Module):
+    """qk-fp32 attention with the reference's split q/v-bias convention."""
+
+    dim: int
+    num_heads: int
+    init_std: float = 0.015
+    proj_scale: float = 1.0  # fix_init_weight divisor for the out projection
+    attn_drop: float = 0.0
+    causal: bool = False
+
+    @nn.compact
+    def __call__(self, x, deterministic=True):
+        d = self.dim // self.num_heads
+        n = self.num_heads
+        qkv_kernel = self.param(
+            "qkv_kernel", _trunc_normal(self.init_std), (self.dim, 3, n, d))
+        q_bias = self.param("q_bias", nn.initializers.zeros, (n, d))
+        v_bias = self.param("v_bias", nn.initializers.zeros, (n, d))
+        proj_kernel = self.param(
+            "proj_kernel", _scaled_trunc_normal(self.init_std,
+                                                self.proj_scale),
+            (n, d, self.dim))
+        proj_bias = self.param("proj_bias", nn.initializers.zeros,
+                               (self.dim,))
+
+        lead = x.shape[:-2]
+        s = x.shape[-2]
+        xf = x.reshape((-1, s, self.dim))
+        qkv = jnp.einsum("bsh,hcnd->bcsnd", xf, qkv_kernel.astype(x.dtype))
+        q = qkv[:, 0] + q_bias.astype(x.dtype)
+        k = qkv[:, 1]
+        v = qkv[:, 2] + v_bias.astype(x.dtype)
+        # [B, S, n, d] -> [B, n, S, d]
+        q, k, v = (jnp.moveaxis(t, 2, 1) for t in (q, k, v))
+        out = dot_product_attention(q, k, v, causal=self.causal)
+        out = jnp.moveaxis(out, 1, 2)
+        y = jnp.einsum("bsnd,ndh->bsh", out, proj_kernel.astype(out.dtype))
+        y = y + proj_bias.astype(y.dtype)
+        return y.reshape(lead + (s, self.dim))
+
+
+class Mlp(nn.Module):
+    dim: int
+    hidden: int
+    init_std: float = 0.015
+    fc2_scale: float = 1.0
+
+    @nn.compact
+    def __call__(self, x):
+        fc1_kernel = self.param("fc1_kernel", _trunc_normal(self.init_std),
+                                (self.dim, self.hidden))
+        fc1_bias = self.param("fc1_bias", nn.initializers.zeros,
+                              (self.hidden,))
+        fc2_kernel = self.param(
+            "fc2_kernel", _scaled_trunc_normal(self.init_std, self.fc2_scale),
+            (self.hidden, self.dim))
+        fc2_bias = self.param("fc2_bias", nn.initializers.zeros, (self.dim,))
+        y = jnp.einsum("...h,hf->...f", x, fc1_kernel.astype(x.dtype))
+        # vision MLP uses exact (erf) GELU — torch nn.GELU default
+        y = jax.nn.gelu(y + fc1_bias.astype(y.dtype), approximate=False)
+        y = jnp.einsum("...f,fh->...h", y, fc2_kernel.astype(y.dtype))
+        return y + fc2_bias.astype(y.dtype)
+
+
+def _drop_path(x, rate, deterministic, rng):
+    if deterministic or rate == 0.0:
+        return x
+    keep = 1.0 - rate
+    shape = (x.shape[0],) + (1,) * (x.ndim - 1)
+    mask = jax.random.bernoulli(rng, keep, shape)
+    return jnp.where(mask, x / keep, jnp.zeros_like(x))
+
+
+class SpaceTimeBlock(nn.Module):
+    """Divided space-time attention block (reference Block:211-295).
+
+    Input x: [B, T, N, C]; cls: [B, C].  Returns same.
+    """
+
+    cfg: VisionConfig
+    layer_id: int  # 1-based, for fix_init_weight scaling
+    drop_path: float = 0.0
+
+    @nn.compact
+    def __call__(self, x, cls, deterministic=True):
+        cfg = self.cfg
+        c = cfg.embed_dim
+        b, t, n_p, _ = x.shape
+        proj_scale = (2.0 * self.layer_id) ** 0.5
+
+        # --- temporal attention: per patch, across frames -------------
+        xt = x.transpose(0, 2, 1, 3)  # [B, N, T, C] (token order n-major)
+        xt = LayerNormFP32(c, cfg.ln_eps, name="temporal_ln")(xt)
+        xt = VisionAttention(
+            c, cfg.num_heads, init_std=cfg.init_std, proj_scale=1.0,
+            name="temporal_attn")(xt, deterministic)
+        temporal_fc_kernel = self.param(
+            "temporal_fc_kernel",
+            (nn.initializers.zeros if self.layer_id > 1
+             else _trunc_normal(cfg.init_std)), (c, c))
+        temporal_fc_bias = self.param(
+            "temporal_fc_bias", nn.initializers.zeros, (c,))
+        xt = jnp.einsum("bntc,cd->bntd", xt,
+                        temporal_fc_kernel.astype(xt.dtype))
+        xt = xt + temporal_fc_bias.astype(xt.dtype)
+        xt = x.transpose(0, 2, 1, 3) + xt  # residual, [B, N, T, C]
+
+        # --- spatial attention: per frame, cls repeated per frame -----
+        xs = xt.transpose(0, 2, 1, 3)  # [B, T, N, C]
+        cls_rep = jnp.broadcast_to(cls[:, None, None, :], (b, t, 1, c))
+        xs = jnp.concatenate([cls_rep, xs], axis=2)  # [B, T, 1+N, C]
+        xs = LayerNormFP32(c, cfg.ln_eps, name="norm1")(xs)
+        xs = VisionAttention(
+            c, cfg.num_heads, init_std=cfg.init_std, proj_scale=proj_scale,
+            name="attn")(xs, deterministic)
+        cls_new = jnp.mean(xs[:, :, 0, :], axis=1)  # mean over frames
+        xs = xs[:, :, 1:, :].transpose(0, 2, 1, 3)  # [B, N, T, C]
+
+        # --- joint residual + MLP (token order [cls; (n t)]) ----------
+        res = jnp.concatenate(
+            [cls[:, None, :], xt.reshape(b, n_p * t, c)], axis=1)
+        upd = jnp.concatenate(
+            [cls_new[:, None, :], xs.reshape(b, n_p * t, c)], axis=1)
+        if self.drop_path > 0 and not deterministic:
+            upd = _drop_path(upd, self.drop_path, deterministic,
+                             self.make_rng("dropout"))
+        y = res + upd
+
+        mlp_in = LayerNormFP32(c, cfg.ln_eps, name="norm2")(y)
+        mlp_out = Mlp(c, int(c * cfg.mlp_ratio), init_std=cfg.init_std,
+                      fc2_scale=proj_scale, name="mlp")(mlp_in)
+        if self.drop_path > 0 and not deterministic:
+            mlp_out = _drop_path(mlp_out, self.drop_path, deterministic,
+                                 self.make_rng("dropout"))
+        y = y + mlp_out
+
+        cls_out = y[:, 0, :]
+        x_out = y[:, 1:, :].reshape(b, n_p, t, c).transpose(0, 2, 1, 3)
+        return x_out, cls_out
+
+
+class PatchEmbed(nn.Module):
+    """Patchify as a single einsum (conv == matmul over folded patches)."""
+
+    cfg: VisionConfig
+
+    @nn.compact
+    def __call__(self, x):
+        cfg = self.cfg
+        p, c_in, d = cfg.patch_size, cfg.in_chans, cfg.embed_dim
+        kernel = self.param("kernel", _trunc_normal(cfg.init_std),
+                            (c_in * p * p, d))
+        use_bias = not cfg.clip_model  # CLIP conv1 has no bias
+        bias = (self.param("bias", nn.initializers.zeros, (d,))
+                if use_bias else None)
+        b, c, hh, ww = x.shape
+        gh, gw = hh // p, ww // p
+        x = x.reshape(b, c, gh, p, gw, p)
+        x = x.transpose(0, 2, 4, 1, 3, 5).reshape(b, gh * gw, c * p * p)
+        y = jnp.einsum("bnk,kd->bnd", x, kernel.astype(x.dtype))
+        if bias is not None:
+            y = y + bias.astype(y.dtype)
+        return y  # [B, N, D]
+
+
+class TimeSformer(nn.Module):
+    """Divided space-time video encoder (reference TimeSformer:440-592).
+
+    forward(video [B, C, T, H, W]) -> (pooled cls [B, D],
+                                       tokens [B, 1 + T*N, D]).
+    """
+
+    cfg: VisionConfig
+    policy: Policy = DEFAULT_POLICY
+
+    @nn.compact
+    def __call__(self, video, deterministic=True):
+        cfg = self.cfg
+        d = cfg.embed_dim
+        b, c, t, hh, ww = video.shape
+        n_p = (hh // cfg.patch_size) * (ww // cfg.patch_size)
+
+        frames = video.transpose(0, 2, 1, 3, 4).reshape(b * t, c, hh, ww)
+        frames = frames.astype(self.policy.compute_dtype)
+        x = PatchEmbed(cfg, name="patch_embed")(frames)  # [B*T, N, D]
+        x = x.reshape(b, t * n_p, d)  # time-major token order
+        if cfg.stop_grad_conv1:
+            x = jax.lax.stop_gradient(x) * 0.9 + x * 0.1
+
+        cls_token = self.param("cls_token", nn.initializers.zeros, (1, 1, d))
+        pos_embed = self.param("pos_embed", _trunc_normal(cfg.init_std),
+                               (1, cfg.num_patches + 1, d))
+        temporal_embed = self.param(
+            "temporal_embed", nn.initializers.zeros, (1, cfg.num_frames, d))
+
+        # tile pos per frame; repeat temporal per patch; time-major order
+        # (reference vision_transformer.py:559-565)
+        cls_pos = pos_embed[:, :1, :]
+        tile_pos = jnp.tile(pos_embed[:, 1:, :], (1, t, 1))
+        tile_temp = jnp.repeat(temporal_embed[:, :t, :], n_p, axis=1)
+        x = x + (tile_pos + tile_temp).astype(x.dtype)
+        cls = (jnp.broadcast_to(cls_token, (b, 1, d))
+               + cls_pos).astype(x.dtype)[:, 0]
+
+        if cfg.drop_rate > 0 and not deterministic:
+            x = nn.Dropout(cfg.drop_rate)(x, deterministic=False)
+
+        if cfg.clip_model:
+            # norm_pre applies to [cls; tokens] jointly in the reference
+            joint = jnp.concatenate([cls[:, None], x], axis=1)
+            joint = LayerNormFP32(d, cfg.ln_eps, name="norm_pre")(joint)
+            cls, x = joint[:, 0], joint[:, 1:]
+
+        x = x.reshape(b, t, n_p, d)
+        dpr = [float(r) for r in
+               jnp.linspace(0, cfg.drop_path, cfg.depth)] if cfg.depth > 1 \
+            else [0.0]
+        block_cls = SpaceTimeBlock
+        if cfg.grad_ckpt:
+            block_cls = nn.remat(SpaceTimeBlock, static_argnums=(3,))
+        for i in range(cfg.depth):
+            x, cls = block_cls(
+                cfg, layer_id=i + 1, drop_path=dpr[i],
+                name=f"blocks_{i}")(x, cls, deterministic)
+
+        tokens = jnp.concatenate(
+            [cls[:, None, :], x.reshape(b, t * n_p, d)], axis=1)
+        tokens = LayerNormFP32(d, cfg.ln_eps, name="norm")(tokens)
+        return tokens[:, 0], tokens
+
+
+class PlainBlock(nn.Module):
+    """Standard pre-LN ViT block (reference PlainBlock:298-338)."""
+
+    cfg: VisionConfig
+    layer_id: int
+    drop_path: float = 0.0
+
+    @nn.compact
+    def __call__(self, x, deterministic=True):
+        cfg = self.cfg
+        c = cfg.embed_dim
+        proj_scale = (2.0 * self.layer_id) ** 0.5
+        h = LayerNormFP32(c, cfg.ln_eps, name="norm1")(x)
+        h = VisionAttention(c, cfg.num_heads, init_std=cfg.init_std,
+                            proj_scale=proj_scale, name="attn")(
+            h, deterministic)
+        if self.drop_path > 0 and not deterministic:
+            h = _drop_path(h, self.drop_path, deterministic,
+                           self.make_rng("dropout"))
+        x = x + h
+        h = LayerNormFP32(c, cfg.ln_eps, name="norm2")(x)
+        h = Mlp(c, int(c * cfg.mlp_ratio), init_std=cfg.init_std,
+                fc2_scale=proj_scale, name="mlp")(h)
+        if self.drop_path > 0 and not deterministic:
+            h = _drop_path(h, self.drop_path, deterministic,
+                           self.make_rng("dropout"))
+        return x + h
+
+
+class VisionTransformer(nn.Module):
+    """Plain image ViT (reference VisionTransformer:595-716)."""
+
+    cfg: VisionConfig
+    policy: Policy = DEFAULT_POLICY
+
+    @nn.compact
+    def __call__(self, images, deterministic=True):
+        cfg = self.cfg
+        d = cfg.embed_dim
+        b = images.shape[0]
+        x = PatchEmbed(cfg, name="patch_embed")(
+            images.astype(self.policy.compute_dtype))
+        cls_token = self.param("cls_token", nn.initializers.zeros, (1, 1, d))
+        x = jnp.concatenate(
+            [jnp.broadcast_to(cls_token, (b, 1, d)).astype(x.dtype), x],
+            axis=1)
+        if cfg.use_abs_pos_emb:
+            pos_embed = self.param(
+                "pos_embed", _trunc_normal(cfg.init_std),
+                (1, cfg.num_patches + 1, d))
+            x = x + pos_embed.astype(x.dtype)
+        if cfg.clip_model:
+            x = LayerNormFP32(d, cfg.ln_eps, name="norm_pre")(x)
+        dpr = [float(r) for r in
+               jnp.linspace(0, cfg.drop_path, cfg.depth)] if cfg.depth > 1 \
+            else [0.0]
+        block_cls = PlainBlock
+        if cfg.grad_ckpt:
+            block_cls = nn.remat(PlainBlock, static_argnums=(2,))
+        for i in range(cfg.depth):
+            x = block_cls(cfg, layer_id=i + 1, drop_path=dpr[i],
+                          name=f"blocks_{i}")(x, deterministic)
+        x = LayerNormFP32(d, cfg.ln_eps, name="norm")(x)
+        return x[:, 0], x
+
+
+class AttentionPool(nn.Module):
+    """Learnable-query cross-attention pooling — the visual abstractor
+    (reference AttentionPool:341-374, built on torch nn.MultiheadAttention
+    with add_bias_kv=True)."""
+
+    dim: int
+    num_heads: int
+    mlp_ratio: float = 4.0
+    ln_eps: float = 1e-6
+    init_std: float = 0.015
+
+    @nn.compact
+    def __call__(self, queries, keys, deterministic=True):
+        d = self.dim
+        n = self.num_heads
+        hd = d // n
+
+        q_in = LayerNormFP32(d, self.ln_eps, name="norm1")(queries)
+        k_in = LayerNormFP32(d, self.ln_eps, name="normk")(keys)
+
+        # torch MultiheadAttention: packed in-proj with bias, plus learnable
+        # bias_k/bias_v appended as an extra key/value position.
+        wq = self.param("q_kernel", nn.initializers.xavier_uniform(), (d, d))
+        wk = self.param("k_kernel", nn.initializers.xavier_uniform(), (d, d))
+        wv = self.param("v_kernel", nn.initializers.xavier_uniform(), (d, d))
+        bq = self.param("q_bias", nn.initializers.zeros, (d,))
+        bk = self.param("k_bias", nn.initializers.zeros, (d,))
+        bv = self.param("v_bias", nn.initializers.zeros, (d,))
+        bias_k = self.param("bias_k", nn.initializers.zeros, (1, 1, d))
+        bias_v = self.param("bias_v", nn.initializers.zeros, (1, 1, d))
+        wo = self.param("out_kernel", nn.initializers.xavier_uniform(),
+                        (d, d))
+        bo = self.param("out_bias", nn.initializers.zeros, (d,))
+
+        dt = q_in.dtype
+        b = q_in.shape[0]
+        q = jnp.einsum("bqd,de->bqe", q_in, wq.astype(dt)) + bq.astype(dt)
+        k = jnp.einsum("bkd,de->bke", k_in, wk.astype(dt)) + bk.astype(dt)
+        v = jnp.einsum("bkd,de->bke", k_in, wv.astype(dt)) + bv.astype(dt)
+        k = jnp.concatenate(
+            [k, jnp.broadcast_to(bias_k.astype(dt), (b, 1, d))], axis=1)
+        v = jnp.concatenate(
+            [v, jnp.broadcast_to(bias_v.astype(dt), (b, 1, d))], axis=1)
+
+        def split(t_):
+            return t_.reshape(b, t_.shape[1], n, hd).transpose(0, 2, 1, 3)
+
+        out = dot_product_attention(split(q), split(k), split(v))
+        out = out.transpose(0, 2, 1, 3).reshape(b, q.shape[1], d)
+        out = jnp.einsum("bqd,de->bqe", out, wo.astype(dt)) + bo.astype(dt)
+
+        # NB: the residual base is the *normed* queries — the reference
+        # overwrites x with norm1(x) before the residual add
+        # (vision_transformer.py:369-371).
+        x = q_in + out
+        mlp_in = LayerNormFP32(d, self.ln_eps, name="norm2")(x)
+        x = x + Mlp(d, int(d * self.mlp_ratio), init_std=self.init_std,
+                    name="mlp")(mlp_in)
+        return x

@@ -31,18 +31,21 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 ShardingRules = Sequence[tuple[str, P]]
 
-# Rules are matched first-hit against '/'-joined flax param paths.
+# Rules are matched first-hit against '/'-joined flax param paths.  Specs
+# shorter than the param rank are right-aligned (leading dims — e.g. the
+# nn.scan layer axis — stay unsharded), so the same rule covers scanned
+# [L, ...] and unrolled [...] layouts.
 GPT3_SHARDING_RULES: ShardingRules = (
-    # decoder
+    # decoder (param shapes: see models/gpt3.py)
     (r".*word_embeddings/embedding$", P("model", None)),
-    (r".*decoder.*/attn/qkv/kernel$", P(None, "model")),
-    (r".*decoder.*/attn/qkv/bias$", P("model")),
-    (r".*decoder.*/attn/out/kernel$", P("model", None)),
-    (r".*decoder.*/mlp/fc1/kernel$", P(None, "model")),
-    (r".*decoder.*/mlp/fc1/bias$", P("model")),
-    (r".*decoder.*/mlp/fc2/kernel$", P("model", None)),
-    # vision encoder: replicate (it is small and batch-bound); the MLP of
-    # the giant EVA variant would get its own rules.
+    (r".*/attn/qkv_kernel$", P(None, None, "model", None)),
+    (r".*/attn/qkv_bias$", P(None, "model", None)),
+    (r".*/attn/out_kernel$", P("model", None, None)),
+    (r".*/mlp/fc1_kernel$", P(None, "model")),
+    (r".*/mlp/fc1_bias$", P("model")),
+    (r".*/mlp/fc2_kernel$", P("model", None)),
+    # vision encoder: replicated (small and batch-bound); the giant EVA
+    # variant gets its own MLP rules when enabled.
     (r".*", P()),
 )
 
@@ -79,12 +82,19 @@ def sharding_for_params(params: Any, mesh: Mesh,
     def spec_for(path, leaf):
         spec = _match(_path_str(path), rules)
         ndim = np.ndim(leaf)
+        shape = np.shape(leaf)
         n = len(spec)
         if n < ndim:  # promote: pad leading None (scan dim etc.)
             spec = P(*([None] * (ndim - n) + list(spec)))
         elif n > ndim:
             spec = P(*spec[n - ndim:])
-        return NamedSharding(mesh, spec)
+        # drop axes that don't divide the dim evenly (e.g. tiny test vocabs)
+        cleaned = []
+        for dim, axis in zip(shape, spec):
+            if axis is not None and dim % mesh.shape[axis] != 0:
+                axis = None
+            cleaned.append(axis)
+        return NamedSharding(mesh, P(*cleaned))
 
     specs = {jax.tree_util.keystr(path): spec_for(path, leaf)
              for path, leaf in flat}
