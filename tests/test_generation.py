@@ -1,0 +1,149 @@
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from youku_mplug_tpu.models.generation import (
+    GenerationConfig,
+    generate,
+    top_k_top_p_filter,
+)
+from youku_mplug_tpu.models.gpt3 import GPT3Config, GPT3LM
+from youku_mplug_tpu.runtime.precision import FP32_POLICY
+
+V, H, L, N = 61, 32, 2, 4
+CFG = GPT3Config(vocab_size=V, hidden_size=H, num_hidden_layers=L,
+                 num_attention_heads=N, max_position_embeddings=128,
+                 hidden_dropout=0.0, attention_dropout=0.0)
+
+
+@pytest.fixture(scope="module")
+def model_params():
+    model = GPT3LM(CFG, policy=FP32_POLICY)
+    params = model.init(jax.random.key(0), jnp.zeros((1, 4), jnp.int32))
+    return model, params["params"]
+
+
+def greedy_oracle(model, params, prompt, queries, steps, eos):
+    """Greedy decode via repeated full forward (no cache, no padding)."""
+    toks = list(prompt)
+    out_toks = []
+    for _ in range(steps):
+        ids = jnp.asarray([toks])
+        emb = model.apply({"params": params}, ids, method=GPT3LM.embed)
+        if queries is not None:
+            emb = jnp.concatenate([jnp.asarray(queries)[None], emb], axis=1)
+        out = model.apply({"params": params}, input_embeds=emb,
+                          return_logits=True)
+        nxt = int(jnp.argmax(out["logits"][0, -1]))
+        out_toks.append(nxt)
+        if nxt == eos:
+            break
+        toks.append(nxt)
+    return out_toks
+
+
+def test_batched_greedy_matches_unpadded_oracle(model_params):
+    """Front-padded batched decode must equal per-sample unpadded decode —
+    validates valid_from masking + position offsets."""
+    model, params = model_params
+    rng = np.random.default_rng(0)
+    eos = 2
+    steps = 6
+    nq = 3
+    prompts = [[1, 5, 9, 11], [1, 7]]  # different lengths
+    queries = rng.normal(size=(2, nq, H)).astype(np.float32)
+
+    p_max = 4
+    ids = np.full((2, p_max), 2, np.int32)
+    lens = np.asarray([len(p) for p in prompts], np.int32)
+    for i, pr in enumerate(prompts):
+        ids[i, :len(pr)] = pr
+
+    cfg = GenerationConfig(max_new_tokens=steps, eos_id=eos, pad_id=eos,
+                           do_sample=False, beam_size=1)
+    out = generate(model, params, jnp.asarray(ids), jnp.asarray(lens),
+                   query_embeds=jnp.asarray(queries), config=cfg)
+    got = np.asarray(out["sequences"])
+
+    for i, pr in enumerate(prompts):
+        want = greedy_oracle(model, params, pr, queries[i], steps, eos)
+        want = want + [eos] * (steps - len(want))
+        np.testing.assert_array_equal(got[i], want,
+                                      err_msg=f"sample {i}")
+
+
+def test_sampling_respects_topk(model_params):
+    model, params = model_params
+    ids = jnp.asarray([[1, 5, 9]])
+    lens = jnp.asarray([3])
+    cfg = GenerationConfig(max_new_tokens=5, eos_id=2, pad_id=2,
+                           do_sample=True, top_k=1, top_p=0.0)
+    # top_k=1 sampling is deterministic == greedy
+    out_s = generate(model, params, ids, lens, config=cfg,
+                     rng=jax.random.key(1))
+    cfg_g = GenerationConfig(max_new_tokens=5, eos_id=2, pad_id=2,
+                             do_sample=False, beam_size=1)
+    out_g = generate(model, params, ids, lens, config=cfg_g)
+    np.testing.assert_array_equal(np.asarray(out_s["sequences"]),
+                                  np.asarray(out_g["sequences"]))
+
+
+def test_top_k_top_p_filter():
+    logits = jnp.asarray([[1.0, 2.0, 3.0, 4.0]])
+    f = top_k_top_p_filter(logits, top_k=2)
+    assert np.asarray(f[0, 0]) < -1e6 and np.asarray(f[0, 1]) < -1e6
+    np.testing.assert_allclose(np.asarray(f[0, 2:]), [3.0, 4.0])
+
+    # top_p keeps at least the argmax
+    f2 = top_k_top_p_filter(jnp.asarray([[0.0, 0.0, 10.0]]), top_p=0.5)
+    assert np.asarray(f2[0, 2]) == 10.0
+    assert np.asarray(f2[0, 0]) < -1e6
+
+
+def test_beam_search_not_worse_than_greedy(model_params):
+    """With no eos reachable, beam-k sum-logprob >= greedy sum-logprob."""
+    model, params = model_params
+    ids = jnp.asarray([[1, 5, 9, 3]])
+    lens = jnp.asarray([4])
+    steps = 5
+    eos = V - 1  # improbable token
+
+    def seq_logprob(seq):
+        toks = [1, 5, 9, 3] + [int(t) for t in seq]
+        emb = model.apply({"params": params}, jnp.asarray([toks]),
+                          method=GPT3LM.embed)
+        out = model.apply({"params": params}, input_embeds=emb,
+                          return_logits=True)
+        lp = jax.nn.log_softmax(out["logits"][0, 3:-1])
+        return float(sum(lp[i, t] for i, t in enumerate(seq)))
+
+    cfg_g = GenerationConfig(max_new_tokens=steps, eos_id=eos, pad_id=eos,
+                             do_sample=False, beam_size=1)
+    greedy = np.asarray(generate(model, params, ids, lens,
+                                 config=cfg_g)["sequences"][0])
+    cfg_b = GenerationConfig(max_new_tokens=steps, eos_id=eos, pad_id=eos,
+                             do_sample=False, beam_size=3)
+    out_b = generate(model, params, ids, lens, config=cfg_b)
+    beam = np.asarray(out_b["sequences"][0])
+
+    lp_g, lp_b = seq_logprob(greedy), seq_logprob(beam)
+    assert lp_b >= lp_g - 1e-4, (lp_b, lp_g)
+    # reported score matches recomputed sum-logprob
+    np.testing.assert_allclose(float(out_b["scores"][0]), lp_b, atol=1e-3)
+
+
+def test_beam_search_stops_at_eos(model_params):
+    """Make one token a guaranteed eos by biasing the embedding: then beam
+    sequences end with eos followed by pads."""
+    model, params = model_params
+    ids = jnp.asarray([[1, 5]])
+    lens = jnp.asarray([2])
+    eos = 2
+    cfg = GenerationConfig(max_new_tokens=8, eos_id=eos, pad_id=eos,
+                           do_sample=False, beam_size=3)
+    out = generate(model, params, ids, lens, config=cfg)
+    seq = np.asarray(out["sequences"][0])
+    if eos in seq:
+        i = list(seq).index(eos)
+        assert all(t == eos for t in seq[i:])

@@ -118,7 +118,7 @@ class GPT3Attention(nn.Module):
     policy: Policy = DEFAULT_POLICY
 
     @nn.compact
-    def __call__(self, x, *, cache=None, cache_len=None,
+    def __call__(self, x, *, cache=None, cache_len=None, valid_from=None,
                  deterministic=True):
         cfg = self.config
         n, d, h = cfg.num_attention_heads, cfg.head_dim, cfg.hidden_size
@@ -150,11 +150,18 @@ class GPT3Attention(nn.Module):
             cv = jax.lax.dynamic_update_slice(cv, v.astype(cv.dtype),
                                               (0, 0, idx, 0))
             new_cache = (ck, cv)
-            # mask: key j visible to query i(abs = cache_len+i) iff j <= abs
+            # mask: key j visible to query i(abs = cache_len+i) iff j <= abs;
+            # valid_from [B] additionally hides front-padding positions
+            # (batched variable-length prompts; the reference instead loops
+            # per sample, modeling_distributed_gpt3.py:800)
             ki = jnp.arange(m)[None, :]
             qi = cache_len + jnp.arange(s)[:, None]
-            bias = jnp.where(ki <= qi, 0.0, jnp.finfo(jnp.float32).min)
-            out = mha_reference(q, ck, cv, bias=bias[None, None])
+            allowed = (ki <= qi)[None]  # [1, S, M]
+            if valid_from is not None:
+                allowed = allowed & (
+                    ki[None] >= valid_from[:, None, None])
+            bias = jnp.where(allowed, 0.0, jnp.finfo(jnp.float32).min)
+            out = mha_reference(q, ck, cv, bias=bias[:, None])
 
         out = jnp.moveaxis(out, 1, 2)  # [B,S,n,d]
         y = jnp.einsum("bsnd,ndh->bsh", out, out_kernel.astype(out.dtype))
@@ -193,7 +200,8 @@ class GPT3Layer(nn.Module):
     policy: Policy = DEFAULT_POLICY
 
     @nn.compact
-    def __call__(self, x, cache=None, cache_len=None, deterministic=True):
+    def __call__(self, x, cache=None, cache_len=None, valid_from=None,
+                 deterministic=True):
         cfg = self.config
         # scaled init for output-facing kernels (megatron
         # scaled_init_method_normal: std / sqrt(2*num_layers))
@@ -213,6 +221,7 @@ class GPT3Layer(nn.Module):
         attn_out, new_cache = GPT3Attention(
             cfg, layer_scale_std=scaled_std, policy=self.policy,
             name="attn")(attn_in, cache=cache, cache_len=cache_len,
+                         valid_from=valid_from,
                          deterministic=deterministic)
         if not deterministic and cfg.hidden_dropout > 0:
             attn_out = nn.Dropout(rate=cfg.hidden_dropout)(
@@ -244,7 +253,7 @@ class GPT3Decoder(nn.Module):
 
     @nn.compact
     def __call__(self, input_embeds, positions, *, cache=None, cache_len=None,
-                 deterministic=True):
+                 valid_from=None, deterministic=True):
         cfg = self.config
         pos_emb = self.param(
             "position_embeddings", _dense_init(cfg.init_method_std),
@@ -264,24 +273,20 @@ class GPT3Decoder(nn.Module):
                 layer,
                 variable_axes={"params": 0},
                 split_rngs={"params": True, "dropout": True},
-                in_axes=(0, nn.broadcast, nn.broadcast),
+                in_axes=(0, nn.broadcast, nn.broadcast, nn.broadcast),
                 out_axes=0,
                 length=cfg.num_hidden_layers,
                 metadata_params={nn.meta.PARTITION_NAME: "layers"},
             )
-            if cache is None:
-                cache_in = None
-            else:
-                cache_in = cache
             x, new_cache = scanned(cfg, policy=self.policy, name="layers")(
-                x, cache_in, cache_len, deterministic)
+                x, cache, cache_len, valid_from, deterministic)
         else:
             new_layers = []
             for i in range(cfg.num_hidden_layers):
                 layer_cache = None if cache is None else jax.tree.map(
                     lambda c: c[i], cache)
                 x, nc = layer(cfg, policy=self.policy, name=f"layers_{i}")(
-                    x, layer_cache, cache_len, deterministic)
+                    x, layer_cache, cache_len, valid_from, deterministic)
                 new_layers.append(nc)
             new_cache = (None if cache is None else
                          jax.tree.map(lambda *xs: jnp.stack(xs), *new_layers))
@@ -362,15 +367,24 @@ class GPT3LM(nn.Module):
                  max_len, cfg.head_dim)
         return (jnp.zeros(shape, dtype), jnp.zeros(shape, dtype))
 
-    def decode_step(self, input_embeds, cache, cache_len):
+    def decode_step(self, input_embeds, cache, cache_len, valid_from=None,
+                    position_offset=None):
         """Run a chunk (prefill: S>1; decode: S=1) through the decoder with
         the KV cache. Returns (vocab logits of the last position, new cache).
+
+        valid_from [B]: first valid cache position per sample (hides
+        front-padding of variable-length prompts).
+        position_offset [B]: subtracted from absolute positions so position
+        ids start at 0 at each sample's first real token.
         """
         b, s, _ = input_embeds.shape
         positions = cache_len + jnp.arange(s)[None]
         positions = jnp.broadcast_to(positions, (b, s))
+        if position_offset is not None:
+            positions = jnp.maximum(positions - position_offset[:, None], 0)
         hidden, new_cache = self.decoder(
             input_embeds.astype(self.policy.compute_dtype), positions,
-            cache=cache, cache_len=cache_len, deterministic=True)
+            cache=cache, cache_len=cache_len, valid_from=valid_from,
+            deterministic=True)
         logits = self.logits(hidden[:, -1:])[:, 0]
         return logits, new_cache

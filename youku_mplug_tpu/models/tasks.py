@@ -395,6 +395,11 @@ class MPLUGVideo(nn.Module):
         return self.pretrain_loss(video, input_ids, attention_mask,
                                   deterministic)
 
+    def encode_queries(self, video):
+        """Just the query features (for generation prefill)."""
+        _, qf, _ = self.encode_video(video, True)
+        return qf
+
     def full_init(self, video, input_ids, attention_mask):
         """Init entrypoint that touches every head so a single param tree
         serves all task methods (use: ``model.init(key, ..., method=
@@ -407,3 +412,23 @@ class MPLUGVideo(nn.Module):
             _ = self.cls_logits_from_prompt(qf, input_ids, attention_mask,
                                             True)
         return out
+
+
+def generate_captions(task_model: MPLUGVideo, params, video, input_ids,
+                      attention_mask, gen_config, rng=None):
+    """Video captioning decode (reference DistributedGPT3_Caption.generate,
+    distributed_gpt3.py:790-809): encode video -> query-prefix beam/sample
+    decode.  The reference's per-sample python loop is replaced by one
+    batched jitted decode (models/generation.py).
+
+    The trailing eos of the tokenized prompt is dropped, matching the
+    reference's prompt_length = mask.sum()-1.
+    """
+    from youku_mplug_tpu.models.generation import generate
+
+    query_features = task_model.apply(
+        {"params": params}, video, method=MPLUGVideo.encode_queries)
+    decoder = GPT3LM(task_model.cfg.text, policy=task_model.policy)
+    prompt_len = attention_mask.sum(axis=-1).astype(jnp.int32) - 1
+    return generate(decoder, params["text_decoder"], input_ids, prompt_len,
+                    query_embeds=query_features, config=gen_config, rng=rng)
