@@ -1,0 +1,201 @@
+import json
+import os
+
+import numpy as np
+import pytest
+
+from youku_mplug_tpu.data.datasets import (
+    ClsVideoDataset,
+    PretrainVideoDataset,
+    RetrievalVideoDataset,
+    SyntheticVideoDataset,
+    pre_caption,
+)
+from youku_mplug_tpu.data.loader import MetaLoader, ShardedLoader
+from youku_mplug_tpu.data.samplers import (
+    get_frame_indices,
+    get_frame_indices_start_end,
+)
+from youku_mplug_tpu.data.transforms import (
+    RandomResizedCrop,
+    Resize,
+    TemporalConsistentRandAugment,
+    clip_to_tensor,
+    normalize,
+    train_transform,
+)
+
+
+@pytest.fixture(scope="module")
+def video_dir(tmp_path_factory):
+    import cv2
+
+    d = tmp_path_factory.mktemp("videos")
+    for k in range(3):
+        path = str(d / f"vid{k}.mp4")
+        w = cv2.VideoWriter(path, cv2.VideoWriter_fourcc(*"mp4v"), 10,
+                            (64, 48))
+        for i in range(25):
+            frame = np.full((48, 64, 3), (i * 9 + k * 40) % 255, np.uint8)
+            w.write(frame)
+        w.release()
+    return str(d)
+
+
+def test_frame_indices_modes():
+    rng = np.random.default_rng(0)
+    idx = get_frame_indices(4, 100, "rand", rng=rng)
+    assert len(idx) == 4 and all(0 <= i < 100 for i in idx)
+    assert idx == sorted(idx)
+
+    mid = get_frame_indices(4, 100, "middle")
+    assert mid == [12, 37, 62, 87]
+
+    # fewer frames than requested: pad with last
+    short = get_frame_indices(8, 3, "middle")
+    assert len(short) == 8 and short[-1] == short[2]
+
+    fps = get_frame_indices(4, 100, "fps0.5", input_fps=10,
+                            max_num_frames=3)
+    assert len(fps) == 3
+
+    iv = get_frame_indices(4, 100, "interval", rng=rng)
+    assert len(iv) == 4
+
+    se = get_frame_indices_start_end(4, 100, fps=10, start_time=1.0,
+                                     end_time=5.0, rng=rng)
+    assert all(10 <= i < 50 for i in se)
+
+
+def test_native_decoder_matches_cv2(video_dir):
+    from youku_mplug_tpu.data import native_decode
+    from youku_mplug_tpu.data.video_decode import _read_cv2
+
+    if not native_decode.available():
+        pytest.skip("native decoder unavailable")
+    path = os.path.join(video_dir, "vid0.mp4")
+    r = native_decode.NativeVideoReader(path)
+    assert len(r) == 25
+    assert abs(r.fps - 10.0) < 0.1
+    frames = r.get_batch([0, 5, 10, 10, 24])
+    assert frames.shape == (5, 48, 64, 3)
+    np.testing.assert_array_equal(frames[2], frames[3])  # dup index
+    cv2_frames = _read_cv2(path, [0, 5, 10, 10, 24])
+    # same codec decode: allow tiny colorspace rounding differences
+    diff = np.abs(frames.astype(int) - cv2_frames.astype(int))
+    assert diff.max() <= 2, diff.max()
+    r.close()
+
+
+def test_native_decoder_rescale(video_dir):
+    from youku_mplug_tpu.data import native_decode
+
+    if not native_decode.available():
+        pytest.skip("native decoder unavailable")
+    path = os.path.join(video_dir, "vid1.mp4")
+    with native_decode.NativeVideoReader(path) as r:
+        frames = r.get_batch([0, 1], width=32, height=24)
+    assert frames.shape == (2, 24, 32, 3)
+
+
+def test_transforms_shapes_and_consistency():
+    rng = np.random.default_rng(0)
+    clip = rng.integers(0, 255, size=(4, 48, 64, 3), dtype=np.uint8)
+
+    out = RandomResizedCrop(32)(clip, rng=rng)
+    assert out.shape == (4, 32, 32, 3)
+
+    out = Resize((24, 36))(clip)
+    assert out.shape == (4, 24, 36, 3)
+
+    # temporal consistency: identical frames stay identical after augment
+    same = np.broadcast_to(clip[:1], clip.shape).copy()
+    auged = TemporalConsistentRandAugment(n=2, m=5)(same, rng=rng)
+    for t in range(1, 4):
+        np.testing.assert_array_equal(auged[0], auged[t])
+
+    full = train_transform(32)(clip, rng=rng)
+    assert full.shape == (4, 32, 32, 3) and full.dtype == np.uint8
+
+    cthw = clip_to_tensor(clip)
+    assert cthw.shape == (3, 4, 48, 64)
+    assert 0.0 <= cthw.min() and cthw.max() <= 1.0
+    norm = normalize(cthw)
+    assert norm.shape == cthw.shape
+
+
+def test_device_normalize_matches_host():
+    import jax.numpy as jnp
+
+    from youku_mplug_tpu.ops.preprocess import normalize_clip
+
+    rng = np.random.default_rng(1)
+    clips = rng.integers(0, 255, size=(2, 4, 8, 8, 3), dtype=np.uint8)
+    dev = np.asarray(normalize_clip(jnp.asarray(clips), dtype=jnp.float32))
+    host = np.stack([normalize(clip_to_tensor(c)) for c in clips])
+    np.testing.assert_allclose(dev, host, rtol=1e-5, atol=1e-5)
+
+
+def test_pretrain_dataset_and_loader(video_dir, tmp_path):
+    ann = [{"video_id": f"vid{k}.mp4", "caption": f"Title {k}!"}
+           for k in range(3)]
+    ann_path = str(tmp_path / "ann.json")
+    json.dump(ann, open(ann_path, "w"))
+
+    ds = PretrainVideoDataset([ann_path], video_dir,
+                              transform=train_transform(32), num_frames=4)
+    sample = ds[0]
+    assert sample["video"].shape == (4, 32, 32, 3)
+    assert sample["text"] == "title 0"
+
+    loader = ShardedLoader(ds, batch_size=2, num_workers=2, seed=0,
+                           process_index=0, process_count=1)
+    batches = list(loader)
+    assert len(batches) == 1  # 3 samples, batch 2, drop_last
+    assert batches[0]["video"].shape == (2, 4, 32, 32, 3)
+    assert len(batches[0]["text"]) == 2
+
+
+def test_sharded_loader_partitions_disjointly():
+    ds = SyntheticVideoDataset(length=16, num_frames=2, size=8)
+    seen = []
+    for r in range(2):
+        loader = ShardedLoader(ds, batch_size=2, num_workers=1, seed=3,
+                               shuffle=True, process_index=r,
+                               process_count=2)
+        for b in loader:
+            seen += list(b["index"])
+    assert sorted(seen) == list(range(16))
+
+
+def test_retry_walks_to_next_index(video_dir, tmp_path):
+    ann = [{"clip_name": "missing.mp4", "caption": "bad"},
+           {"clip_name": "vid0.mp4", "caption": "good"}]
+    p = str(tmp_path / "ret.jsonl")
+    with open(p, "w") as f:
+        for a in ann:
+            f.write(json.dumps(a) + "\n")
+    ds = RetrievalVideoDataset(p, video_dir, transform=Resize(16),
+                               num_frames=2)
+    s = ds[0]  # index 0 fails -> walks to 1
+    assert s["text"] == "good"
+    assert s["index"] == 1
+
+
+def test_meta_loader_deterministic():
+    ds1 = SyntheticVideoDataset(length=4, num_frames=2, size=8)
+    ds2 = SyntheticVideoDataset(length=8, num_frames=2, size=8)
+    mk = lambda: MetaLoader([
+        ShardedLoader(ds1, 2, num_workers=1, process_index=0,
+                      process_count=1, seed=0),
+        ShardedLoader(ds2, 2, num_workers=1, process_index=0,
+                      process_count=1, seed=0)], seed=5)
+    order1 = [src for src, _ in mk()]
+    order2 = [src for src, _ in mk()]
+    assert order1 == order2
+    assert sorted(order1) == [0, 0, 1, 1, 1, 1]
+
+
+def test_pre_caption():
+    assert pre_caption("Hello, World!!  Nice") == "hello, world nice"
+    assert pre_caption("a b c d", max_words=2) == "a b"

@@ -1,0 +1,289 @@
+"""Clip-level transforms on uint8 numpy video (T, H, W, C).
+
+Re-implements the behavior of the reference's video transform stack
+(reference: dataset/video_utils/video_transforms.py — RandomResizedCrop:1059,
+RandomHorizontalFlip:920, Resize:1039, Normalize:1405;
+randaugment_video.py — op set:275-322, TemporalConsistentRandomAugment:
+323-362; volume_transforms.py ClipToTensor:16-39) with two TPU-first
+changes:
+
+- every transform takes an explicit ``numpy.random.Generator`` (worker
+  determinism instead of process-global RNG),
+- the float conversion + CLIP-stat normalization is OPTIONAL on host: the
+  production input pipeline ships uint8 clips to the device and fuses
+  uint8 -> bf16 -> (x/255 - mean)/std into the jitted train step
+  (``device_normalize``), cutting host->device transfer 4x.
+
+The augment op set matches the reference's cv2 semantics (PIL-equivalent
+enhance tables, warpAffine geometry with gray fill); ops are sampled once
+per clip and applied identically to every frame — the temporal-consistency
+contract that matters for video learning.
+"""
+
+from __future__ import annotations
+
+from typing import List, Optional, Sequence, Tuple
+
+import cv2
+import numpy as np
+
+CLIP_MEAN = (0.48145466, 0.4578275, 0.40821073)
+CLIP_STD = (0.26862954, 0.26130258, 0.27577711)
+
+_FILL = (128, 128, 128)
+_MAX_LEVEL = 10
+_TRANSLATE_CONST = 10
+
+_INTERP = {
+    "bilinear": cv2.INTER_LINEAR,
+    "bicubic": cv2.INTER_CUBIC,
+    "nearest": cv2.INTER_NEAREST,
+}
+
+
+# ---------------------------------------------------------------------------
+# per-frame augment ops (uint8 HWC in/out)
+# ---------------------------------------------------------------------------
+
+
+def _identity(img):
+    return img
+
+
+def _lut_brightness(img, factor):
+    table = np.clip(np.arange(256, dtype=np.float32) * factor, 0,
+                    255).astype(np.uint8)
+    return table[img]
+
+
+def _lut_contrast(img, factor):
+    # luminance-weighted mean, PIL ImageEnhance.Contrast semantics (note the
+    # reference applies BGR-order weights to RGB frames; we keep the same
+    # arithmetic for behavioral parity)
+    mean = float(np.sum(np.mean(img, axis=(0, 1))
+                        * np.array([0.114, 0.587, 0.299])))
+    table = np.clip((np.arange(256, dtype=np.float32) - mean) * factor
+                    + mean, 0, 255).astype(np.uint8)
+    return table[img]
+
+
+def _sharpness(img, factor):
+    kernel = np.ones((3, 3), np.float32)
+    kernel[1, 1] = 5
+    kernel /= 13
+    smooth = cv2.filter2D(img, -1, kernel)
+    if factor == 0.0:
+        return smooth
+    out = img.astype(np.float32)
+    sm = smooth.astype(np.float32)[1:-1, 1:-1]
+    out[1:-1, 1:-1] = sm + factor * (out[1:-1, 1:-1] - sm)
+    return np.clip(out, 0, 255).astype(np.uint8)
+
+
+def _warp(img, m):
+    h, w = img.shape[:2]
+    return cv2.warpAffine(img, m, (w, h), borderValue=_FILL,
+                          flags=cv2.INTER_LINEAR).astype(np.uint8)
+
+
+def _shear_x(img, factor):
+    return _warp(img, np.float32([[1, factor, 0], [0, 1, 0]]))
+
+
+def _shear_y(img, factor):
+    return _warp(img, np.float32([[1, 0, 0], [factor, 1, 0]]))
+
+
+def _translate_x(img, offset):
+    return _warp(img, np.float32([[1, 0, -offset], [0, 1, 0]]))
+
+
+def _translate_y(img, offset):
+    return _warp(img, np.float32([[1, 0, 0], [0, 1, -offset]]))
+
+
+def _rotate(img, degree):
+    h, w = img.shape[:2]
+    m = cv2.getRotationMatrix2D((w / 2, h / 2), degree, 1)
+    return _warp(img, m)
+
+
+def _equalize(img):
+    chans = [cv2.cvtColor(
+        cv2.equalizeHist(img[..., c]), cv2.COLOR_GRAY2RGB)[..., 0]
+        for c in range(img.shape[-1])]
+    return np.stack(chans, axis=-1)
+
+
+def _enhance_arg(level):
+    return ((level / _MAX_LEVEL) * 1.8 + 0.1,)
+
+
+def _shear_arg(level):
+    return ((level / _MAX_LEVEL) * 0.3,)
+
+
+def _translate_arg(level):
+    return ((level / _MAX_LEVEL) * float(_TRANSLATE_CONST),)
+
+
+def _rotate_arg(level):
+    return ((level / _MAX_LEVEL) * 30.0,)
+
+
+AUG_OPS = {
+    "Identity": (_identity, lambda level: ()),
+    "Equalize": (_equalize, lambda level: ()),
+    "Brightness": (_lut_brightness, _enhance_arg),
+    "Contrast": (_lut_contrast, _enhance_arg),
+    "Sharpness": (_sharpness, _enhance_arg),
+    "ShearX": (_shear_x, _shear_arg),
+    "ShearY": (_shear_y, _shear_arg),
+    "TranslateX": (_translate_x, _translate_arg),
+    "TranslateY": (_translate_y, _translate_arg),
+    "Rotate": (_rotate, _rotate_arg),
+}
+
+
+class TemporalConsistentRandAugment:
+    """Sample N ops once per clip, apply the SAME ops/args to every frame
+    (reference randaugment_video.py:323-362)."""
+
+    def __init__(self, n: int = 2, m: int = 5,
+                 augs: Optional[Sequence[str]] = None):
+        self.n = n
+        self.m = m
+        self.augs = list(augs) if augs else list(AUG_OPS)
+
+    def __call__(self, clip: np.ndarray,
+                 rng: Optional[np.random.Generator] = None) -> np.ndarray:
+        rng = rng or np.random.default_rng()
+        names = rng.choice(self.augs, self.n, replace=False)
+        out = []
+        ops = [(AUG_OPS[name][0], AUG_OPS[name][1](self.m))
+               for name in names]
+        for frame in clip:
+            for fn, args in ops:
+                frame = fn(frame, *args)
+            out.append(frame)
+        return np.stack(out)
+
+
+class RandomResizedCrop:
+    """Clip-level area crop + resize, torchvision sampling semantics
+    (scale log-ratio, 10 attempts, center fallback)."""
+
+    def __init__(self, size: int, scale: Tuple[float, float] = (0.5, 1.0),
+                 ratio: Tuple[float, float] = (3 / 4, 4 / 3),
+                 interpolation: str = "bicubic"):
+        self.size = (size, size) if isinstance(size, int) else size
+        self.scale = scale
+        self.ratio = ratio
+        self.interp = _INTERP[interpolation]
+
+    def _sample_box(self, h, w, rng):
+        area = h * w
+        log_ratio = (np.log(self.ratio[0]), np.log(self.ratio[1]))
+        for _ in range(10):
+            target = area * rng.uniform(*self.scale)
+            aspect = float(np.exp(rng.uniform(*log_ratio)))
+            cw = int(round(np.sqrt(target * aspect)))
+            ch = int(round(np.sqrt(target / aspect)))
+            if 0 < cw <= w and 0 < ch <= h:
+                i = int(rng.integers(0, h - ch + 1))
+                j = int(rng.integers(0, w - cw + 1))
+                return i, j, ch, cw
+        # center fallback
+        in_ratio = w / h
+        if in_ratio < self.ratio[0]:
+            cw, ch = w, int(round(w / self.ratio[0]))
+        elif in_ratio > self.ratio[1]:
+            ch, cw = h, int(round(h * self.ratio[1]))
+        else:
+            cw, ch = w, h
+        return (h - ch) // 2, (w - cw) // 2, ch, cw
+
+    def __call__(self, clip: np.ndarray,
+                 rng: Optional[np.random.Generator] = None) -> np.ndarray:
+        rng = rng or np.random.default_rng()
+        t, h, w, c = clip.shape
+        i, j, ch, cw = self._sample_box(h, w, rng)
+        crop = clip[:, i:i + ch, j:j + cw]
+        return np.stack([
+            cv2.resize(f, (self.size[1], self.size[0]),
+                       interpolation=self.interp) for f in crop])
+
+
+class RandomHorizontalFlip:
+    def __init__(self, p: float = 0.5):
+        self.p = p
+
+    def __call__(self, clip, rng=None):
+        rng = rng or np.random.default_rng()
+        if rng.random() < self.p:
+            return clip[:, :, ::-1].copy()
+        return clip
+
+
+class Resize:
+    def __init__(self, size, interpolation: str = "bilinear"):
+        self.size = (size, size) if isinstance(size, int) else tuple(size)
+        self.interp = _INTERP[interpolation]
+
+    def __call__(self, clip, rng=None):
+        return np.stack([
+            cv2.resize(f, (self.size[1], self.size[0]),
+                       interpolation=self.interp) for f in clip])
+
+
+class CenterCrop:
+    def __init__(self, size):
+        self.size = (size, size) if isinstance(size, int) else tuple(size)
+
+    def __call__(self, clip, rng=None):
+        t, h, w, c = clip.shape
+        ch, cw = self.size
+        i, j = (h - ch) // 2, (w - cw) // 2
+        return clip[:, i:i + ch, j:j + cw]
+
+
+def clip_to_tensor(clip: np.ndarray) -> np.ndarray:
+    """(T, H, W, C) uint8 -> (C, T, H, W) float32 in [0, 1] (reference
+    ClipToTensor, volume_transforms.py:16-39)."""
+    return clip.transpose(3, 0, 1, 2).astype(np.float32) / 255.0
+
+
+def normalize(clip_cthw: np.ndarray, mean=CLIP_MEAN, std=CLIP_STD
+              ) -> np.ndarray:
+    mean = np.asarray(mean, np.float32).reshape(-1, 1, 1, 1)
+    std = np.asarray(std, np.float32).reshape(-1, 1, 1, 1)
+    return (clip_cthw - mean) / std
+
+
+class Compose:
+    """Sequential clip transforms sharing one rng."""
+
+    def __init__(self, transforms):
+        self.transforms = transforms
+
+    def __call__(self, clip, rng=None):
+        rng = rng or np.random.default_rng()
+        for t in self.transforms:
+            clip = t(clip, rng=rng)
+        return clip
+
+
+def train_transform(image_res: int, scale=(0.5, 1.0)) -> Compose:
+    """The reference's video train/pretrain pipeline (dataset/__init__.py:
+    60-85), minus float conversion (done on device)."""
+    return Compose([
+        RandomResizedCrop(image_res, scale=scale, interpolation="bicubic"),
+        RandomHorizontalFlip(),
+        TemporalConsistentRandAugment(n=2, m=5, augs=[
+            "Identity", "Contrast", "Brightness", "Sharpness", "ShearX",
+            "ShearY", "TranslateX", "TranslateY", "Rotate"]),
+    ])
+
+
+def test_transform(image_res: int) -> Compose:
+    return Compose([Resize((image_res, image_res))])

@@ -1,0 +1,96 @@
+"""Video frame reading: native libav decoder with cv2 fallback.
+
+Mirrors the reference's read_frames_decord contract (reference:
+dataset/video_utils/utils.py:97-117): sample frame indices, decode,
+return (T, H, W, C) uint8 RGB.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import numpy as np
+
+from youku_mplug_tpu.data import native_decode
+from youku_mplug_tpu.data.samplers import (
+    get_frame_indices,
+    get_frame_indices_start_end,
+)
+
+
+def _read_cv2(video_path, indices, width=0, height=0):
+    import cv2
+
+    cap = cv2.VideoCapture(video_path)
+    if not cap.isOpened():
+        raise IOError(f"cannot open video: {video_path}")
+    try:
+        order = sorted(set(int(i) for i in indices))
+        frames = {}
+        pos = 0
+        want = iter(order)
+        nxt = next(want, None)
+        while nxt is not None:
+            ok, frame = cap.read()
+            if not ok:
+                break
+            if pos == nxt:
+                frame = cv2.cvtColor(frame, cv2.COLOR_BGR2RGB)
+                if width and height:
+                    frame = cv2.resize(frame, (width, height),
+                                       interpolation=cv2.INTER_CUBIC)
+                frames[pos] = frame
+                nxt = next(want, None)
+            pos += 1
+        if not frames:
+            raise IOError(f"no frames decoded: {video_path}")
+        last = frames[max(frames)]
+        out = np.stack([frames.get(int(i), last) for i in indices])
+        return out
+    finally:
+        cap.release()
+
+
+def _probe_cv2(video_path):
+    import cv2
+
+    cap = cv2.VideoCapture(video_path)
+    if not cap.isOpened():
+        raise IOError(f"cannot open video: {video_path}")
+    vlen = int(cap.get(cv2.CAP_PROP_FRAME_COUNT))
+    fps = float(cap.get(cv2.CAP_PROP_FPS)) or 30.0
+    cap.release()
+    return vlen, fps
+
+
+def read_frames(video_path: str, num_frames: int = 8, sample: str = "rand",
+                fix_start: Optional[int] = None, max_num_frames: int = -1,
+                start_time: Optional[float] = None,
+                end_time: Optional[float] = None,
+                width: int = 0, height: int = 0,
+                rng: Optional[np.random.Generator] = None) -> np.ndarray:
+    """Decode ``num_frames`` sampled frames -> (T, H, W, C) uint8 RGB."""
+    use_native = native_decode.available()
+    if use_native:
+        reader = native_decode.NativeVideoReader(video_path)
+        vlen = len(reader)
+        fps = reader.fps or 30.0
+    else:
+        vlen, fps = _probe_cv2(video_path)
+    if vlen <= 0:
+        vlen = 1
+
+    if start_time is not None and end_time is not None:
+        indices = get_frame_indices_start_end(
+            num_frames, vlen, fps, start_time, end_time, rng=rng)
+    else:
+        indices = get_frame_indices(
+            num_frames, vlen, sample=sample, fix_start=fix_start,
+            input_fps=fps, max_num_frames=max_num_frames, rng=rng)
+
+    if use_native:
+        try:
+            return reader.get_batch(indices, width=width, height=height)
+        finally:
+            reader.close()
+    return _read_cv2(video_path, indices, width=width, height=height)
