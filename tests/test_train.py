@@ -1,0 +1,149 @@
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from youku_mplug_tpu.optim.factory import (
+    OptimizerConfig,
+    cosine_schedule,
+    decay_mask,
+    freeze_mask,
+    lr_scale_tree,
+    merge_params,
+    partition_params,
+)
+from youku_mplug_tpu.train.state import create_train_state
+from youku_mplug_tpu.train.trainer import make_train_step
+
+
+def _toy_params():
+    return {
+        "visual_encoder": {
+            "pos_embed": jnp.ones((1, 5, 4)),
+            "blocks_0": {"attn": {"qkv_kernel": jnp.ones((4, 4)),
+                                  "proj_bias": jnp.ones((4,))},
+                         "temporal_fc_kernel": jnp.ones((4, 4))},
+        },
+        "text_decoder": {"word_embeddings": {"embedding": jnp.ones((7, 4))}},
+        "visual_fc": {"kernel": jnp.ones((4, 4)), "bias": jnp.ones((4,))},
+    }
+
+
+def test_masks():
+    p = _toy_params()
+    d = decay_mask(p)
+    assert d["visual_encoder"]["pos_embed"] is False  # no_weight_decay set
+    assert d["visual_encoder"]["blocks_0"]["attn"]["qkv_kernel"] is True
+    assert d["visual_fc"]["bias"] is False  # 1-D
+
+    f = freeze_mask(p, freeze_text_decoder=True, freeze_vit=True)
+    assert f["text_decoder"]["word_embeddings"]["embedding"] is True
+    assert f["visual_encoder"]["blocks_0"]["attn"]["qkv_kernel"] is True
+    # temporal params stay trainable under freeze_vit
+    assert f["visual_encoder"]["blocks_0"]["temporal_fc_kernel"] is False
+    assert f["visual_fc"]["kernel"] is False
+
+    s = lr_scale_tree(p, visual_backbone_scale=True)
+    assert s["visual_encoder"]["blocks_0"]["attn"]["qkv_kernel"] == 0.1
+    assert s["visual_encoder"]["blocks_0"]["temporal_fc_kernel"] == 1.0
+    assert s["visual_fc"]["kernel"] == 1.0
+
+
+def test_partition_merge_roundtrip():
+    p = _toy_params()
+    f = freeze_mask(p, True, False)
+    train, frozen = partition_params(p, f)
+    assert "text_decoder" in frozen and "text_decoder" not in train
+    merged = merge_params(train, frozen)
+    assert jax.tree.structure(merged) == jax.tree.structure(p)
+
+
+def test_cosine_schedule_matches_reference_array():
+    import math
+
+    base, final, epochs, nip, warm = 1e-3, 1e-5, 4, 10, 5
+    fn = cosine_schedule(base, final, epochs, nip, warmup_steps=warm)
+    # reference formula (utils.py:350-372)
+    warmup = np.linspace(0, base, warm)
+    iters = np.arange(epochs * nip - warm)
+    ref = np.concatenate([warmup, [
+        final + 0.5 * (base - final) * (1 + math.cos(math.pi * i /
+                                                     len(iters)))
+        for i in iters]])
+    got = np.asarray([float(fn(i)) for i in range(epochs * nip)])
+    np.testing.assert_allclose(got, ref, rtol=1e-5, atol=1e-9)
+
+
+def test_train_step_decreases_loss_and_freezes():
+    params = _toy_params()
+    cfg = OptimizerConfig(lr=0.05, min_lr=0.05, weight_decay=0.0,
+                          clip_grad=1.0, epochs=1, niter_per_ep=100,
+                          warmup_steps=0, freeze_text_decoder=True)
+    state, tx, _ = create_train_state(params, cfg)
+
+    target = jnp.full((4, 4), 0.5)
+
+    def loss_fn(p, batch, rng, step):
+        pred = batch["x"] @ p["visual_fc"]["kernel"] + \
+            p["visual_fc"]["bias"]
+        # touch a frozen param so grads *would* flow if not partitioned
+        pred = pred + 0.0 * p["text_decoder"]["word_embeddings"][
+            "embedding"].sum()
+        return {"loss": jnp.mean((pred - batch["y"]) ** 2)}
+
+    step_fn = jax.jit(make_train_step(loss_fn, tx))
+    batch = {"x": jnp.eye(4), "y": target}
+    rng = jax.random.key(0)
+    losses = []
+    for _ in range(20):
+        state, metrics = step_fn(state, batch, rng)
+        losses.append(float(metrics["loss"]))
+    assert losses[-1] < losses[0] * 0.5
+    # frozen decoder params untouched
+    np.testing.assert_array_equal(
+        np.asarray(state.frozen["text_decoder"]["word_embeddings"]
+                   ["embedding"]), np.ones((7, 4)))
+    assert int(state.step) == 20
+
+
+def test_train_step_skips_nonfinite():
+    params = {"w": jnp.ones((2,))}
+    cfg = OptimizerConfig(lr=0.1, weight_decay=0.0, clip_grad=None,
+                          epochs=1, niter_per_ep=10, warmup_steps=0,
+                          freeze_text_decoder=False)
+    state, tx, _ = create_train_state(params, cfg)
+
+    def loss_fn(p, batch, rng, step):
+        return {"loss": jnp.sum(p["w"]) * batch["scale"]}
+
+    step_fn = jax.jit(make_train_step(loss_fn, tx))
+    state1, m1 = step_fn(state, {"scale": jnp.float32(jnp.nan)},
+                         jax.random.key(0))
+    assert float(m1["skipped_nonfinite"]) == 1.0
+    np.testing.assert_array_equal(np.asarray(state1.trainable["w"]),
+                                  np.ones(2))
+
+    state2, m2 = step_fn(state1, {"scale": jnp.float32(1.0)},
+                         jax.random.key(0))
+    assert float(m2["skipped_nonfinite"]) == 0.0
+    assert not np.allclose(np.asarray(state2.trainable["w"]), np.ones(2))
+
+
+def test_checkpoint_roundtrip(tmp_path):
+    from youku_mplug_tpu.train.checkpoint import CheckpointManager
+
+    params = {"w": jnp.arange(4.0), "nested": {"b": jnp.ones((2, 2))}}
+    mngr = CheckpointManager(str(tmp_path / "ckpt"), keep=3)
+    for step in (1, 2, 3, 4):
+        mngr.save(step, jax.tree.map(lambda x: x * step, params),
+                  metadata={"epoch": step})
+    assert mngr.all_steps() == [2, 3, 4]  # keep=3
+    assert mngr.latest_step() == 4
+    assert mngr.rollback_step() == 3
+    restored = mngr.restore(3, params)
+    np.testing.assert_allclose(np.asarray(restored["w"]),
+                               np.arange(4.0) * 3)
+    meta = mngr.restore_metadata(4)
+    assert meta == {"epoch": 4}
+    mngr.close()

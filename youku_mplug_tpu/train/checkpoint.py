@@ -1,0 +1,77 @@
+"""Checkpointing: one logical sharded checkpoint via orbax.
+
+Replaces the reference's per-TP-rank ``mp_rank_XX_model_states.pt`` files
+and resharding logic (reference: utils.py:375-480 save/auto-resume;
+modeling_distributed_gpt3.py:1491-1518 TP shard load/save): GSPMD owns the
+layout, so save/restore is a single logical pytree regardless of mesh
+shape, and "resharding" is just restoring under a different sharding.
+
+Keeps the reference's retention policy: rolling iteration checkpoints
+(keep last N, default 10 — utils.py:375-390) plus epoch checkpoints.
+Auto-resume scans for the latest step; the NaN watchdog restores the
+SECOND-latest (utils.py:393-404).
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Any, Optional
+
+import jax
+import orbax.checkpoint as ocp
+
+
+class CheckpointManager:
+    def __init__(self, directory: str, keep: int = 10):
+        self.directory = os.path.abspath(directory)
+        os.makedirs(self.directory, exist_ok=True)
+        self._mngr = ocp.CheckpointManager(
+            self.directory,
+            options=ocp.CheckpointManagerOptions(
+                max_to_keep=keep, create=True, enable_async_checkpointing=False),
+        )
+
+    def save(self, step: int, state: Any, metadata: Optional[dict] = None,
+             wait: bool = True):
+        args = ocp.args.Composite(
+            state=ocp.args.StandardSave(state),
+            **({"metadata": ocp.args.JsonSave(metadata)}
+               if metadata is not None else {}))
+        self._mngr.save(int(step), args=args)
+        if wait:
+            self._mngr.wait_until_finished()
+
+    def all_steps(self):
+        return sorted(self._mngr.all_steps())
+
+    def latest_step(self) -> Optional[int]:
+        steps = self.all_steps()
+        return steps[-1] if steps else None
+
+    def rollback_step(self) -> Optional[int]:
+        """Second-latest step (NaN-rollback target, utils.py:393-404)."""
+        steps = self.all_steps()
+        if len(steps) >= 2:
+            return steps[-2]
+        return steps[-1] if steps else None
+
+    def restore(self, step: int, template: Any):
+        """Restore into the shapes/shardings of ``template`` (an abstract
+        or concrete pytree)."""
+        abstract = jax.tree.map(ocp.utils.to_shape_dtype_struct, template)
+        restored = self._mngr.restore(
+            int(step),
+            args=ocp.args.Composite(state=ocp.args.StandardRestore(abstract)))
+        return restored["state"]
+
+    def restore_metadata(self, step: int) -> Optional[dict]:
+        try:
+            out = self._mngr.restore(
+                int(step),
+                args=ocp.args.Composite(metadata=ocp.args.JsonRestore()))
+            return out["metadata"]
+        except Exception:
+            return None
+
+    def close(self):
+        self._mngr.close()
