@@ -91,6 +91,15 @@ def load_reference_module(relpath: str, name: str):
     _stub_modules()
     spec = importlib.util.spec_from_file_location(name, path)
     mod = importlib.util.module_from_spec(spec)
+    # some reference eval files are python2; patch the handful of py2-isms
+    # so they run as oracles (source is never shipped, only executed here)
+    src = open(path).read()
+    for old, new in (("iteritems()", "items()"),
+                     ("itervalues()", "values()"),
+                     ("iterkeys()", "keys()")):
+        src = src.replace(old, new)
+    mod.xrange = range
     sys.modules[name] = mod
-    spec.loader.exec_module(mod)
+    code = compile(src, path, "exec")
+    exec(code, mod.__dict__)
     return mod
