@@ -1,0 +1,102 @@
+"""End-to-end smoke for the downstream runners (synthetic data, tiny
+models, 8-device CPU mesh): train 2 steps + evaluate, per task."""
+
+import json
+import os
+
+import numpy as np
+import pytest
+import yaml
+
+TINY_TEXT = {
+    "vocab_size": 128, "hidden_size": 32, "num_hidden_layers": 2,
+    "num_attention_heads": 4, "max_position_embeddings": 128,
+    "hidden_dropout_prob": 0.0, "attention_probs_dropout_prob": 0.0,
+    "layernorm_epsilon": 1e-5,
+}
+TINY_VISION = {
+    "img_size": 32, "patch_size": 16, "embed_dim": 32, "depth": 1,
+    "num_heads": 2, "num_frames": 2, "mlp_ratio": 2,
+}
+
+
+def write_cfg(d, name, **extra):
+    json.dump(TINY_TEXT, open(d / "text.json", "w"))
+    json.dump(TINY_VISION, open(d / "vision.json", "w"))
+    cfg = {
+        "text_cfg": str(d / "text.json"),
+        "visual_cfg": str(d / "vision.json"),
+        "mesh": {"data": 4, "model": 2},
+        "batch_size": 4,
+        "num_workers": 2,
+        "max_length": 16,
+        "num_frames": 2,
+        "image_res": 32,
+        "num_learnable_token": 4,
+        "embed_dim": 8,
+        "freeze_text_decoder": True,
+        "synthetic_length": 8,
+        "optimizer": {"lr": 1e-3, "opt": "AdamW", "weight_decay": 0.01,
+                      "clip_grad": 3.0},
+        "schedular": {"epochs": 1, "min_lr": 1e-5, "warmup_steps": 1,
+                      "lr_sched_type": "cosine"},
+    }
+    cfg.update(extra)
+    path = d / f"{name}.yaml"
+    yaml.safe_dump(cfg, open(path, "w"))
+    return str(path)
+
+
+def _args(common, cfg_path, out, extra=()):
+    return common.base_parser("t").parse_args([
+        "--config", cfg_path, "--output_dir", out, "--fp32",
+        "--synthetic_data", "--max_steps", "2", "--seed", "0", *extra])
+
+
+def test_cls_runner(tmp_path):
+    from youku_mplug_tpu.cli import common, run_cls
+
+    cfg = write_cfg(tmp_path, "cls", use_cls=True, num_classes=3)
+    runner = run_cls.main(_args(common, cfg, str(tmp_path / "out")))
+    log = [json.loads(l) for l in open(tmp_path / "out" / "log.txt")]
+    assert "val_gen_top1_accuracy" in log[0]
+    assert np.isfinite(log[0]["loss"])
+    assert "test" in log[-1]
+    assert 0 <= log[-1]["test"]["gen_top1_accuracy"] <= 100
+
+
+def test_caption_runner(tmp_path):
+    from youku_mplug_tpu.cli import common, run_caption
+
+    cfg = write_cfg(tmp_path, "cap", prompt="", max_new_tokens=4,
+                    beam_size=2)
+    runner = run_caption.main(_args(common, cfg, str(tmp_path / "out")))
+    log = [json.loads(l) for l in open(tmp_path / "out" / "log.txt")]
+    assert np.isfinite(log[0]["loss"])
+    assert "CIDEr" in log[-1]["test"]
+    results = json.load(open(tmp_path / "out" / "caption_results.json"))
+    assert len(results) > 0
+    assert "pred_caption" in results[0]
+
+
+def test_retrieval_runner(tmp_path):
+    from youku_mplug_tpu.cli import common, run_retrieval
+
+    cfg = write_cfg(tmp_path, "ret")
+    runner = run_retrieval.main(_args(common, cfg, str(tmp_path / "out")))
+    log = [json.loads(l) for l in open(tmp_path / "out" / "log.txt")]
+    assert np.isfinite(log[0]["loss"])
+    assert "r_mean" in log[-1]["test"]
+
+
+def test_retrieval_itm_runner(tmp_path):
+    from youku_mplug_tpu.cli import common, run_retrieval_itm
+
+    cfg = write_cfg(tmp_path, "itm", use_cls=True, num_classes=2,
+                    eval_video_batch=4)
+    runner = run_retrieval_itm.main(
+        _args(common, cfg, str(tmp_path / "out")))
+    log = [json.loads(l) for l in open(tmp_path / "out" / "log.txt")]
+    assert np.isfinite(log[0]["loss"])
+    assert "gen_r_mean" in log[-1]["test"]
+    assert "cls_r_mean" in log[-1]["test"]

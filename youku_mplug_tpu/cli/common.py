@@ -1,0 +1,218 @@
+"""Shared runner infrastructure: setup, epoch loop, watchdog, checkpoints.
+
+The TPU-native counterpart of the reference's per-runner main()/
+train_one_epoch() boilerplate (reference: run_pretrain_distributed_gpt3.py:
+56-350 and the downstream/ runners): one mesh + sharded params + jitted
+step instead of torch.distributed.launch + DeepSpeed engine.
+"""
+
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import json
+import os
+import time
+from typing import Any, Callable, Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from youku_mplug_tpu.config import RunConfig, dump_config, load_config
+from youku_mplug_tpu.models.tasks import MPLUGVideo
+from youku_mplug_tpu.models.tokenizer import (
+    BatchTokenizer,
+    JiebaBPETokenizer,
+    ToyTokenizer,
+)
+from youku_mplug_tpu.optim.factory import merge_params
+from youku_mplug_tpu.parallel.sharding import (
+    GPT3_SHARDING_RULES,
+    data_sharding,
+    shard_params,
+)
+from youku_mplug_tpu.runtime.mesh import make_mesh
+from youku_mplug_tpu.runtime.precision import DEFAULT_POLICY, FP32_POLICY
+from youku_mplug_tpu.train.checkpoint import CheckpointManager
+from youku_mplug_tpu.train.metrics import MetricLogger, TensorboardLogger
+from youku_mplug_tpu.train.state import TrainState, create_train_state
+from youku_mplug_tpu.train.trainer import make_train_step
+
+
+def base_parser(description: str) -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(description=description)
+    p.add_argument("--config", required=True)
+    p.add_argument("--output_dir", default="./output")
+    p.add_argument("--resume", default="", help="checkpoint dir to resume")
+    p.add_argument("--evaluate_only", action="store_true")
+    p.add_argument("--seed", type=int, default=42)
+    p.add_argument("--bf16", action="store_true", default=True)
+    p.add_argument("--fp32", action="store_true",
+                   help="full fp32 (CPU tests)")
+    p.add_argument("--max_steps", type=int, default=-1,
+                   help="cap steps per epoch (smoke tests)")
+    p.add_argument("--synthetic_data", action="store_true",
+                   help="procedural videos instead of files")
+    p.add_argument("--save_ckpt_freq", type=int, default=1)
+    p.add_argument("--auto_resume_iter", action="store_true", default=True)
+    p.add_argument("--log_freq", type=int, default=10)
+    return p
+
+
+@dataclasses.dataclass
+class Runner:
+    args: Any
+    cfg: RunConfig
+    mesh: Any
+    model: MPLUGVideo
+    tokenizer: BatchTokenizer
+    state: TrainState
+    tx: Any
+    schedule: Callable
+    ckpt: CheckpointManager
+    tb: TensorboardLogger
+    start_epoch: int = 0
+
+    @property
+    def params(self):
+        return merge_params(self.state.trainable, self.state.frozen)
+
+
+def build_tokenizer(cfg: RunConfig) -> BatchTokenizer:
+    model_dir = cfg.get("text_decoder", "")
+    tok_json = os.path.join(model_dir or "", "tokenizer.json")
+    if model_dir and os.path.exists(tok_json):
+        tok = JiebaBPETokenizer(tok_json)
+    else:
+        tok = ToyTokenizer(vocab_size=cfg.model.text.vocab_size)
+    return BatchTokenizer(tok, max_length=cfg.max_length)
+
+
+def setup(args, niter_per_ep: int = 1000) -> Runner:
+    cfg = load_config(args.config)
+    cfg.optimizer = dataclasses.replace(cfg.optimizer,
+                                        niter_per_ep=max(niter_per_ep, 1))
+    policy = FP32_POLICY if getattr(args, "fp32", False) else DEFAULT_POLICY
+    mesh = make_mesh(cfg.mesh)
+    model = MPLUGVideo(cfg.model, policy=policy)
+    tokenizer = build_tokenizer(cfg)
+
+    rng = jax.random.key(args.seed)
+    v = cfg.model.vision
+    dummy_video = jnp.zeros((2, 3, cfg.num_frames, v.img_size, v.img_size),
+                            jnp.float32)
+    dummy_ids = jnp.zeros((2, cfg.max_length), jnp.int32)
+    dummy_mask = jnp.ones((2, cfg.max_length), jnp.int32)
+    with jax.set_mesh(mesh):
+        params = model.init(rng, dummy_video, dummy_ids, dummy_mask,
+                            method=MPLUGVideo.full_init)["params"]
+        params = shard_params(params, mesh, GPT3_SHARDING_RULES)
+
+        # torch checkpoint import (ModelScope GPT-3 / timm / CLIP weights)
+        importer_src = cfg.get("import_torch_weights")
+        if importer_src:
+            from youku_mplug_tpu.models.importers import import_all
+
+            params = import_all(params, cfg, importer_src)
+            params = shard_params(params, mesh, GPT3_SHARDING_RULES)
+
+        state, tx, schedule = create_train_state(params, cfg.optimizer)
+
+    is_main = jax.process_index() == 0
+    os.makedirs(args.output_dir, exist_ok=True)
+    if is_main:
+        dump_config(cfg, args.output_dir)
+    ckpt = CheckpointManager(os.path.join(args.output_dir, "checkpoints"))
+    tb = TensorboardLogger(os.path.join(args.output_dir, "tb"),
+                           enabled=is_main)
+
+    start_epoch = 0
+    resume_dir = args.resume or (
+        args.output_dir if ckpt.latest_step() is not None else "")
+    if resume_dir and ckpt.latest_step() is not None:
+        step = ckpt.latest_step()
+        with jax.set_mesh(mesh):
+            state = ckpt.restore(step, state)
+        meta = ckpt.restore_metadata(step) or {}
+        start_epoch = int(meta.get("epoch", 0))
+        print(f"resumed from step {step} (epoch {start_epoch})", flush=True)
+
+    return Runner(args=args, cfg=cfg, mesh=mesh, model=model,
+                  tokenizer=tokenizer, state=state, tx=tx,
+                  schedule=schedule, ckpt=ckpt, tb=tb,
+                  start_epoch=start_epoch)
+
+
+def put_batch(mesh, batch: Dict[str, Any]) -> Dict[str, Any]:
+    """device_put array fields with batch sharding over the data axis."""
+    out = {}
+    for k, v in batch.items():
+        if isinstance(v, np.ndarray) and v.dtype != object:
+            out[k] = jax.device_put(v, data_sharding(mesh))
+        else:
+            out[k] = v
+    return out
+
+
+def train_one_epoch(runner: Runner, loader, make_batch: Callable,
+                    train_step, epoch: int, rng) -> Dict[str, float]:
+    """Generic epoch loop: tokenize on host, shard to device, step, log,
+    rolling iteration checkpoints + NaN-rollback watchdog (reference
+    run_pretrain:56-197)."""
+    args = runner.args
+    logger = MetricLogger()
+    nan_streak = 0
+    t_step = time.time()
+    for it, raw in enumerate(logger.log_every(
+            loader, args.log_freq, f"Epoch [{epoch}]")):
+        if args.max_steps > 0 and it >= args.max_steps:
+            break
+        batch = make_batch(runner, raw)
+        batch = put_batch(runner.mesh, batch)
+        step_rng = jax.random.fold_in(rng, int(runner.state.step))
+        with jax.set_mesh(runner.mesh):
+            runner.state, metrics = train_step(runner.state, batch,
+                                               step_rng)
+        metrics = {k: float(v) for k, v in metrics.items()}
+        lr = float(runner.schedule(int(runner.state.step)))
+        logger.update(lr=lr, **metrics)
+
+        if metrics.get("skipped_nonfinite", 0) > 0:
+            nan_streak += 1
+            print(f"===== non-finite loss at step "
+                  f"{int(runner.state.step)} (streak {nan_streak}) =====",
+                  flush=True)
+            if nan_streak >= 3 and args.auto_resume_iter:
+                target = runner.ckpt.rollback_step()
+                if target is not None:
+                    print(f"rolling back to checkpoint step {target}",
+                          flush=True)
+                    with jax.set_mesh(runner.mesh):
+                        runner.state = runner.ckpt.restore(
+                            target, runner.state)
+                    nan_streak = 0
+        else:
+            nan_streak = 0
+
+        runner.tb.set_step(int(runner.state.step))
+        runner.tb.update(head="loss", **{
+            k: v for k, v in metrics.items() if "loss" in k})
+        runner.tb.update(head="opt", lr=lr,
+                         grad_norm=metrics.get("grad_norm"))
+        runner.tb.update(head="time", step=None,
+                         step_time=time.time() - t_step)
+        t_step = time.time()
+    return {k: m.global_avg for k, m in logger.meters.items()}
+
+
+def save_epoch(runner: Runner, epoch: int):
+    if (epoch + 1) % max(runner.args.save_ckpt_freq, 1) == 0:
+        runner.ckpt.save(int(runner.state.step), runner.state,
+                         metadata={"epoch": epoch + 1})
+
+
+def write_log(args, entry: dict):
+    if jax.process_index() == 0:
+        with open(os.path.join(args.output_dir, "log.txt"), "a") as f:
+            f.write(json.dumps(entry, ensure_ascii=False) + "\n")
