@@ -264,8 +264,10 @@ class GPT3Decoder(nn.Module):
 
         layer = GPT3Layer
         if cfg.remat:
+            # __call__(self, x, cache, cache_len, valid_from, deterministic)
+            # -> deterministic is static arg index 5 (self counts as 0)
             layer = nn.remat(
-                layer, static_argnums=(3,),
+                layer, static_argnums=(5,),
                 policy=jax.checkpoint_policies.nothing_saveable)
 
         if cfg.scan_layers:

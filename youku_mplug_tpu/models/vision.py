@@ -40,6 +40,7 @@ from typing import Any, Optional
 import flax.linen as nn
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from youku_mplug_tpu.ops.attention import dot_product_attention
 from youku_mplug_tpu.ops.layernorm import layer_norm
@@ -322,9 +323,8 @@ class TimeSformer(nn.Module):
             cls, x = joint[:, 0], joint[:, 1:]
 
         x = x.reshape(b, t, n_p, d)
-        dpr = [float(r) for r in
-               jnp.linspace(0, cfg.drop_path, cfg.depth)] if cfg.depth > 1 \
-            else [0.0]
+        dpr = (np.linspace(0, cfg.drop_path, cfg.depth).tolist()
+               if cfg.depth > 1 else [0.0])
         block_cls = SpaceTimeBlock
         if cfg.grad_ckpt:
             block_cls = nn.remat(SpaceTimeBlock, static_argnums=(3,))
@@ -392,9 +392,8 @@ class VisionTransformer(nn.Module):
             x = x + pos_embed.astype(x.dtype)
         if cfg.clip_model:
             x = LayerNormFP32(d, cfg.ln_eps, name="norm_pre")(x)
-        dpr = [float(r) for r in
-               jnp.linspace(0, cfg.drop_path, cfg.depth)] if cfg.depth > 1 \
-            else [0.0]
+        dpr = (np.linspace(0, cfg.drop_path, cfg.depth).tolist()
+               if cfg.depth > 1 else [0.0])
         block_cls = PlainBlock
         if cfg.grad_ckpt:
             block_cls = nn.remat(PlainBlock, static_argnums=(2,))

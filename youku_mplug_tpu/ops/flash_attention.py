@@ -94,7 +94,7 @@ def _fwd_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref, *, scale, causal,
 
     l = jnp.maximum(l, 1e-30)
     o_ref[0, 0] = (acc / l).astype(o_ref.dtype)
-    lse_ref[0, 0] = (m + jnp.log(l))[:, 0]
+    lse_ref[0, 0] = m + jnp.log(l)  # [bq, 1]
 
 
 def _fwd(q, k, v, *, scale, causal, kv_len, block_q, block_k):
@@ -113,11 +113,11 @@ def _fwd(q, k, v, *, scale, causal, kv_len, block_q, block_k):
         ],
         out_specs=[
             pl.BlockSpec((1, 1, block_q, d), lambda b_, h_, i: (b_, h_, i, 0)),
-            pl.BlockSpec((1, 1, block_q), lambda b_, h_, i: (b_, h_, i)),
+            pl.BlockSpec((1, 1, block_q, 1), lambda b_, h_, i: (b_, h_, i, 0)),
         ],
         out_shape=[
             jax.ShapeDtypeStruct((b, h, sq, d), q.dtype),
-            jax.ShapeDtypeStruct((b, h, sq), jnp.float32),
+            jax.ShapeDtypeStruct((b, h, sq, 1), jnp.float32),
         ],
         cost_estimate=pl.CostEstimate(
             flops=int(4 * b * h * sq * sk * d * (0.5 if causal else 1.0)),
@@ -144,8 +144,8 @@ def _bwd_dq_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref, dq_ref,
 
     q = q_ref[0, 0].astype(jnp.float32)
     do = do_ref[0, 0].astype(jnp.float32)
-    lse = lse_ref[0, 0][:, None]      # [bq, 1]
-    delta = delta_ref[0, 0][:, None]  # [bq, 1]
+    lse = lse_ref[0, 0]      # [bq, 1]
+    delta = delta_ref[0, 0]  # [bq, 1]
 
     if causal:
         hi = jax.lax.div((i + 1) * bq + block_k - 1, block_k)
@@ -201,8 +201,8 @@ def _bwd_dkv_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
         dk, dv = carry
         q = q_ref[0, 0, pl.ds(i * block_q, block_q), :].astype(jnp.float32)
         do = do_ref[0, 0, pl.ds(i * block_q, block_q), :].astype(jnp.float32)
-        lse = lse_ref[0, 0, pl.ds(i * block_q, block_q)][:, None]
-        delta = delta_ref[0, 0, pl.ds(i * block_q, block_q)][:, None]
+        lse = lse_ref[0, 0, pl.ds(i * block_q, block_q), :]
+        delta = delta_ref[0, 0, pl.ds(i * block_q, block_q), :]
         s = jax.lax.dot_general(
             q, k, (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32) * scale  # [bq, bk]
@@ -239,7 +239,8 @@ def _bwd(scale, causal, kv_len, block_q, block_k, res, g):
     sk = k.shape[2]
     do = g
     delta = jnp.sum(
-        do.astype(jnp.float32) * out.astype(jnp.float32), axis=-1)  # [B,H,Sq]
+        do.astype(jnp.float32) * out.astype(jnp.float32), axis=-1,
+        keepdims=True)  # [B,H,Sq,1]
 
     dq = pl.pallas_call(
         functools.partial(
@@ -251,8 +252,8 @@ def _bwd(scale, causal, kv_len, block_q, block_k, res, g):
             pl.BlockSpec((1, 1, sk, d), lambda b_, h_, i: (b_, h_, 0, 0)),
             pl.BlockSpec((1, 1, sk, d), lambda b_, h_, i: (b_, h_, 0, 0)),
             pl.BlockSpec((1, 1, block_q, d), lambda b_, h_, i: (b_, h_, i, 0)),
-            pl.BlockSpec((1, 1, block_q), lambda b_, h_, i: (b_, h_, i)),
-            pl.BlockSpec((1, 1, block_q), lambda b_, h_, i: (b_, h_, i)),
+            pl.BlockSpec((1, 1, block_q, 1), lambda b_, h_, i: (b_, h_, i, 0)),
+            pl.BlockSpec((1, 1, block_q, 1), lambda b_, h_, i: (b_, h_, i, 0)),
         ],
         out_specs=pl.BlockSpec(
             (1, 1, block_q, d), lambda b_, h_, i: (b_, h_, i, 0)),
@@ -269,8 +270,8 @@ def _bwd(scale, causal, kv_len, block_q, block_k, res, g):
             pl.BlockSpec((1, 1, block_k, d), lambda b_, h_, j: (b_, h_, j, 0)),
             pl.BlockSpec((1, 1, block_k, d), lambda b_, h_, j: (b_, h_, j, 0)),
             pl.BlockSpec((1, 1, sq, d), lambda b_, h_, j: (b_, h_, 0, 0)),
-            pl.BlockSpec((1, 1, sq), lambda b_, h_, j: (b_, h_, 0)),
-            pl.BlockSpec((1, 1, sq), lambda b_, h_, j: (b_, h_, 0)),
+            pl.BlockSpec((1, 1, sq, 1), lambda b_, h_, j: (b_, h_, 0, 0)),
+            pl.BlockSpec((1, 1, sq, 1), lambda b_, h_, j: (b_, h_, 0, 0)),
         ],
         out_specs=[
             pl.BlockSpec((1, 1, block_k, d), lambda b_, h_, j: (b_, h_, j, 0)),
