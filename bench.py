@@ -62,6 +62,9 @@ def model_flops_per_step(batch, text_cfg, vision_cfg, n_query, seq_text):
 
 
 def main():
+    from youku_mplug_tpu.runtime.cache import enable_compilation_cache
+
+    enable_compilation_cache()
     batch = int(os.environ.get("BENCH_BATCH", "16"))
     steps = int(os.environ.get("BENCH_STEPS", "10"))
     seq_text = 80

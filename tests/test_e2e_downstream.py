@@ -9,7 +9,7 @@ import pytest
 import yaml
 
 TINY_TEXT = {
-    "vocab_size": 128, "hidden_size": 32, "num_hidden_layers": 2,
+    "vocab_size": 128, "hidden_size": 32, "num_hidden_layers": 1,
     "num_attention_heads": 4, "max_position_embeddings": 128,
     "hidden_dropout_prob": 0.0, "attention_probs_dropout_prob": 0.0,
     "layernorm_epsilon": 1e-5,
@@ -29,7 +29,7 @@ def write_cfg(d, name, **extra):
         "mesh": {"data": 4, "model": 2},
         "batch_size": 4,
         "num_workers": 2,
-        "max_length": 16,
+        "max_length": 12,
         "num_frames": 2,
         "image_res": 32,
         "num_learnable_token": 4,

@@ -11,7 +11,7 @@ from youku_mplug_tpu.models.generation import (
 from youku_mplug_tpu.models.gpt3 import GPT3Config, GPT3LM
 from youku_mplug_tpu.runtime.precision import FP32_POLICY
 
-V, H, L, N = 61, 32, 2, 4
+V, H, L, N = 37, 16, 1, 2
 CFG = GPT3Config(vocab_size=V, hidden_size=H, num_hidden_layers=L,
                  num_attention_heads=N, max_position_embeddings=128,
                  hidden_dropout=0.0, attention_dropout=0.0)

@@ -57,6 +57,10 @@ def base_parser(description: str) -> argparse.ArgumentParser:
     p.add_argument("--save_ckpt_freq", type=int, default=1)
     p.add_argument("--auto_resume_iter", action="store_true", default=True)
     p.add_argument("--log_freq", type=int, default=10)
+    p.add_argument("--profile_dir", default="",
+                   help="dump a jax.profiler trace of steps 5-10 here "
+                        "(reference: DeepSpeed flops profiler, "
+                        "utils.py:516-522)")
     return p
 
 
@@ -90,6 +94,9 @@ def build_tokenizer(cfg: RunConfig) -> BatchTokenizer:
 
 
 def setup(args, niter_per_ep: int = 1000) -> Runner:
+    from youku_mplug_tpu.runtime.cache import enable_compilation_cache
+
+    enable_compilation_cache()
     cfg = load_config(args.config)
     cfg.optimizer = dataclasses.replace(cfg.optimizer,
                                         niter_per_ep=max(niter_per_ep, 1))
@@ -164,10 +171,18 @@ def train_one_epoch(runner: Runner, loader, make_batch: Callable,
     logger = MetricLogger()
     nan_streak = 0
     t_step = time.time()
+    profiling = False
     for it, raw in enumerate(logger.log_every(
             loader, args.log_freq, f"Epoch [{epoch}]")):
         if args.max_steps > 0 and it >= args.max_steps:
             break
+        if getattr(args, "profile_dir", "") and epoch == runner.start_epoch:
+            if it == 5 and not profiling:
+                jax.profiler.start_trace(args.profile_dir)
+                profiling = True
+            elif it == 10 and profiling:
+                jax.profiler.stop_trace()
+                profiling = False
         batch = make_batch(runner, raw)
         batch = put_batch(runner.mesh, batch)
         step_rng = jax.random.fold_in(rng, int(runner.state.step))

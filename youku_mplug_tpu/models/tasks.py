@@ -124,6 +124,12 @@ class MPLUGVideo(nn.Module):
             self.visual_norm = None
         self.text_decoder = GPT3LM(cfg.text, policy=self.policy,
                                    name="text_decoder")
+        # image-variant encoder (params materialize only if the image
+        # pretrain path is used)
+        from youku_mplug_tpu.models.vision import VisionTransformer
+
+        self.image_encoder = VisionTransformer(
+            cfg.vision, policy=self.policy, name="image_encoder")
         # heads are declared unconditionally; flax only materializes params
         # for modules that are actually called by the task methods in use
         self.vision_proj = nn.Dense(cfg.contrastive_embed_dim,
@@ -246,6 +252,33 @@ class MPLUGVideo(nn.Module):
             "loss_caption": loss_caption,
             "loss_contrastive": loss_contrastive,
         }
+
+    # ------------------------------------------------------------------
+    # image pretrain variant (reference DistributedGPT3_Pretrain_Image:
+    # 230-427 — plain ViT or EVA-ViT-g path)
+    # ------------------------------------------------------------------
+
+    def image_pretrain_loss(self, images, input_ids, attention_mask,
+                            deterministic=True):
+        """Same prefix-LM objective with a plain image ViT encoder; the
+        EVA-ViT-g path is this with VisionConfig(embed_dim=1408, depth=40,
+        mlp_ratio=4.3637)."""
+        _, image_embeds = self.image_encoder(
+            images, deterministic=deterministic)
+        b = image_embeds.shape[0]
+        queries = jnp.broadcast_to(
+            self.learnable_queries,
+            (b,) + self.learnable_queries.shape[1:]).astype(
+                image_embeds.dtype)
+        image_query = self.attn_pool(queries, image_embeds,
+                                     deterministic=deterministic)
+        query_features = self.visual_fc(image_query)
+        if self.visual_norm is not None:
+            query_features = self.visual_norm(query_features)
+        out, _, _ = self._prefix_forward(
+            query_features, input_ids, attention_mask,
+            deterministic=deterministic)
+        return {"loss": out["loss"], "loss_caption": out["loss"]}
 
     # ------------------------------------------------------------------
     # classification (reference DistributedGPT3_Cls.forward:531-654)
