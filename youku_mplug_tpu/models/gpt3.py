@@ -74,6 +74,7 @@ class GPT3Config:
     # engineering knobs (ours, not the reference's)
     scan_layers: bool = True
     remat: bool = False
+    remat_policy: str = "nothing"  # "nothing" | "dots"
     ce_chunk: int = 0
 
     @property
@@ -264,11 +265,12 @@ class GPT3Decoder(nn.Module):
 
         layer = GPT3Layer
         if cfg.remat:
+            policy = (jax.checkpoint_policies.dots_with_no_batch_dims_saveable
+                      if cfg.remat_policy == "dots"
+                      else jax.checkpoint_policies.nothing_saveable)
             # __call__(self, x, cache, cache_len, valid_from, deterministic)
             # -> deterministic is static arg index 5 (self counts as 0)
-            layer = nn.remat(
-                layer, static_argnums=(5,),
-                policy=jax.checkpoint_policies.nothing_saveable)
+            layer = nn.remat(layer, static_argnums=(5,), policy=policy)
 
         if cfg.scan_layers:
             scanned = nn.scan(

@@ -77,8 +77,11 @@ def dot_product_attention(
 ) -> jax.Array:
     """Backend-dispatched attention. q,k,v: [B, H, S, D]."""
     if use_flash is None:
+        import os
+
         use_flash = (
             jax.default_backend() == "tpu"
+            and os.environ.get("YOUKU_DISABLE_FLASH", "0") != "1"
             and bias is None
             and q.shape[2] >= 128  # flash pays off past one query block
         )
