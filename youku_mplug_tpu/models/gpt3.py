@@ -74,7 +74,7 @@ class GPT3Config:
     # engineering knobs (ours, not the reference's)
     scan_layers: bool = True
     remat: bool = False
-    remat_policy: str = "nothing"  # "nothing" | "dots"
+    remat_policy: str = "nothing"  # "nothing" | "dots" | "attn"
     ce_chunk: int = 0
 
     @property
@@ -139,6 +139,10 @@ class GPT3Attention(nn.Module):
         new_cache = None
         if cache is None:
             out = dot_product_attention(q, k, v, causal=True)
+            # named checkpoint: the "attn" remat policy saves this tensor so
+            # backward recompute skips the attention kernel entirely
+            from jax.ad_checkpoint import checkpoint_name
+            out = checkpoint_name(out, "attn_out")
         else:
             # Decode: write this chunk into the static-size cache, attend to
             # everything written so far.  cache k/v: [B, n, M, d].
@@ -265,9 +269,14 @@ class GPT3Decoder(nn.Module):
 
         layer = GPT3Layer
         if cfg.remat:
-            policy = (jax.checkpoint_policies.dots_with_no_batch_dims_saveable
-                      if cfg.remat_policy == "dots"
-                      else jax.checkpoint_policies.nothing_saveable)
+            if cfg.remat_policy == "dots":
+                policy = jax.checkpoint_policies.\
+                    dots_with_no_batch_dims_saveable
+            elif cfg.remat_policy == "attn":
+                policy = jax.checkpoint_policies.save_only_these_names(
+                    "attn_out")
+            else:
+                policy = jax.checkpoint_policies.nothing_saveable
             # __call__(self, x, cache, cache_len, valid_from, deterministic)
             # -> deterministic is static arg index 5 (self counts as 0)
             layer = nn.remat(layer, static_argnums=(5,), policy=policy)
