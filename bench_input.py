@@ -1,0 +1,79 @@
+"""Input-pipeline throughput benchmark (BASELINE target: >=2000
+8-frame 224px clips/s/chip).
+
+Writes N synthetic mp4s, then measures decode+transform throughput through
+the production ShardedLoader (native libav decoder, thread pool).  Prints
+one JSON line:
+    {"metric": "input_clips_per_sec", "value": ..., "unit": "clips/s",
+     "vs_baseline": value/2000}
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import tempfile
+import time
+
+import numpy as np
+
+
+def make_videos(root, n=16, frames=64, w=320, h=240):
+    import cv2
+
+    rng = np.random.default_rng(0)
+    base = rng.integers(0, 255, (h, w, 3), dtype=np.uint8)
+    paths = []
+    for k in range(n):
+        p = os.path.join(root, f"v{k}.mp4")
+        wr = cv2.VideoWriter(p, cv2.VideoWriter_fourcc(*"mp4v"), 30, (w, h))
+        for i in range(frames):
+            wr.write(np.roll(base, i * 3 + k, axis=1))
+        wr.release()
+        paths.append(p)
+    return paths
+
+
+def main():
+    num_workers = int(os.environ.get("BENCH_WORKERS",
+                                     str(os.cpu_count() or 8)))
+    seconds = float(os.environ.get("BENCH_SECONDS", "10"))
+
+    from youku_mplug_tpu.data.datasets import PretrainVideoDataset
+    from youku_mplug_tpu.data.loader import ShardedLoader
+    from youku_mplug_tpu.data.transforms import train_transform
+
+    root = tempfile.mkdtemp(prefix="bench_vids_")
+    make_videos(root)
+    ann = [{"video_id": f"v{k % 16}.mp4", "caption": f"clip {k}"}
+           for k in range(100000)]
+    ann_path = os.path.join(root, "ann.json")
+    json.dump(ann, open(ann_path, "w"))
+
+    ds = PretrainVideoDataset([ann_path], root,
+                              transform=train_transform(224), num_frames=8)
+    loader = ShardedLoader(ds, batch_size=32, num_workers=num_workers,
+                           prefetch=8, process_index=0, process_count=1)
+
+    it = iter(loader)
+    next(it)  # warm up caches/threads
+    t0 = time.time()
+    clips = 0
+    while time.time() - t0 < seconds:
+        batch = next(it)
+        clips += len(batch["video"])
+    dt = time.time() - t0
+    rate = clips / dt
+    print(f"# {clips} clips in {dt:.1f}s with {num_workers} workers "
+          f"({os.cpu_count()} cpus)", file=sys.stderr)
+    print(json.dumps({
+        "metric": "input_clips_per_sec",
+        "value": round(rate, 1),
+        "unit": "clips/s",
+        "vs_baseline": round(rate / 2000.0, 4),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -197,5 +197,69 @@ def test_meta_loader_deterministic():
 
 
 def test_pre_caption():
-    assert pre_caption("Hello, World!!  Nice") == "hello, world nice"
+    # reference semantics: punctuation removed, -/ become spaces
+    assert pre_caption("Hello, World!!  Nice") == "hello world nice"
+    assert pre_caption("semi-final w/e") == "semi final w e"
     assert pre_caption("a b c d", max_words=2) == "a b"
+
+
+def test_qa_dataset(video_dir, tmp_path):
+    import json as _json
+
+    from youku_mplug_tpu.data.datasets import QAVideoDataset
+
+    ann = [{"video_id": "vid0.mp4", "question": "What IS this?!",
+            "answer": "a test"},
+           {"video_id": "vid1.mp4", "question": "color?", "answer": "gray"}]
+    p = str(tmp_path / "qa.jsonl")
+    with open(p, "w") as f:
+        for a in ann:
+            f.write(_json.dumps(a) + "\n")
+
+    ds = QAVideoDataset(p, video_dir, transform=Resize(16), num_frames=2,
+                        split="train")
+    s = ds[0]
+    assert s["question"] == "what is this"  # pre_question cleanup
+    assert s["answers"] == ["a test[SEP]"]
+
+    ds_test = QAVideoDataset(p, video_dir, transform=Resize(16),
+                             num_frames=2, split="test", answer_list=p)
+    s = ds_test[1]
+    assert s["question_id"] == 1
+    assert sorted(ds_test.answer_list) == ["a test", "gray"]
+
+
+def test_length_balanced_loader():
+    from youku_mplug_tpu.data.loader import LengthBalancedLoader
+
+    class LenDataset(SyntheticVideoDataset):
+        def get_item_length(self, i):
+            return i  # lengths 0..N-1
+
+    ds = LenDataset(length=80, num_frames=2, size=8)
+    per_rank_means = []
+    all_seen = []
+    for rank in range(2):
+        loader = LengthBalancedLoader(ds, 4, num_bucket=4, num_workers=1,
+                                      seed=1, process_index=rank,
+                                      process_count=2)
+        idxs = [i for b in loader for i in b["index"]]
+        all_seen += idxs
+        per_rank_means.append(np.mean(idxs))
+    # balanced: both ranks see similar length distributions, no overlap
+    assert abs(per_rank_means[0] - per_rank_means[1]) < 12
+    assert len(all_seen) == len(set(all_seen))
+
+
+def test_vqa_accuracy():
+    from youku_mplug_tpu.evals.vqa import normalize_answer, vqa_accuracy
+
+    assert normalize_answer("A Dog!") == "dog"
+    assert normalize_answer("two") == "2"
+    assert normalize_answer("isnt") == "isn't"
+
+    preds = {0: "dog", 1: "cat"}
+    anns = {0: ["dog"] * 10, 1: ["dog"] * 7 + ["cat"] * 3}
+    acc = vqa_accuracy(preds, anns)
+    assert acc > 50 and acc < 100  # q0 = 100%, q1 partial
+    assert vqa_accuracy({0: "dog"}, {0: ["dog"] * 10}) == 100.0

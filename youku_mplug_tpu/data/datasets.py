@@ -37,8 +37,11 @@ def load_jsonl(path: str) -> List[dict]:
 
 
 def pre_caption(caption: str, max_words: int = 0) -> str:
-    """Caption cleanup (reference dataset/utils.py:3-24)."""
-    caption = re.sub(r"([.!\"()*#:;~])", " ", caption.lower())
+    """Caption cleanup (reference dataset/utils.py:19-40): strip
+    punctuation, dashes/slashes to spaces, collapse whitespace."""
+    caption = re.sub(r"([,.'!?\"()*#:;~])", "", caption.lower())
+    caption = caption.replace("-", " ").replace("/", " ").replace(
+        "<person>", "person")
     caption = re.sub(r"\s{2,}", " ", caption)
     caption = caption.rstrip("\n").strip(" ")
     if max_words > 0:
@@ -317,3 +320,63 @@ class SyntheticVideoDataset:
                 "label": label, "match_id": index, "index": index,
                 "golden": [f"synthetic clip {index}"],
                 "video_id": str(index)}
+
+
+def pre_question(question: str, max_words: int = 0) -> str:
+    """Question cleanup (reference dataset/utils.py:3-16)."""
+    question = re.sub(r"([,.'!?\"()*#:;~])", "", question.lower())
+    question = question.replace("-", " ").replace("/", " ")
+    question = question.rstrip(" ")
+    if max_words > 0:
+        words = question.split(" ")
+        if len(words) > max_words:
+            question = " ".join(words[:max_words])
+    return question
+
+
+class QAVideoDataset(VideoDataset):
+    """Video question answering (reference video_qa_dataset,
+    video_downstream_datasets.py:219-323): train yields
+    (clip, question, answers, weights); test yields
+    (clip, question, question_id) plus an answer candidate list."""
+
+    def __init__(self, ann_file, video_root, transform=None, num_frames=16,
+                 max_ques_words=30, split="train", eos="[SEP]",
+                 answer_list="", seed=0, **kw):
+        ann = _read_annotations(ann_file)
+        super().__init__(ann, video_root, transform, num_frames,
+                         sample="rand" if split == "train" else "middle",
+                         seed=seed, **kw)
+        self.split = split
+        self.eos = eos
+        self.max_ques_words = 50 if split == "test" else max_ques_words
+        self.answer_list = []
+        if split == "test" and answer_list:
+            if answer_list.endswith(".json"):
+                self.answer_list = list(json.load(open(answer_list)).keys())
+            else:
+                self.answer_list = sorted(
+                    {x["answer"] for x in load_jsonl(answer_list)})
+        for idx, a in enumerate(self.ann):
+            a["question_id"] = idx
+
+    def __getitem__(self, index):
+        orig = index
+        for _ in range(len(self)):
+            try:
+                clip = self._load_clip(index)
+                a = self.ann[index]
+                question = pre_question(str(a["question"]),
+                                        self.max_ques_words)
+                if self.split == "train":
+                    return {"video": clip, "question": question,
+                            "answers": [str(a["answer"]) + self.eos],
+                            "weights": [1.0], "index": index}
+                return {"video": clip, "question": question,
+                        "question_id": int(a["question_id"]),
+                        "index": index}
+            except Exception:
+                index = 0 if index == len(self) - 1 else index + 1
+                if index == orig:
+                    break
+        raise IOError("all decode attempts failed")

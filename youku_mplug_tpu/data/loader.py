@@ -157,3 +157,50 @@ class MetaLoader:
         its = [iter(ld) for ld in self.loaders]
         for src in order:
             yield int(src), next(its[src])
+
+
+def length_balanced_shard_indices(lengths, epoch: int, rank: int,
+                                  world: int, num_bucket: int = 20,
+                                  seed: int = 0) -> np.ndarray:
+    """Length-bucketed balanced sharding (reference
+    LengthBalancedDistributedSampler, dataset/utils.py:241-296): sort by
+    length into buckets, shuffle within buckets per epoch, deal rows round-
+    robin so every rank sees a matched length distribution per step."""
+    lengths = np.asarray(lengths)
+    order = np.argsort(lengths, kind="stable")
+    per_bucket = len(order) // num_bucket
+    samples = per_bucket // world
+    total = samples * world * num_bucket
+    g = np.random.default_rng(seed + 810975)
+    keep = np.sort(g.choice(len(order), total, replace=False))
+    order = order[keep]
+
+    g2 = np.random.default_rng(seed + epoch)
+    grid = order.reshape(num_bucket, samples * world).T  # [L, B]
+    grid = grid[g2.permutation(grid.shape[0])]
+    grid = grid.reshape(world, samples, num_bucket)
+    mine = grid[rank].reshape(-1)
+    return mine[g2.permutation(len(mine))]
+
+
+class LengthBalancedLoader(ShardedLoader):
+    """ShardedLoader with length-balanced bucketed sharding; the dataset
+    must expose ``get_item_length(i)``."""
+
+    def __init__(self, dataset, batch_size, *, num_bucket: int = 20, **kw):
+        super().__init__(dataset, batch_size, **kw)
+        self.num_bucket = num_bucket
+        self._lengths = [dataset.get_item_length(i)
+                         for i in range(len(dataset))]
+
+    def _shard_indices(self) -> np.ndarray:
+        return length_balanced_shard_indices(
+            self._lengths, self.epoch, self.rank, self.world,
+            num_bucket=self.num_bucket, seed=self.seed)
+
+    def __len__(self):
+        per_bucket = (len(self.dataset) // self.num_bucket)
+        samples = per_bucket // self.world
+        n = samples * self.num_bucket
+        return n // self.batch_size if self.drop_last else \
+            (n + self.batch_size - 1) // self.batch_size
