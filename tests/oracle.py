@@ -94,9 +94,22 @@ def load_reference_module(relpath: str, name: str):
     # some reference eval files are python2; patch the handful of py2-isms
     # so they run as oracles (source is never shipped, only executed here)
     src = open(path).read()
-    for old, new in (("iteritems()", "items()"),
-                     ("itervalues()", "values()"),
-                     ("iterkeys()", "keys()")):
+    for old, new in (
+        ("iteritems()", "items()"),
+        ("itervalues()", "values()"),
+        ("iterkeys()", "keys()"),
+        # transformers moved these out of modeling_utils
+        ("""from transformers.modeling_utils import (
+    PreTrainedModel,
+    apply_chunking_to_forward,
+    find_pruneable_heads_and_indices,
+    prune_linear_layer,
+)""",
+         "from transformers.modeling_utils import PreTrainedModel\n"
+         "from transformers.pytorch_utils import ("
+         "apply_chunking_to_forward, find_pruneable_heads_and_indices, "
+         "prune_linear_layer)"),
+    ):
         src = src.replace(old, new)
     mod.xrange = range
     sys.modules[name] = mod

@@ -1,0 +1,263 @@
+"""BERT/fusion parity vs the reference's modeling_mplug (torch oracle) and
+mPLUG task-head functional tests."""
+
+import dataclasses
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from youku_mplug_tpu.models.bert import (
+    BertConfig,
+    BertModel,
+    BertPrefixModel,
+    FusionModel,
+)
+from youku_mplug_tpu.runtime.precision import FP32_POLICY
+
+from tests.oracle import load_reference_module
+
+torch = pytest.importorskip("torch")
+
+CFG = BertConfig(vocab_size=120, hidden_size=32, num_hidden_layers=3,
+                 num_attention_heads=4, intermediate_size=64,
+                 max_position_embeddings=64, encoder_width=32,
+                 fusion_layer=2, hidden_dropout_prob=0.0,
+                 attention_probs_dropout_prob=0.0, text_decoder_layers=3)
+
+
+def torch_bert_config(mod, **over):
+    from transformers.models.bert.configuration_bert import (
+        BertConfig as HFConfig,
+    )
+
+    kw = dict(vocab_size=CFG.vocab_size, hidden_size=CFG.hidden_size,
+              num_hidden_layers=CFG.num_hidden_layers,
+              num_attention_heads=CFG.num_attention_heads,
+              intermediate_size=CFG.intermediate_size,
+              max_position_embeddings=CFG.max_position_embeddings,
+              hidden_dropout_prob=0.0, attention_probs_dropout_prob=0.0)
+    kw.update(over)
+    cfg = HFConfig(**kw)
+    cfg.encoder_width = CFG.encoder_width
+    cfg.fusion_layers = CFG.fusion_layer
+    cfg.fusion_layer = CFG.fusion_layer
+    cfg.stride_layer = 100
+    return cfg
+
+
+def port_bert(sd, prefix, n_layers, has_cross=False):
+    """torch (mplug) bert weights -> our flax tree."""
+    def ln(p):
+        return {"scale": sd[p + ".weight"], "bias": sd[p + ".bias"]}
+
+    def dense(p):
+        return {"kernel": sd[p + ".weight"].T, "bias": sd[p + ".bias"]}
+
+    def attn(p):
+        return {
+            "query": dense(p + ".self.query"),
+            "key": dense(p + ".self.key"),
+            "value": dense(p + ".self.value"),
+            "out": dense(p + ".output.dense"),
+            "out_layernorm": ln(p + ".output.LayerNorm"),
+        }
+
+    tree = {
+        "embeddings": {
+            "word_embeddings": {
+                "embedding": sd[prefix + "embeddings.word_embeddings"
+                                ".weight"]},
+            "position_embeddings": {
+                "embedding": sd[prefix + "embeddings.position_embeddings"
+                                ".weight"]},
+            "token_type_embeddings": {
+                "embedding": sd[prefix + "embeddings.token_type_embeddings"
+                                ".weight"]},
+            "layernorm": ln(prefix + "embeddings.LayerNorm"),
+        },
+        "encoder": {},
+    }
+    for i in range(n_layers):
+        lp = prefix + f"encoder.layer.{i}."
+        entry = {
+            "attention": attn(lp + "attention"),
+            "ffn": {
+                "intermediate": dense(lp + "intermediate.dense"),
+                "output": dense(lp + "output.dense"),
+                "output_layernorm": ln(lp + "output.LayerNorm"),
+            },
+        }
+        if has_cross and lp + "crossattention.self.query.weight" in sd:
+            entry["crossattention"] = attn(lp + "crossattention")
+        tree["encoder"][f"layer_{i}"] = entry
+    return jax.tree.map(jnp.asarray, tree)
+
+
+@pytest.fixture(scope="module")
+def ref_mod():
+    return load_reference_module("models/modeling_mplug.py", "ref_mplug")
+
+
+def test_bert_encoder_parity(ref_mod):
+    torch.manual_seed(0)
+    tcfg = torch_bert_config(ref_mod)
+    ref = ref_mod.BertModel(tcfg, add_pooling_layer=False).eval()
+    sd = {k: v.detach().numpy() for k, v in ref.state_dict().items()}
+    params = port_bert(sd, "", CFG.num_hidden_layers)
+
+    rng = np.random.default_rng(0)
+    ids = rng.integers(0, 120, (2, 9))
+    mask = np.ones((2, 9), np.int64)
+    mask[0, 7:] = 0
+    with torch.no_grad():
+        want = ref(torch.tensor(ids), attention_mask=torch.tensor(mask),
+                   return_dict=True).last_hidden_state.numpy()
+    ours = BertModel(CFG, policy=FP32_POLICY)
+    got = ours.apply({"params": params}, jnp.asarray(ids),
+                     jnp.asarray(mask))
+    np.testing.assert_allclose(np.asarray(got), want, rtol=3e-4, atol=3e-4)
+
+
+def test_fusion_parity(ref_mod):
+    torch.manual_seed(1)
+    tcfg = torch_bert_config(ref_mod)
+    ref = ref_mod.FusionModel(tcfg, add_pooling_layer=False).eval()
+    sd = {k: v.detach().numpy() for k, v in ref.state_dict().items()}
+    params = {"fusion_encoder":
+              port_bert(sd, "", CFG.num_hidden_layers, has_cross=True)
+              ["encoder"]}
+
+    rng = np.random.default_rng(2)
+    text = rng.normal(size=(2, 7, 32)).astype(np.float32)
+    image = rng.normal(size=(2, 11, 32)).astype(np.float32)
+    tmask = np.ones((2, 7), np.int64)
+    imask = np.ones((2, 11), np.int64)
+    with torch.no_grad():
+        img_out, txt_out = ref(
+            encoder_embeds=torch.tensor(text),
+            attention_mask=torch.tensor(tmask),
+            encoder_hidden_states=torch.tensor(image),
+            encoder_attention_mask=torch.tensor(imask),
+            return_dict=False)
+    ours = FusionModel(CFG, policy=FP32_POLICY)
+    got_img, got_txt = ours.apply(
+        {"params": params}, jnp.asarray(text), jnp.asarray(tmask),
+        jnp.asarray(image), jnp.asarray(imask))
+    np.testing.assert_allclose(np.asarray(got_txt), txt_out.numpy(),
+                               rtol=3e-4, atol=3e-4)
+    np.testing.assert_allclose(np.asarray(got_img), img_out.numpy(),
+                               rtol=3e-4, atol=3e-4)
+
+
+def test_prefix_decoder_parity(ref_mod):
+    torch.manual_seed(2)
+    tcfg = torch_bert_config(ref_mod, is_decoder=True,
+                             add_cross_attention=True)
+    ref = ref_mod.BertPrefixModel(tcfg).eval()
+    sd = {k: v.detach().numpy() for k, v in ref.state_dict().items()}
+    params = {"bert": port_bert(sd, "bert.", CFG.num_hidden_layers,
+                                has_cross=True),
+              "cls": {
+                  "transform": {
+                      "kernel": jnp.asarray(
+                          sd["cls.predictions.transform.dense.weight"].T),
+                      "bias": jnp.asarray(
+                          sd["cls.predictions.transform.dense.bias"])},
+                  "transform_layernorm": {
+                      "scale": jnp.asarray(
+                          sd["cls.predictions.transform.LayerNorm.weight"]),
+                      "bias": jnp.asarray(
+                          sd["cls.predictions.transform.LayerNorm.bias"])},
+                  "decoder": {"kernel": jnp.asarray(
+                      sd["cls.predictions.decoder.weight"].T)},
+                  "bias": jnp.asarray(sd["cls.predictions.bias"]),
+              }}
+
+    rng = np.random.default_rng(3)
+    ids = rng.integers(0, 120, (2, 6))
+    mask = np.ones((2, 6), np.int64)
+    enc = rng.normal(size=(2, 10, 32)).astype(np.float32)
+    with torch.no_grad():
+        want = ref(input_ids=torch.tensor(ids),
+                   attention_mask=torch.tensor(mask),
+                   encoder_hidden_states=torch.tensor(enc),
+                   encoder_attention_mask=torch.ones(2, 10).long(),
+                   return_dict=True, is_decoder=True).logits.numpy()
+    ours = BertPrefixModel(CFG, policy=FP32_POLICY)
+    got = ours.apply({"params": params}, jnp.asarray(ids),
+                     jnp.asarray(mask),
+                     encoder_hidden_states=jnp.asarray(enc))["logits"]
+    np.testing.assert_allclose(np.asarray(got), want, rtol=3e-4, atol=3e-4)
+
+
+def test_mplug_pretrain_and_heads():
+    from youku_mplug_tpu.models.mplug import (
+        MPLUG,
+        MPLUGConfig,
+        init_momentum_state,
+        mlm_mask_tokens,
+        update_momentum,
+    )
+    from youku_mplug_tpu.models.vision import VisionConfig
+
+    cfg = MPLUGConfig(
+        vision=VisionConfig(img_size=16, patch_size=8, embed_dim=24,
+                            depth=1, num_heads=2, num_frames=2,
+                            mlp_ratio=2.0),
+        bert=dataclasses.replace(CFG, encoder_width=32),
+        embed_dim=8, queue_size=16, num_classes=3)
+    model = MPLUG(cfg, policy=FP32_POLICY)
+    rng = np.random.default_rng(0)
+    video = jnp.asarray(rng.normal(size=(2, 3, 2, 16, 16)), jnp.float32)
+    ids = jnp.asarray(rng.integers(3, 120, (2, 8)), jnp.int32)
+    mask = jnp.ones((2, 8), jnp.int32)
+
+    params = model.init({"params": jax.random.key(0),
+                         "dropout": jax.random.key(1)},
+                        video, ids, mask, method=MPLUG.full_init)["params"]
+
+    # mlm masking
+    mlm_ids, mlm_labels = mlm_mask_tokens(jax.random.key(2), ids, mask, 120)
+    assert mlm_ids.shape == ids.shape
+    assert ((np.asarray(mlm_labels) == -100)
+            | (np.asarray(mlm_labels) == np.asarray(ids))).all()
+
+    # momentum state + full distillation step
+    mstate = init_momentum_state(params, cfg.embed_dim, cfg.queue_size)
+    feats_m = model.apply({"params": mstate.ema_params}, video, ids, mask,
+                          method=MPLUG.momentum_features)
+    out = model.apply({"params": params}, video, ids, mask, mlm_ids,
+                      mlm_labels, feats_m=feats_m,
+                      image_queue=mstate.image_queue,
+                      text_queue=mstate.text_queue, alpha=0.4,
+                      rng=jax.random.key(3),
+                      method=MPLUG.pretrain_loss)
+    for k in ("loss", "loss_ita", "loss_itm", "loss_mlm"):
+        assert np.isfinite(float(out[k])), k
+    mstate2 = update_momentum(mstate, params, out["image_feat"],
+                              out["text_feat"])
+    assert int(mstate2.ptr) == 2
+    assert not np.allclose(np.asarray(mstate2.image_queue[:, :2]),
+                           np.asarray(mstate.image_queue[:, :2]))
+
+    # cls / caption / retrieval / rerank heads
+    cls = model.apply({"params": params}, video, ids, mask,
+                      labels=jnp.asarray([0, 2]), method=MPLUG.cls_forward)
+    assert cls["logits"].shape == (2, 3) and np.isfinite(float(cls["loss"]))
+
+    cap = model.apply({"params": params}, video, ids, mask,
+                      input_ids=ids, attention_mask=mask,
+                      method=MPLUG.caption_loss)
+    assert np.isfinite(float(cap["loss"]))
+
+    ret = model.apply({"params": params}, video, ids, mask,
+                      jnp.asarray([0, 1]), rng=jax.random.key(4),
+                      method=MPLUG.retrieval_loss)
+    assert np.isfinite(float(ret["loss"]))
+
+    score = model.apply({"params": params}, video, ids, mask,
+                        method=MPLUG.itm_rerank_score)
+    assert score.shape == (2,) and (np.asarray(score) <= 1).all()
