@@ -261,3 +261,48 @@ def test_mplug_pretrain_and_heads():
     score = model.apply({"params": params}, video, ids, mask,
                         method=MPLUG.itm_rerank_score)
     assert score.shape == (2,) and (np.asarray(score) <= 1).all()
+
+
+def test_alpro_heads():
+    from youku_mplug_tpu.models.alpro import ALPRO, ALPROConfig
+    from youku_mplug_tpu.models.vision import VisionConfig
+
+    cfg = ALPROConfig(
+        vision=VisionConfig(img_size=16, patch_size=8, embed_dim=24,
+                            depth=1, num_heads=2, num_frames=2,
+                            mlp_ratio=2.0),
+        bert=dataclasses.replace(CFG, encoder_width=32, fusion_layer=2),
+        embed_dim=8, num_classes=3)
+    model = ALPRO(cfg, policy=FP32_POLICY)
+    rng = np.random.default_rng(0)
+    video = jnp.asarray(rng.normal(size=(2, 3, 2, 16, 16)), jnp.float32)
+    ids = jnp.asarray(rng.integers(3, 120, (2, 8)), jnp.int32)
+    mask = jnp.ones((2, 8), jnp.int32)
+
+    params = model.init({"params": jax.random.key(0),
+                         "dropout": jax.random.key(1)},
+                        video, ids, mask, method=ALPRO.full_init)["params"]
+    # one BERT parameter set serves text AND fusion ranges
+    layers = sorted(params["text_encoder"]["encoder"].keys())
+    assert layers == [f"layer_{i}" for i in range(3)]
+
+    mlm_labels = jnp.where(ids >= 0, ids, -100)
+    out = model.apply({"params": params}, video, ids, mask, ids, mlm_labels,
+                      rng=jax.random.key(2), method=ALPRO.pretrain_loss)
+    for k in ("loss", "loss_ita", "loss_itm", "loss_mlm"):
+        assert np.isfinite(float(out[k])), k
+
+    ret = model.apply({"params": params}, video, ids, mask,
+                      jnp.asarray([0, 1]), rng=jax.random.key(3),
+                      method=ALPRO.retrieval_loss)
+    assert np.isfinite(float(ret["loss"]))
+
+    cls = model.apply({"params": params}, video, ids, mask,
+                      labels=jnp.asarray([1, 0]), method=ALPRO.cls_forward)
+    assert cls["logits"].shape == (2, 3)
+    assert np.isfinite(float(cls["loss"]))
+
+    # temporal mean pooling: image embeds length = 1 + N (not 1 + T*N)
+    emb = model.apply({"params": params}, video,
+                      method=ALPRO.encode_image)
+    assert emb.shape == (2, 1 + 4, 32)

@@ -216,12 +216,17 @@ def extend_mask(attention_mask, causal=False, prefix_len=None):
 class BertEncoder(nn.Module):
     cfg: BertConfig
     num_layers: Optional[int] = None
+    layer_range: Optional[tuple] = None  # ALBEF text/fusion split
+                                         # (reference modeling_alpro.py:549)
 
     @nn.compact
     def __call__(self, x, attn_bias=None, enc=None, enc_bias=None,
                  deterministic=True):
-        n = self.num_layers or self.cfg.num_hidden_layers
-        for i in range(n):
+        if self.layer_range is not None:
+            lo, hi = self.layer_range
+        else:
+            lo, hi = 0, self.num_layers or self.cfg.num_hidden_layers
+        for i in range(lo, hi):
             x = BertLayer(self.cfg, has_cross=self.cfg.add_cross_attention,
                           name=f"layer_{i}")(
                 x, attn_bias, enc, enc_bias, deterministic)
@@ -239,7 +244,7 @@ class BertModel(nn.Module):
                  token_type_ids=None, inputs_embeds=None, encoder_embeds=None,
                  encoder_hidden_states=None, encoder_attention_mask=None,
                  is_decoder=False, prefix_len=None, num_layers=None,
-                 deterministic=True):
+                 layer_range=None, deterministic=True):
         cfg = self.cfg
         if encoder_embeds is not None:
             x = encoder_embeds
@@ -258,7 +263,8 @@ class BertModel(nn.Module):
                 encoder_attention_mask = jnp.ones(
                     encoder_hidden_states.shape[:2], jnp.int32)
             enc_bias = extend_mask(encoder_attention_mask)
-        x = BertEncoder(cfg, num_layers=num_layers, name="encoder")(
+        x = BertEncoder(cfg, num_layers=num_layers, layer_range=layer_range,
+                        name="encoder")(
             x, bias, encoder_hidden_states, enc_bias, deterministic)
         return x
 
