@@ -31,13 +31,48 @@ def build_loader(args, cfg):
         ds = SyntheticVideoDataset(
             length=cfg.get("synthetic_length", 64),
             num_frames=cfg.num_frames, size=cfg.image_res)
-    else:
-        ds = PretrainVideoDataset(
-            cfg.get("train_file"), cfg.get("train_video_root"),
-            transform=train_transform(cfg.image_res),
-            num_frames=cfg.num_frames, seed=args.seed)
+        return ShardedLoader(ds, cfg.batch_size, shuffle=True,
+                             seed=args.seed, num_workers=cfg.num_workers)
+    groups = cfg.get("train_file_groups")
+    if groups:
+        # multi-source interleaving (reference create_pretrain_loader +
+        # MetaLoader, dataset/__init__.py:200-228, dataloader.py:10-56)
+        from youku_mplug_tpu.data.loader import MetaLoader
+
+        loaders = []
+        for g in groups:
+            ds = PretrainVideoDataset(
+                g, cfg.get("train_video_root"),
+                transform=train_transform(cfg.image_res),
+                num_frames=cfg.num_frames, seed=args.seed)
+            loaders.append(ShardedLoader(
+                ds, cfg.batch_size, shuffle=True, seed=args.seed,
+                num_workers=cfg.num_workers))
+        return _MetaLoaderAdapter(MetaLoader(loaders, seed=args.seed))
+    ds = PretrainVideoDataset(
+        cfg.get("train_file"), cfg.get("train_video_root"),
+        transform=train_transform(cfg.image_res),
+        num_frames=cfg.num_frames, seed=args.seed)
     return ShardedLoader(ds, cfg.batch_size, shuffle=True, seed=args.seed,
                          num_workers=cfg.num_workers)
+
+
+class _MetaLoaderAdapter:
+    """Drop the source index MetaLoader yields (the pretrain loss is
+    source-agnostic)."""
+
+    def __init__(self, meta):
+        self.meta = meta
+
+    def set_epoch(self, epoch):
+        self.meta.set_epoch(epoch)
+
+    def __len__(self):
+        return len(self.meta)
+
+    def __iter__(self):
+        for _, batch in self.meta:
+            yield batch
 
 
 def make_batch(runner, raw):
