@@ -100,3 +100,28 @@ def test_retrieval_itm_runner(tmp_path):
     assert np.isfinite(log[0]["loss"])
     assert "gen_r_mean" in log[-1]["test"]
     assert "cls_r_mean" in log[-1]["test"]
+
+
+def test_mplug_pretrain_runner(tmp_path):
+    from youku_mplug_tpu.cli import common, run_mplug_pretrain
+
+    cfg = write_cfg(tmp_path, "mplug",
+                    bert_overrides={"vocab_size": 256, "hidden_size": 32,
+                                    "num_hidden_layers": 2,
+                                    "num_attention_heads": 4,
+                                    "intermediate_size": 64,
+                                    "encoder_width": 32, "fusion_layer": 1,
+                                    "text_encoder_layers": 1,
+                                    "hidden_dropout_prob": 0.0,
+                                    "attention_probs_dropout_prob": 0.0},
+                    embed_dim=8, queue_size=8, alpha=0.4)
+    state, mstate = run_mplug_pretrain.main(
+        _args(common, cfg, str(tmp_path / "out")))
+    import json as _json
+
+    log = [_json.loads(l) for l in open(tmp_path / "out" / "log.txt")]
+    assert np.isfinite(log[0]["loss"])
+    assert log[0]["loss_ita"] > 0 and log[0]["loss_mlm"] > 0
+    # queues advanced: 2 steps x batch 4 wraps the size-8 queue to ptr 0
+    assert int(mstate.ptr) == 0
+    assert np.isfinite(np.asarray(mstate.image_queue)).all()

@@ -185,3 +185,60 @@ class BatchTokenizer:
             "attention_mask": np.stack(mask),
             "prompt_lengths": np.asarray(plens, np.int32),
         }
+
+
+class BertWordPieceTokenizer:
+    """BERT WordPiece tokenization for the mPLUG/ALPRO families (reference:
+    models/tokenization_bert.py / tokenization_mplug.py).  Loads a
+    vocab.txt via HF `tokenizers`; [CLS] starts, [SEP] ends, [PAD]=0."""
+
+    def __init__(self, vocab_file: str, lowercase: bool = True):
+        from tokenizers import BertWordPieceTokenizer as _HF
+
+        self.tokenizer = _HF(vocab_file, lowercase=lowercase)
+        vocab = self.tokenizer.get_vocab()
+        self.pad_id = vocab.get("[PAD]", 0)
+        self.bos_id = vocab.get("[CLS]", 101)
+        self.eos_id = vocab.get("[SEP]", 102)
+        self.mask_id = vocab.get("[MASK]", 103)
+        self.eod_id = self.eos_id
+
+    @property
+    def vocab_size(self) -> int:
+        return self.tokenizer.get_vocab_size()
+
+    def tokenize(self, text: str, add_special_tokens: bool = True):
+        enc = self.tokenizer.encode(text,
+                                    add_special_tokens=add_special_tokens)
+        return enc.ids
+
+    def tokenize_prompt(self, prompt_text: str, text: str):
+        p = self.tokenizer.encode(prompt_text, add_special_tokens=False).ids
+        t = self.tokenizer.encode(text, add_special_tokens=False).ids
+        return ([self.bos_id], p, t, [self.eos_id])
+
+    def detokenize(self, token_ids) -> str:
+        return self.tokenizer.decode([int(t) for t in token_ids],
+                                     skip_special_tokens=True)
+
+    eod = property(lambda self: self.eod_id)
+    eos = property(lambda self: self.eos_id)
+    bos = property(lambda self: self.bos_id)
+    pad = property(lambda self: self.pad_id)
+
+
+class ToyBertTokenizer(ToyTokenizer):
+    """Toy tokenizer with BERT special-token conventions ([PAD]=0,
+    [CLS]=101, [SEP]=102, [MASK]=103) for synthetic mPLUG/ALPRO runs."""
+
+    def __init__(self, vocab_size: int = 30522):
+        super().__init__(vocab_size)
+        self.pad_id = 0
+        self.bos_id = 101
+        self.eos_id = 102
+        self.mask_id = 103
+        self.eod_id = 102
+
+    def _ids(self, text: str):
+        return [104 + (ord(c) * 2654435761) % (self._vocab_size - 104)
+                for c in text]
