@@ -306,3 +306,48 @@ def test_alpro_heads():
     emb = model.apply({"params": params}, video,
                       method=ALPRO.encode_image)
     assert emb.shape == (2, 1 + 4, 32)
+
+
+def test_gpt2_coca():
+    from youku_mplug_tpu.models.gpt2_multimodal import (
+        COCAConfig,
+        GPT2Config,
+        MPLUGCOCA,
+        blockwise_mask,
+        mixed_causal_bias,
+    )
+    from youku_mplug_tpu.models.vision import VisionConfig
+
+    cfg = COCAConfig(
+        vision=VisionConfig(img_size=16, patch_size=8, embed_dim=24,
+                            depth=1, num_heads=2, mlp_ratio=2.0),
+        gpt2=GPT2Config(vocab_size=120, n_positions=64, n_embd=32,
+                        n_layer=2, n_head=4),
+        predict_feature_dim=8)
+    model = MPLUGCOCA(cfg, policy=FP32_POLICY)
+    rng = np.random.default_rng(0)
+    images = jnp.asarray(rng.normal(size=(2, 3, 16, 16)), jnp.float32)
+    ids = jnp.asarray(rng.integers(0, 120, (2, 6)), jnp.int32)
+    mask = jnp.ones((2, 6), jnp.int32)
+    n_patches = 4
+    bmask = blockwise_mask(jax.random.key(1), 2, 2, 2)
+    target = jnp.asarray(rng.normal(size=(2, n_patches, 8)), jnp.float32)
+
+    params = model.init(jax.random.key(0), images, ids, mask,
+                        bool_masked_pos=bmask,
+                        image_target=target)["params"]
+    out = model.apply({"params": params}, images, ids, mask,
+                      bool_masked_pos=bmask, image_target=target)
+    for k in ("loss", "loss_caption", "loss_mim"):
+        assert np.isfinite(float(out[k])), k
+    assert 0 < float(out["loss_mim"]) < 2.1
+
+    # mixed mask semantics: text row attends visual, visual row doesn't
+    bias = np.asarray(mixed_causal_bias(3, 4, jnp.ones((1, 7))))
+    assert bias[0, 0, 3, 0] == 0.0       # text -> visual allowed
+    assert bias[0, 0, 0, 3] < -1e3       # visual -> text blocked
+    assert bias[0, 0, 4, 5] < -1e3       # text future blocked
+    assert bias[0, 0, 0, 2] == 0.0       # visual <-> visual allowed
+
+    # blockwise mask: exactly num_masked per row
+    assert np.asarray(bmask).sum(axis=1).tolist() == [2, 2]
