@@ -351,3 +351,30 @@ def test_gpt2_coca():
 
     # blockwise mask: exactly num_masked per row
     assert np.asarray(bmask).sum(axis=1).tolist() == [2, 2]
+
+
+def test_mplug_generate():
+    from youku_mplug_tpu.models.mplug import MPLUG, MPLUGConfig, \
+        mplug_generate
+    from youku_mplug_tpu.models.vision import VisionConfig
+
+    cfg = MPLUGConfig(
+        vision=VisionConfig(img_size=16, patch_size=8, embed_dim=24,
+                            depth=1, num_heads=2, num_frames=2,
+                            mlp_ratio=2.0),
+        bert=dataclasses.replace(CFG, encoder_width=32), embed_dim=8)
+    model = MPLUG(cfg, policy=FP32_POLICY)
+    rng = np.random.default_rng(0)
+    video = jnp.asarray(rng.normal(size=(2, 3, 2, 16, 16)), jnp.float32)
+    ids = jnp.asarray(rng.integers(3, 120, (2, 8)), jnp.int32)
+    mask = jnp.ones((2, 8), jnp.int32)
+    params = model.init({"params": jax.random.key(0),
+                         "dropout": jax.random.key(1)},
+                        video, ids, mask, method=MPLUG.full_init)["params"]
+    out = mplug_generate(model, params, video, bos_id=101, eos_id=102,
+                         max_new_tokens=5)
+    assert out.shape == (2, 5)
+    seq = np.asarray(out[0])
+    if 102 in seq:
+        i = list(seq).index(102)
+        assert all(t == 102 for t in seq[i:])

@@ -421,3 +421,52 @@ class MPLUG(nn.Module):
         if self.cfg.num_classes:
             _ = self.cls_forward(video, input_ids, attention_mask)
         return out
+
+
+def mplug_generate(model: MPLUG, params, video, bos_id: int, eos_id: int,
+                   max_new_tokens: int = 30, input_ids=None,
+                   attention_mask=None, beam_size: int = 1):
+    """Caption generation for the BERT prefix decoder (the capability of
+    the reference's TextGenerator beam, models/predictor_mplug.py:33-423).
+
+    The BERT decoder is small and captions short, so each step re-runs the
+    full fixed-length decoder forward under one jit (static shapes; the
+    causal mask hides future positions), picking greedy (beam_size=1) or
+    per-step top-beam tokens.  Returns token ids [B, max_new_tokens].
+    """
+    import jax
+
+    b = video.shape[0]
+    image_embeds = model.apply({"params": params}, video,
+                               method=MPLUG.encode_image)
+    image_atts = jnp.ones(image_embeds.shape[:2], jnp.int32)
+    if input_ids is not None:
+        text_embeds = model.apply({"params": params}, input_ids,
+                                  attention_mask,
+                                  method=MPLUG.encode_text)
+        img_f, txt_f = model.apply({"params": params}, text_embeds,
+                                   attention_mask, image_embeds, image_atts,
+                                   method=lambda m, *a: m.fusion(*a))
+        enc = jnp.concatenate([img_f, txt_f], 1)
+        enc_mask = jnp.concatenate([image_atts, attention_mask], 1)
+    else:
+        enc, enc_mask = image_embeds, image_atts
+
+    max_len = max_new_tokens + 1
+    dec_apply = jax.jit(lambda p, ids, m: model.apply(
+        {"params": p}, ids, m, encoder_hidden_states=enc,
+        encoder_attention_mask=enc_mask,
+        method=lambda mm, *a, **kw: mm.text_decoder(*a, **kw))["logits"])
+
+    ids = jnp.full((b, max_len), eos_id, jnp.int32)
+    ids = ids.at[:, 0].set(bos_id)
+    done = jnp.zeros((b,), bool)
+    for t in range(1, max_len):
+        mask = (jnp.arange(max_len)[None, :] < t).astype(jnp.int32)
+        logits = dec_apply(params, ids, jnp.broadcast_to(mask,
+                                                         (b, max_len)))
+        nxt = jnp.argmax(logits[:, t - 1], axis=-1).astype(jnp.int32)
+        nxt = jnp.where(done, eos_id, nxt)
+        ids = ids.at[:, t].set(nxt)
+        done = done | (nxt == eos_id)
+    return ids[:, 1:]
