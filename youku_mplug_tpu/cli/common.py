@@ -124,7 +124,10 @@ def setup(args, niter_per_ep: int = 1000) -> Runner:
             params = import_all(params, cfg, importer_src)
             params = shard_params(params, mesh, GPT3_SHARDING_RULES)
 
-        state, tx, schedule = create_train_state(params, cfg.optimizer)
+        frozen_dtype = (None if getattr(args, "fp32", False)
+                        else policy.compute_dtype)
+        state, tx, schedule = create_train_state(
+            params, cfg.optimizer, frozen_dtype=frozen_dtype)
 
     is_main = jax.process_index() == 0
     os.makedirs(args.output_dir, exist_ok=True)

@@ -36,14 +36,27 @@ class TrainState:
         return merge_params(self.trainable, self.frozen)
 
 
-def create_train_state(params, config: OptimizerConfig):
-    """-> (TrainState, tx, schedule_fn)."""
+def create_train_state(params, config: OptimizerConfig,
+                       frozen_dtype=None):
+    """-> (TrainState, tx, schedule_fn).
+
+    frozen_dtype: cast the frozen subtree (e.g. bfloat16) — the analog of
+    the reference wrapping the frozen decoder in Float16Module
+    (modeling_distributed_gpt3.py:1546-1548); halves its HBM footprint
+    with the same numerics contract.
+    """
+    import jax.numpy as jnp
+
     frozen_tree = freeze_mask(params, config.freeze_text_decoder,
                               config.freeze_vit)
     trainable, frozen = partition_params(params, frozen_tree)
+    if frozen_dtype is not None:
+        frozen = jax.tree.map(
+            lambda x: x.astype(frozen_dtype)
+            if hasattr(x, "dtype") and jnp.issubdtype(x.dtype, jnp.floating)
+            else x, frozen)
     tx, schedule = create_optimizer(trainable, config)
     opt_state = tx.init(trainable)
-    import jax.numpy as jnp
 
     state = TrainState(step=jnp.zeros((), jnp.int32), trainable=trainable,
                        frozen=frozen, opt_state=opt_state)
