@@ -263,3 +263,39 @@ def test_vqa_accuracy():
     acc = vqa_accuracy(preds, anns)
     assert acc > 50 and acc < 100  # q0 = 100%, q1 partial
     assert vqa_accuracy({0: "dog"}, {0: ["dog"] * 10}) == 100.0
+
+
+def test_image_datasets(tmp_path):
+    import cv2
+
+    from youku_mplug_tpu.data.image_datasets import (
+        ImageTextDataset,
+        VQAImageDataset,
+    )
+
+    d = tmp_path / "imgs"
+    d.mkdir()
+    for k in range(2):
+        img = np.full((40, 40, 3), 30 * (k + 1), np.uint8)
+        cv2.imwrite(str(d / f"im{k}.jpg"), img)
+
+    ann = [{"image": "im0.jpg", "caption": "A Cat!"},
+           {"image": "missing.jpg", "caption": "bad"},
+           {"image": "im1.jpg", "caption": ["multi", "caps"]}]
+    p = str(tmp_path / "it.json")
+    json.dump(ann, open(p, "w"))
+
+    ds = ImageTextDataset(p, str(d), transform=Resize(16))
+    s0 = ds[0]
+    assert s0["image"].shape == (16, 16, 3)
+    assert s0["text"] == "a cat"
+    s1 = ds[1]  # retry walks past the missing file
+    assert s1["index"] == 2
+
+    qann = [{"image": "im0.jpg", "question": "What色?", "answer": "gray"}]
+    qp = str(tmp_path / "vqa.json")
+    json.dump(qann, open(qp, "w"))
+    qds = VQAImageDataset(qp, str(d), transform=Resize(16), split="train")
+    q = qds[0]
+    assert q["answers"] == ["gray[SEP]"]
+    assert abs(sum(q["weights"]) - 1.0) < 1e-6

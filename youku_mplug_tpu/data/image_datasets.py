@@ -1,0 +1,132 @@
+"""Image-text datasets (the legacy image path of the reference).
+
+Covers the annotation formats of reference dataset/caption_dataset.py
+(pretrain_dataset_4m: json lists of {"image", "caption"}; re_train/eval
+retrieval) and dataset/vqa_dataset.py ({"image", "question", "answer"}),
+decoding stills with cv2 and reusing the clip transforms on single-frame
+"clips" so the augment stack is shared with the video path.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from typing import Any, Dict, List, Optional
+
+import numpy as np
+
+from youku_mplug_tpu.data.datasets import (
+    _read_annotations,
+    load_jsonl,
+    pre_caption,
+    pre_question,
+)
+
+
+def read_image(path: str, size: int = 0) -> np.ndarray:
+    """-> (H, W, C) uint8 RGB."""
+    import cv2
+
+    img = cv2.imread(path, cv2.IMREAD_COLOR)
+    if img is None:
+        raise IOError(f"cannot read image: {path}")
+    img = cv2.cvtColor(img, cv2.COLOR_BGR2RGB)
+    if size:
+        img = cv2.resize(img, (size, size), interpolation=cv2.INTER_CUBIC)
+    return img
+
+
+class ImageTextDataset:
+    """(image, caption) pretrain pairs (reference pretrain_dataset_4m,
+    caption_dataset.py) with next-index retry."""
+
+    def __init__(self, ann_file, image_root: str = "", transform=None,
+                 max_words: int = 30, seed: int = 0):
+        self.ann = _read_annotations(ann_file, id_key="image")
+        self.image_root = image_root
+        self.transform = transform
+        self.max_words = max_words
+        self.seed = seed
+        self.epoch = 0
+
+    def set_epoch(self, epoch):
+        self.epoch = epoch
+
+    def __len__(self):
+        return len(self.ann)
+
+    def _rng(self, index):
+        return np.random.default_rng(
+            (self.seed * 1_000_003 + self.epoch) * 2_654_435_761 + index)
+
+    def __getitem__(self, index: int):
+        orig = index
+        for _ in range(len(self)):
+            a = self.ann[index]
+            path = os.path.join(self.image_root,
+                                str(a.get("image") or a.get("video_id")))
+            try:
+                img = read_image(path)
+                clip = img[None]  # 1-frame "clip" for the shared transforms
+                if self.transform is not None:
+                    clip = self.transform(clip, rng=self._rng(index))
+                cap = a.get("caption")
+                if isinstance(cap, list):
+                    cap = cap[self._rng(index).integers(0, len(cap))]
+                return {"image": clip[0],
+                        "text": pre_caption(str(cap), self.max_words),
+                        "index": index}
+            except Exception:
+                index = 0 if index == len(self) - 1 else index + 1
+                if index == orig:
+                    break
+        raise IOError("all image reads failed")
+
+
+class VQAImageDataset:
+    """VQA triplets (reference dataset/vqa_dataset.py): train yields
+    (image, question, answers, weights); test yields
+    (image, question, question_id)."""
+
+    def __init__(self, ann_file, image_root: str = "", transform=None,
+                 split: str = "train", max_ques_words: int = 30,
+                 answer_list: str = "", eos: str = "[SEP]", seed: int = 0):
+        self.ann = _read_annotations(ann_file, id_key="image")
+        self.image_root = image_root
+        self.transform = transform
+        self.split = split
+        self.max_ques_words = 50 if split == "test" else max_ques_words
+        self.eos = eos
+        self.seed = seed
+        self.epoch = 0
+        self.answer_list: List[str] = []
+        if split == "test" and answer_list:
+            self.answer_list = json.load(open(answer_list)) \
+                if answer_list.endswith(".json") else \
+                [l.strip() for l in open(answer_list)]
+        for i, a in enumerate(self.ann):
+            a.setdefault("question_id", i)
+
+    def set_epoch(self, epoch):
+        self.epoch = epoch
+
+    def __len__(self):
+        return len(self.ann)
+
+    def __getitem__(self, index: int):
+        a = self.ann[index]
+        img = read_image(os.path.join(self.image_root, str(a["image"])))
+        clip = img[None]
+        if self.transform is not None:
+            rng = np.random.default_rng(self.seed + index)
+            clip = self.transform(clip, rng=rng)
+        question = pre_question(str(a["question"]), self.max_ques_words)
+        if self.split == "train":
+            answers = a.get("answer")
+            answers = answers if isinstance(answers, list) else [answers]
+            weights = a.get("weight", [1.0 / len(answers)] * len(answers))
+            return {"image": clip[0], "question": question,
+                    "answers": [str(x) + self.eos for x in answers],
+                    "weights": list(weights), "index": index}
+        return {"image": clip[0], "question": question,
+                "question_id": int(a["question_id"]), "index": index}
