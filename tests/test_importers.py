@@ -156,3 +156,39 @@ def test_temporal_embed_resize_matches_torch():
         torch.tensor(temb).permute(0, 2, 1), 8,
         mode="linear").permute(0, 2, 1).numpy()
     np.testing.assert_allclose(out, want, rtol=1e-5, atol=1e-6)
+
+
+def test_multi_shard_mp_rank_merge(tmp_path, oracle_ckpt):
+    """Split the oracle checkpoint into two megatron-style mp_rank shards
+    and verify load_torch_gpt3_state reassembles the exact tensors."""
+    import os
+
+    from youku_mplug_tpu.models.importers import (
+        _partition_dim,
+        load_torch_gpt3_state,
+    )
+
+    _, model_dir = oracle_ckpt
+    full = load_torch_gpt3_state(model_dir)
+
+    shard_dir = tmp_path / "sharded" / "model"
+    os.makedirs(shard_dir)
+    shards = [{}, {}]
+    for name, arr in full.items():
+        dim = _partition_dim(name)
+        t = torch.tensor(arr)
+        if dim is None:
+            shards[0][name] = t
+            shards[1][name] = t
+        else:
+            a, b = torch.chunk(t, 2, dim=dim)
+            shards[0][name], shards[1][name] = a, b
+    for r in range(2):
+        torch.save({"module": shards[r]},
+                   str(shard_dir / f"mp_rank_0{r}_model_states.pt"))
+
+    merged = load_torch_gpt3_state(str(tmp_path / "sharded"))
+    assert set(merged) == set(full)
+    for name in full:
+        np.testing.assert_array_equal(merged[name], full[name],
+                                      err_msg=name)
