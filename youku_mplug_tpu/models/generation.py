@@ -24,6 +24,7 @@ length-penalized scoring (sum / len^alpha) with alpha configurable
 from __future__ import annotations
 
 import dataclasses
+import functools
 from typing import Optional
 
 import jax
@@ -124,6 +125,7 @@ def generate(model: GPT3LM, params, prompt_ids, prompt_len,
                         config)
 
 
+@functools.partial(jax.jit, static_argnums=(0, 5))
 def _sample(model, params, prompt_ids, prompt_len, query_embeds, config,
             rng):
     b, p = prompt_ids.shape
@@ -191,6 +193,7 @@ def _gather_beams(tree, beam_idx, b, k):
     return jax.tree.map(gather, tree)
 
 
+@functools.partial(jax.jit, static_argnums=(0, 5))
 def _beam_search(model, params, prompt_ids, prompt_len, query_embeds,
                  config):
     b, p = prompt_ids.shape
