@@ -89,3 +89,28 @@ def test_caption_eval_end_to_end():
                         "CIDEr"}
     assert out["Bleu_1"] > 0.5  # exact match on one of two videos
     assert 0 <= out["ROUGE_L"] <= 1
+
+
+def test_grounding_utils():
+    from youku_mplug_tpu.evals.grounding import (
+        box_iou,
+        cxcywh_to_xyxy,
+        grounding_accuracy,
+        xyxy_to_cxcywh,
+    )
+
+    box = np.asarray([[0.5, 0.5, 0.5, 0.5]])  # cxcywh
+    xyxy = cxcywh_to_xyxy(box)
+    np.testing.assert_allclose(xyxy, [[0.25, 0.25, 0.75, 0.75]])
+    np.testing.assert_allclose(xyxy_to_cxcywh(xyxy), box)
+
+    a = np.asarray([[0, 0, 1, 1]])
+    b = np.asarray([[0, 0, 1, 1], [0.5, 0.5, 1.5, 1.5]])
+    iou = box_iou(a, b)
+    np.testing.assert_allclose(iou[0, 0], 1.0)
+    np.testing.assert_allclose(iou[0, 1], 0.25 / 1.75, rtol=1e-5)
+
+    acc, ious = grounding_accuracy(
+        np.asarray([[0.5, 0.5, 0.5, 0.5], [0.1, 0.1, 0.1, 0.1]]),
+        np.asarray([[0.5, 0.5, 0.5, 0.5], [0.9, 0.9, 0.1, 0.1]]))
+    assert acc == 50.0

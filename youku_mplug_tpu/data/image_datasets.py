@@ -130,3 +130,111 @@ class VQAImageDataset:
                     "weights": list(weights), "index": index}
         return {"image": clip[0], "question": question,
                 "question_id": int(a["question_id"]), "index": index}
+
+
+class NLVRDataset:
+    """NLVR2 (two images + statement -> bool; reference
+    dataset/nlvr_dataset.py): json of {"images": [a, b], "sentence",
+    "label": "True"/"False"}."""
+
+    def __init__(self, ann_file, image_root: str = "", transform=None,
+                 max_words: int = 30, seed: int = 0):
+        self.ann = _read_annotations(ann_file, id_key="images")
+        self.image_root = image_root
+        self.transform = transform
+        self.max_words = max_words
+        self.seed = seed
+
+    def set_epoch(self, epoch):
+        pass
+
+    def __len__(self):
+        return len(self.ann)
+
+    def __getitem__(self, index):
+        a = self.ann[index]
+        rng = np.random.default_rng(self.seed + index)
+        imgs = []
+        for rel in a["images"]:
+            img = read_image(os.path.join(self.image_root, str(rel)))[None]
+            if self.transform is not None:
+                img = self.transform(img, rng=rng)
+            imgs.append(img[0])
+        label = a["label"]
+        label = int(label) if not isinstance(label, str) else \
+            int(str(label).lower() == "true")
+        return {"image0": imgs[0], "image1": imgs[1],
+                "text": pre_caption(str(a["sentence"]), self.max_words),
+                "label": label, "index": index}
+
+
+class VEDataset:
+    """SNLI-VE (image + hypothesis -> entail/neutral/contradict; reference
+    dataset/ve_dataset.py): {"image", "sentence", "label"}."""
+
+    LABELS = {"entailment": 0, "neutral": 1, "contradiction": 2}
+
+    def __init__(self, ann_file, image_root: str = "", transform=None,
+                 max_words: int = 30, seed: int = 0):
+        self.ann = _read_annotations(ann_file, id_key="image")
+        self.image_root = image_root
+        self.transform = transform
+        self.max_words = max_words
+        self.seed = seed
+
+    def set_epoch(self, epoch):
+        pass
+
+    def __len__(self):
+        return len(self.ann)
+
+    def __getitem__(self, index):
+        a = self.ann[index]
+        rng = np.random.default_rng(self.seed + index)
+        img = read_image(os.path.join(self.image_root, str(a["image"])))
+        clip = img[None]
+        if self.transform is not None:
+            clip = self.transform(clip, rng=rng)
+        label = a["label"]
+        label = self.LABELS.get(str(label), label)
+        return {"image": clip[0],
+                "text": pre_caption(str(a["sentence"]), self.max_words),
+                "label": int(label), "index": index}
+
+
+class GroundingDataset:
+    """Referring-expression grounding (reference
+    dataset/grounding_dataset.py): {"image", "text"/"sentence",
+    "bbox": [x, y, w, h]} with boxes normalized to the resized image."""
+
+    def __init__(self, ann_file, image_root: str = "", transform=None,
+                 image_res: int = 224, max_words: int = 30, seed: int = 0):
+        self.ann = _read_annotations(ann_file, id_key="image")
+        self.image_root = image_root
+        self.transform = transform
+        self.image_res = image_res
+        self.max_words = max_words
+        self.seed = seed
+
+    def set_epoch(self, epoch):
+        pass
+
+    def __len__(self):
+        return len(self.ann)
+
+    def __getitem__(self, index):
+        a = self.ann[index]
+        rng = np.random.default_rng(self.seed + index)
+        img = read_image(os.path.join(self.image_root, str(a["image"])))
+        h0, w0 = img.shape[:2]
+        clip = img[None]
+        if self.transform is not None:
+            clip = self.transform(clip, rng=rng)
+        x, y, w, h = a["bbox"]
+        # normalize to [0, 1] relative cxcywh (DETR-style grounding target)
+        box = np.asarray([(x + w / 2) / w0, (y + h / 2) / h0,
+                          w / w0, h / h0], np.float32)
+        text = a.get("text") or a.get("sentence") or ""
+        return {"image": clip[0],
+                "text": pre_caption(str(text), self.max_words),
+                "box": box, "index": index}
