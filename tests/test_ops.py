@@ -164,3 +164,32 @@ def test_vocab_sharded_ce_matches_replicated(rng):
         got = jax.jit(lm_cross_entropy)(hidden_s, emb_s, labels_s)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                rtol=1e-5, atol=1e-5)
+
+
+def test_flash_attention_nopad_path(rng):
+    """Ragged lengths (197/208) must take the whole-block no-pad path and
+    match the reference, incl. gradients."""
+    import functools
+    import unittest.mock as mock
+
+    from jax.experimental import pallas as pl
+
+    from youku_mplug_tpu.ops import flash_attention as fa
+
+    for s, causal in ((197, False), (208, True)):
+        q = jnp.asarray(rng.normal(size=(1, 2, s, 32)), jnp.float32)
+        k = jnp.asarray(rng.normal(size=(1, 2, s, 32)), jnp.float32)
+        v = jnp.asarray(rng.normal(size=(1, 2, s, 32)), jnp.float32)
+        with mock.patch.object(
+                pl, "pallas_call",
+                functools.partial(pl.pallas_call, interpret=True)):
+            got = fa.flash_attention(q, k, v, causal=causal)
+            g = jax.grad(lambda q_: jnp.sum(fa.flash_attention(
+                q_, k, v, causal=causal) ** 2))(q)
+        want = mha_reference(q, k, v, causal=causal)
+        g_ref = jax.grad(lambda q_: jnp.sum(mha_reference(
+            q_, k, v, causal=causal) ** 2))(q)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   rtol=2e-3, atol=2e-3)
+        np.testing.assert_allclose(np.asarray(g), np.asarray(g_ref),
+                                   rtol=2e-3, atol=2e-3)

@@ -324,6 +324,14 @@ def flash_attention(
     if causal and sq != sk:
         raise ValueError("causal flash attention requires Sq == Sk")
 
+    # No-pad fast path: Mosaic accepts block dims EQUAL to the full array
+    # dims, so short ragged sequences (vision 197, decoder 208) run as one
+    # whole-sequence block with zero pad/copy overhead (the padded path
+    # cost ~15% of device time in traces).
+    if ((sq % 128 or sk % 128) and sq * sk <= 1024 * 1024
+            and kv_len is None):
+        return _flash(q, k, v, float(scale), bool(causal), None, sq, sk)
+
     sq_pad = -(-sq // 128) * 128
     sk_pad = -(-sk // 128) * 128
     true_kv = kv_len if kv_len is not None else sk
