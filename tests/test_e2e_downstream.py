@@ -125,3 +125,29 @@ def test_mplug_pretrain_runner(tmp_path):
     # queues advanced: 2 steps x batch 4 wraps the size-8 queue to ptr 0
     assert int(mstate.ptr) == 0
     assert np.isfinite(np.asarray(mstate.image_queue)).all()
+
+
+def test_mplug_downstream_runner(tmp_path):
+    from youku_mplug_tpu.cli import run_mplug_downstream
+
+    bert_over = {"vocab_size": 256, "hidden_size": 32,
+                 "num_hidden_layers": 2, "num_attention_heads": 4,
+                 "intermediate_size": 64, "encoder_width": 32,
+                 "fusion_layer": 1, "text_encoder_layers": 1,
+                 "hidden_dropout_prob": 0.0,
+                 "attention_probs_dropout_prob": 0.0}
+    cfg = write_cfg(tmp_path, "mplug_ds", bert_overrides=bert_over,
+                    embed_dim=8, num_classes=3)
+    args = run_mplug_downstream.parser().parse_args([
+        "--config", cfg, "--output_dir", str(tmp_path / "out_cls"),
+        "--fp32", "--synthetic_data", "--max_steps", "2", "--seed", "0",
+        "--task", "cls"])
+    _, res = run_mplug_downstream.main(args)
+    assert 0 <= res["top1"] <= 100
+
+    args = run_mplug_downstream.parser().parse_args([
+        "--config", cfg, "--output_dir", str(tmp_path / "out_ret"),
+        "--fp32", "--synthetic_data", "--max_steps", "2", "--seed", "0",
+        "--task", "retrieval"])
+    _, res = run_mplug_downstream.main(args)
+    assert "r_mean" in res
