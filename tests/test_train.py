@@ -147,3 +147,12 @@ def test_checkpoint_roundtrip(tmp_path):
     meta = mngr.restore_metadata(4)
     assert meta == {"epoch": 4}
     mngr.close()
+
+
+def test_lr_scale_rules_two_optimizer_split():
+    p = _toy_params()
+    s = lr_scale_tree(p, lr_scale_rules=((r"visual_encoder", 0.2),
+                                         (r"visual_fc", 2.0)))
+    assert s["visual_encoder"]["blocks_0"]["attn"]["qkv_kernel"] == 0.2
+    assert s["visual_fc"]["kernel"] == 2.0
+    assert s["text_decoder"]["word_embeddings"]["embedding"] == 1.0

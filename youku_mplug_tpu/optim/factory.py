@@ -54,6 +54,9 @@ class OptimizerConfig:
     niter_per_ep: int = 1000
     sched_type: str = "cos"
     visual_backbone_scale: bool = False
+    # per-group lr multipliers by path regex — the capability of the
+    # reference's create_two_optimizer split (optim_factory.py:142-217)
+    lr_scale_rules: tuple = ()
     freeze_text_decoder: bool = True
     freeze_vit: bool = False
 
@@ -90,10 +93,15 @@ def freeze_mask(params, freeze_text_decoder=True, freeze_vit=False):
     return _tree_by_path(params, rule)
 
 
-def lr_scale_tree(params, visual_backbone_scale=False):
-    """Static per-leaf lr multiplier (0.1 on the non-temporal visual
-    backbone when CLIP-initialized)."""
+def lr_scale_tree(params, visual_backbone_scale=False, lr_scale_rules=()):
+    """Static per-leaf lr multiplier: 0.1 on the non-temporal visual
+    backbone when CLIP-initialized, plus arbitrary (regex, scale) rules —
+    the generalization of the reference's create_two_optimizer vision/text
+    lr split (optim_factory.py:142-217)."""
     def rule(path, leaf):
+        for pattern, scale in lr_scale_rules:
+            if re.search(pattern, path):
+                return float(scale)
         if visual_backbone_scale and "visual_encoder" in path and \
                 "temporal" not in path:
             return 0.1
@@ -183,7 +191,8 @@ def create_optimizer(trainable_params, config: OptimizerConfig):
         sched_type=config.sched_type)
 
     dmask = decay_mask(trainable_params)
-    scales = lr_scale_tree(trainable_params, config.visual_backbone_scale)
+    scales = lr_scale_tree(trainable_params, config.visual_backbone_scale,
+                           config.lr_scale_rules)
     chain = [
         optax.scale_by_adam(b1=config.opt_betas[0], b2=config.opt_betas[1],
                             eps=config.opt_eps),
