@@ -1,3 +1,5 @@
+import os, sys
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import jax, jax.numpy as jnp, os, time
 from youku_mplug_tpu.runtime.cache import enable_compilation_cache
 enable_compilation_cache()
