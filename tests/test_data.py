@@ -299,3 +299,19 @@ def test_image_datasets(tmp_path):
     q = qds[0]
     assert q["answers"] == ["gray[SEP]"]
     assert abs(sum(q["weights"]) - 1.0) < 1e-6
+
+
+def test_gif_decode(tmp_path):
+    """GIF clips decode through the same reader (reference read_frames_gif
+    capability, dataset/video_utils/utils.py:120)."""
+    from PIL import Image
+
+    from youku_mplug_tpu.data.video_decode import read_frames
+
+    gif = str(tmp_path / "t.gif")
+    frames = [Image.fromarray(np.full((32, 32, 3), i * 40, np.uint8))
+              for i in range(6)]
+    frames[0].save(gif, save_all=True, append_images=frames[1:],
+                   duration=100)
+    clip = read_frames(gif, num_frames=4, sample="middle")
+    assert clip.shape == (4, 32, 32, 3) and clip.dtype == np.uint8
