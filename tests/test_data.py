@@ -315,3 +315,15 @@ def test_gif_decode(tmp_path):
                    duration=100)
     clip = read_frames(gif, num_frames=4, sample="middle")
     assert clip.shape == (4, 32, 32, 3) and clip.dtype == np.uint8
+
+
+def test_tar_packed_video(video_dir, tmp_path):
+    import tarfile
+
+    from youku_mplug_tpu.data.video_decode import read_frames
+
+    archive = str(tmp_path / "pack.tar")
+    with tarfile.open(archive, "w") as tf:
+        tf.add(os.path.join(video_dir, "vid0.mp4"), arcname="vid0.mp4")
+    clip = read_frames(archive + "/vid0.mp4", num_frames=2, sample="middle")
+    assert clip.shape[0] == 2 and clip.dtype == np.uint8

@@ -7,6 +7,7 @@ return (T, H, W, C) uint8 RGB.
 
 from __future__ import annotations
 
+import os
 from typing import Optional
 
 import numpy as np
@@ -63,6 +64,31 @@ def _probe_cv2(video_path):
     return vlen, fps
 
 
+def _resolve_tar(video_path: str) -> str:
+    """Support tar-packed videos, ``archive.tar/member.mp4`` (the
+    capability of the reference's read_from_tar,
+    dataset/video_utils/utils.py:134-144): extract the member once into a
+    per-archive temp cache and return the extracted path."""
+    import hashlib
+    import tarfile
+    import tempfile
+
+    if ".tar/" not in video_path:
+        return video_path
+    archive, member = video_path.split(".tar/", 1)
+    archive += ".tar"
+    cache = os.path.join(
+        tempfile.gettempdir(), "youku_mplug_tpu_tar",
+        hashlib.md5(archive.encode()).hexdigest())
+    out = os.path.join(cache, member)
+    if not os.path.exists(out):
+        os.makedirs(os.path.dirname(out), exist_ok=True)
+        with tarfile.open(archive) as tf:
+            with tf.extractfile(member) as src, open(out, "wb") as dst:
+                dst.write(src.read())
+    return out
+
+
 def read_frames(video_path: str, num_frames: int = 8, sample: str = "rand",
                 fix_start: Optional[int] = None, max_num_frames: int = -1,
                 start_time: Optional[float] = None,
@@ -70,6 +96,7 @@ def read_frames(video_path: str, num_frames: int = 8, sample: str = "rand",
                 width: int = 0, height: int = 0,
                 rng: Optional[np.random.Generator] = None) -> np.ndarray:
     """Decode ``num_frames`` sampled frames -> (T, H, W, C) uint8 RGB."""
+    video_path = _resolve_tar(video_path)
     use_native = native_decode.available()
     if use_native:
         reader = native_decode.NativeVideoReader(video_path)
