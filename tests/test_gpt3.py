@@ -144,3 +144,27 @@ def test_sharded_forward_matches_single_device(model_and_params):
     np.testing.assert_allclose(np.asarray(got["logits"]),
                                np.asarray(want["logits"]),
                                rtol=2e-4, atol=2e-4)
+
+
+def test_eva_vit_g_preset_shapes():
+    """EVA-g preset builds and runs (scaled to a tiny image for CPU)."""
+    import dataclasses
+
+    from youku_mplug_tpu.models.vision import EVA_VIT_G, VisionTransformer
+    from youku_mplug_tpu.runtime.precision import FP32_POLICY
+
+    assert EVA_VIT_G.embed_dim == 1408 and EVA_VIT_G.depth == 40
+    assert EVA_VIT_G.embed_dim // EVA_VIT_G.num_heads == 88
+    tiny = dataclasses.replace(EVA_VIT_G, img_size=28, depth=1,
+                               embed_dim=176, num_heads=2, grad_ckpt=False,
+                               drop_path=0.0)
+    model = VisionTransformer(tiny, policy=FP32_POLICY)
+    import numpy as np
+
+    x = jnp.asarray(np.zeros((1, 3, 28, 28), np.float32))
+    params = model.init(jax.random.key(0), x)["params"]
+    pooled, tokens = model.apply({"params": params}, x)
+    assert tokens.shape == (1, 1 + 4, 176)
+    # mlp hidden uses the fractional ratio
+    assert params["blocks_0"]["mlp"]["fc1_kernel"].shape[1] == int(
+        176 * 4.3637)

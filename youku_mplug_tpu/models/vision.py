@@ -463,3 +463,12 @@ class AttentionPool(nn.Module):
         x = x + Mlp(d, int(d * self.mlp_ratio), init_std=self.init_std,
                     name="mlp")(mlp_in)
         return x
+
+
+# EVA ViT-g preset (reference models/eva_vit.py create_eva_vit_g:413-427:
+# plain pre-LN ViT, abs pos emb, patch 14, 1408 dim, 40 layers, 16 heads
+# of dim 88, mlp_ratio 4.3637) — usable directly with VisionTransformer
+# and the image-pretrain task path.
+EVA_VIT_G = VisionConfig(
+    img_size=224, patch_size=14, embed_dim=1408, depth=40, num_heads=16,
+    mlp_ratio=4.3637, drop_path=0.4, grad_ckpt=True)
