@@ -151,3 +151,26 @@ def test_mplug_downstream_runner(tmp_path):
         "--task", "retrieval"])
     _, res = run_mplug_downstream.main(args)
     assert "r_mean" in res
+
+
+def test_cls_evaluate_only_resume(tmp_path):
+    """Train briefly, then a fresh --evaluate_only invocation must restore
+    the checkpoint and evaluate (the reference's eval story,
+    scripts/run_cls_gpt3_1.3b.sh:14-16)."""
+    from youku_mplug_tpu.cli import common, run_cls
+
+    cfg = write_cfg(tmp_path, "cls_eo", use_cls=True, num_classes=3)
+    out = str(tmp_path / "out")
+    run_cls.main(_args(common, cfg, out))
+
+    args = common.base_parser("t").parse_args([
+        "--config", cfg, "--output_dir", out, "--fp32",
+        "--synthetic_data", "--max_steps", "2", "--seed", "0",
+        "--evaluate_only", "--resume", out])
+    runner = run_cls.main(args)
+    assert int(runner.state.step) > 0  # restored, not fresh
+    import json as _json
+
+    log = [_json.loads(l) for l in open(tmp_path / "out" / "log.txt")]
+    tests = [e for e in log if "test" in e]
+    assert len(tests) >= 2  # one from training run, one from eval-only
