@@ -193,3 +193,39 @@ def test_flash_attention_nopad_path(rng):
                                    rtol=2e-3, atol=2e-3)
         np.testing.assert_allclose(np.asarray(g), np.asarray(g_ref),
                                    rtol=2e-3, atol=2e-3)
+
+
+def test_flash_attention_packed_matches_reference(rng):
+    import functools
+    import unittest.mock as mock
+
+    from jax.experimental import pallas as pl
+
+    from youku_mplug_tpu.ops.flash_attention import flash_attention_packed
+
+    b, n, s, d = 2, 3, 208, 32
+    q = jnp.asarray(rng.normal(size=(b, s, n * d)), jnp.float32)
+    k = jnp.asarray(rng.normal(size=(b, s, n * d)), jnp.float32)
+    v = jnp.asarray(rng.normal(size=(b, s, n * d)), jnp.float32)
+
+    def unpack(t):
+        return t.reshape(b, s, n, d).transpose(0, 2, 1, 3)
+
+    with mock.patch.object(
+            pl, "pallas_call",
+            functools.partial(pl.pallas_call, interpret=True)):
+        for causal in (False, True):
+            got = flash_attention_packed(q, k, v, n, causal=causal)
+            want = mha_reference(unpack(q), unpack(k), unpack(v),
+                                 causal=causal)
+            want = want.transpose(0, 2, 1, 3).reshape(b, s, n * d)
+            np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                       rtol=2e-3, atol=2e-3)
+        # gradients
+        g = jax.grad(lambda q_: jnp.sum(flash_attention_packed(
+            q_, k, v, n, causal=True) ** 2))(q)
+    g_ref = jax.grad(lambda q_: jnp.sum(
+        mha_reference(unpack(q_), unpack(k), unpack(v), causal=True) ** 2
+    ))(q)
+    np.testing.assert_allclose(np.asarray(g), np.asarray(g_ref),
+                               rtol=2e-3, atol=2e-3)

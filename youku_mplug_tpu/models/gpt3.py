@@ -134,6 +134,29 @@ class GPT3Attention(nn.Module):
         dtype = self.policy.compute_dtype if x.dtype != jnp.float32 else x.dtype
         qkv = jnp.einsum("bsh,hcnd->bcsnd", x, qkv_kernel.astype(dtype))
         qkv = qkv + qkv_bias.astype(dtype)[None, :, None]
+
+        import os
+        packed = (cache is None and jax.default_backend() == "tpu"
+                  and os.environ.get("YOUKU_PACKED_FLASH", "0") == "1")
+        if packed:
+            # packed layout: [B, S, n*d] straight into the pallas kernel —
+            # no per-head transposes (the profile's 'copy' tax)
+            from youku_mplug_tpu.ops.flash_attention import (
+                flash_attention_packed,
+            )
+
+            b_, s_ = x.shape[:2]
+            qp, kp, vp = (qkv[:, i].reshape(b_, s_, n * d)
+                          for i in range(3))
+            out_p = flash_attention_packed(qp, kp, vp, n, causal=True)
+            from jax.ad_checkpoint import checkpoint_name
+            out_p = checkpoint_name(out_p, "attn_out")
+            y = jnp.einsum(
+                "bsnd,ndh->bsh", out_p.reshape(b_, s_, n, d),
+                out_kernel.astype(out_p.dtype))
+            y = y + out_bias.astype(y.dtype)
+            return y, None
+
         q, k, v = [jnp.moveaxis(qkv[:, i], 2, 1) for i in range(3)]  # [B,n,S,d]
 
         new_cache = None

@@ -348,3 +348,252 @@ def flash_attention(
     if sq_pad != sq:
         out = out[:, :, :sq, :]
     return out
+
+
+# ---------------------------------------------------------------------------
+# Packed-layout variant: q/k/v in [B, S, n_heads*d].  The BlockSpec slices
+# each head's d-wide strip straight out of the packed last dim, so the
+# model never materializes the [B, n, S, d] transpose (the 'copy' tax in
+# profiles).  Same math, same masks; lse kept as [B, n, Sq, 1].
+# ---------------------------------------------------------------------------
+
+
+def _fwd_kernel_packed(q_ref, k_ref, v_ref, o_ref, lse_ref, *, scale,
+                       causal, block_k):
+    bq, d = q_ref.shape[1], q_ref.shape[2]
+    sk = k_ref.shape[1]
+    i = pl.program_id(2)
+    n_kv = sk // block_k
+    q = q_ref[0].astype(jnp.float32)
+    if causal:
+        hi = jnp.minimum(jax.lax.div((i + 1) * bq + block_k - 1, block_k),
+                         n_kv)
+    else:
+        hi = n_kv
+
+    def body(j, carry):
+        acc, m, l = carry
+        k = k_ref[0, pl.ds(j * block_k, block_k), :].astype(jnp.float32)
+        v = v_ref[0, pl.ds(j * block_k, block_k), :]
+        s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
+                                preferred_element_type=jnp.float32) * scale
+        if causal:
+            qi = i * bq + jax.lax.broadcasted_iota(jnp.int32,
+                                                   (bq, block_k), 0)
+            ki = j * block_k + jax.lax.broadcasted_iota(jnp.int32,
+                                                        (bq, block_k), 1)
+            s = jnp.where(qi >= ki, s, NEG_INF)
+        m_new = jnp.maximum(m, jnp.max(s, axis=1, keepdims=True))
+        alpha = jnp.exp(m - m_new)
+        p = jnp.exp(s - m_new)
+        l = l * alpha + jnp.sum(p, axis=1, keepdims=True)
+        pv = jax.lax.dot_general(p.astype(v.dtype), v,
+                                 (((1,), (0,)), ((), ())),
+                                 preferred_element_type=jnp.float32)
+        return acc * alpha + pv, m_new, l
+
+    acc, m, l = jax.lax.fori_loop(
+        0, hi, body, (jnp.zeros((bq, d), jnp.float32),
+                      jnp.full((bq, 1), NEG_INF, jnp.float32),
+                      jnp.zeros((bq, 1), jnp.float32)))
+    l = jnp.maximum(l, 1e-30)
+    o_ref[0] = (acc / l).astype(o_ref.dtype)
+    lse_ref[0, 0] = m + jnp.log(l)
+
+
+def _fwd_packed(q, k, v, n, *, scale, causal, block_q, block_k):
+    b, sq, nd = q.shape
+    d = nd // n
+    sk = k.shape[1]
+    grid = (b, n, sq // block_q)
+    return pl.pallas_call(
+        functools.partial(_fwd_kernel_packed, scale=scale, causal=causal,
+                          block_k=block_k),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, block_q, d), lambda b_, h_, i: (b_, i, h_)),
+            pl.BlockSpec((1, sk, d), lambda b_, h_, i: (b_, 0, h_)),
+            pl.BlockSpec((1, sk, d), lambda b_, h_, i: (b_, 0, h_)),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, block_q, d), lambda b_, h_, i: (b_, i, h_)),
+            pl.BlockSpec((1, 1, block_q, 1),
+                         lambda b_, h_, i: (b_, h_, i, 0)),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((b, sq, nd), q.dtype),
+            jax.ShapeDtypeStruct((b, n, sq, 1), jnp.float32),
+        ],
+    )(q, k, v)
+
+
+def _bwd_dq_kernel_packed(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
+                          dq_ref, *, scale, causal, block_k):
+    bq, d = q_ref.shape[1], q_ref.shape[2]
+    sk = k_ref.shape[1]
+    i = pl.program_id(2)
+    n_kv = sk // block_k
+    q = q_ref[0].astype(jnp.float32)
+    do = do_ref[0].astype(jnp.float32)
+    lse = lse_ref[0, 0]
+    delta = delta_ref[0, 0]
+    if causal:
+        hi = jnp.minimum(jax.lax.div((i + 1) * bq + block_k - 1, block_k),
+                         n_kv)
+    else:
+        hi = n_kv
+
+    def body(j, dq):
+        k = k_ref[0, pl.ds(j * block_k, block_k), :].astype(jnp.float32)
+        v = v_ref[0, pl.ds(j * block_k, block_k), :].astype(jnp.float32)
+        s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
+                                preferred_element_type=jnp.float32) * scale
+        if causal:
+            qi = i * bq + jax.lax.broadcasted_iota(jnp.int32,
+                                                   (bq, block_k), 0)
+            ki = j * block_k + jax.lax.broadcasted_iota(jnp.int32,
+                                                        (bq, block_k), 1)
+            s = jnp.where(qi >= ki, s, NEG_INF)
+        p = jnp.exp(s - lse)
+        dp = jax.lax.dot_general(do, v, (((1,), (1,)), ((), ())),
+                                 preferred_element_type=jnp.float32)
+        ds = p * (dp - delta) * scale
+        return dq + jax.lax.dot_general(ds, k, (((1,), (0,)), ((), ())),
+                                        preferred_element_type=jnp.float32)
+
+    dq = jax.lax.fori_loop(0, hi, body, jnp.zeros((bq, d), jnp.float32))
+    dq_ref[0] = dq.astype(dq_ref.dtype)
+
+
+def _bwd_dkv_kernel_packed(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
+                           dk_ref, dv_ref, *, scale, causal, block_q):
+    bk, d = k_ref.shape[1], k_ref.shape[2]
+    sq = q_ref.shape[1]
+    j = pl.program_id(2)
+    n_q = sq // block_q
+    k = k_ref[0].astype(jnp.float32)
+    v = v_ref[0].astype(jnp.float32)
+    lo = jax.lax.div(j * bk, block_q) if causal else 0
+
+    def body(i, carry):
+        dk, dv = carry
+        q = q_ref[0, pl.ds(i * block_q, block_q), :].astype(jnp.float32)
+        do = do_ref[0, pl.ds(i * block_q, block_q), :].astype(jnp.float32)
+        lse = lse_ref[0, 0, pl.ds(i * block_q, block_q), :]
+        delta = delta_ref[0, 0, pl.ds(i * block_q, block_q), :]
+        s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
+                                preferred_element_type=jnp.float32) * scale
+        if causal:
+            qi = i * block_q + jax.lax.broadcasted_iota(jnp.int32,
+                                                        (block_q, bk), 0)
+            ki = j * bk + jax.lax.broadcasted_iota(jnp.int32,
+                                                   (block_q, bk), 1)
+            s = jnp.where(qi >= ki, s, NEG_INF)
+        p = jnp.exp(s - lse)
+        dv = dv + jax.lax.dot_general(p, do, (((0,), (0,)), ((), ())),
+                                      preferred_element_type=jnp.float32)
+        dp = jax.lax.dot_general(do, v, (((1,), (1,)), ((), ())),
+                                 preferred_element_type=jnp.float32)
+        ds = p * (dp - delta) * scale
+        dk = dk + jax.lax.dot_general(ds, q, (((0,), (0,)), ((), ())),
+                                      preferred_element_type=jnp.float32)
+        return dk, dv
+
+    dk, dv = jax.lax.fori_loop(lo, n_q, body,
+                               (jnp.zeros((bk, d), jnp.float32),
+                                jnp.zeros((bk, d), jnp.float32)))
+    dk_ref[0] = dk.astype(dk_ref.dtype)
+    dv_ref[0] = dv.astype(dv_ref.dtype)
+
+
+def _bwd_packed(n, scale, causal, block_q, block_k, res, g):
+    q, k, v, out, lse = res
+    b, sq, nd = q.shape
+    d = nd // n
+    sk = k.shape[1]
+    do = g
+    # delta = rowsum(do * out) per head: [B, n, Sq, 1]
+    prod = (do.astype(jnp.float32) * out.astype(jnp.float32)).reshape(
+        b, sq, n, d).sum(-1)
+    delta = prod.transpose(0, 2, 1)[..., None]
+
+    dq = pl.pallas_call(
+        functools.partial(_bwd_dq_kernel_packed, scale=scale, causal=causal,
+                          block_k=block_k),
+        grid=(b, n, sq // block_q),
+        in_specs=[
+            pl.BlockSpec((1, block_q, d), lambda b_, h_, i: (b_, i, h_)),
+            pl.BlockSpec((1, sk, d), lambda b_, h_, i: (b_, 0, h_)),
+            pl.BlockSpec((1, sk, d), lambda b_, h_, i: (b_, 0, h_)),
+            pl.BlockSpec((1, block_q, d), lambda b_, h_, i: (b_, i, h_)),
+            pl.BlockSpec((1, 1, block_q, 1),
+                         lambda b_, h_, i: (b_, h_, i, 0)),
+            pl.BlockSpec((1, 1, block_q, 1),
+                         lambda b_, h_, i: (b_, h_, i, 0)),
+        ],
+        out_specs=pl.BlockSpec((1, block_q, d),
+                               lambda b_, h_, i: (b_, i, h_)),
+        out_shape=jax.ShapeDtypeStruct((b, sq, nd), q.dtype),
+    )(q, k, v, do, lse, delta)
+
+    dk, dv = pl.pallas_call(
+        functools.partial(_bwd_dkv_kernel_packed, scale=scale,
+                          causal=causal, block_q=block_q),
+        grid=(b, n, sk // block_k),
+        in_specs=[
+            pl.BlockSpec((1, sq, d), lambda b_, h_, j: (b_, 0, h_)),
+            pl.BlockSpec((1, block_k, d), lambda b_, h_, j: (b_, j, h_)),
+            pl.BlockSpec((1, block_k, d), lambda b_, h_, j: (b_, j, h_)),
+            pl.BlockSpec((1, sq, d), lambda b_, h_, j: (b_, 0, h_)),
+            pl.BlockSpec((1, 1, sq, 1), lambda b_, h_, j: (b_, h_, 0, 0)),
+            pl.BlockSpec((1, 1, sq, 1), lambda b_, h_, j: (b_, h_, 0, 0)),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, block_k, d), lambda b_, h_, j: (b_, j, h_)),
+            pl.BlockSpec((1, block_k, d), lambda b_, h_, j: (b_, j, h_)),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((b, sk, nd), k.dtype),
+            jax.ShapeDtypeStruct((b, sk, nd), v.dtype),
+        ],
+    )(q, k, v, do, lse, delta)
+    return dq, dk, dv
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6, 7))
+def _flash_packed(q, k, v, n, scale, causal, block_q, block_k):
+    out, _ = _fwd_packed(q, k, v, n, scale=scale, causal=causal,
+                         block_q=block_q, block_k=block_k)
+    return out
+
+
+def _flash_packed_fwd(q, k, v, n, scale, causal, block_q, block_k):
+    out, lse = _fwd_packed(q, k, v, n, scale=scale, causal=causal,
+                           block_q=block_q, block_k=block_k)
+    return out, (q, k, v, out, lse)
+
+
+def _flash_packed_bwd(n, scale, causal, block_q, block_k, res, g):
+    return _bwd_packed(n, scale, causal, block_q, block_k, res, g)
+
+
+_flash_packed.defvjp(_flash_packed_fwd, _flash_packed_bwd)
+
+
+def flash_attention_packed(q, k, v, n_heads: int, *, causal: bool = False,
+                           scale: Optional[float] = None,
+                           block_q: int = 512, block_k: int = 512):
+    """Flash attention over packed [B, S, n_heads*d] layouts (no head
+    transposes).  Sq must equal Sk when causal."""
+    b, sq, nd = q.shape
+    d = nd // n_heads
+    if scale is None:
+        scale = d ** -0.5
+    sk = k.shape[1]
+    if sq % 128 or sk % 128:
+        bq, bk = sq, sk  # whole-sequence blocks (no-pad rule)
+    else:
+        bq = min(_pick_block(sq), block_q)
+        bk = min(_pick_block(sk), block_k)
+    return _flash_packed(q, k, v, n_heads, float(scale), bool(causal),
+                         bq, bk)
