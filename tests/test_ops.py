@@ -203,7 +203,7 @@ def test_flash_attention_packed_matches_reference(rng):
 
     from youku_mplug_tpu.ops.flash_attention import flash_attention_packed
 
-    b, n, s, d = 2, 3, 208, 32
+    b, n, s, d = 2, 3, 208, 128
     q = jnp.asarray(rng.normal(size=(b, s, n * d)), jnp.float32)
     k = jnp.asarray(rng.normal(size=(b, s, n * d)), jnp.float32)
     v = jnp.asarray(rng.normal(size=(b, s, n * d)), jnp.float32)

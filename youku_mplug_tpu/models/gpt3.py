@@ -137,6 +137,7 @@ class GPT3Attention(nn.Module):
 
         import os
         packed = (cache is None and jax.default_backend() == "tpu"
+                  and d % 128 == 0
                   and os.environ.get("YOUKU_PACKED_FLASH", "0") == "1")
         if packed:
             # packed layout: [B, S, n*d] straight into the pallas kernel —

@@ -587,6 +587,13 @@ def flash_attention_packed(q, k, v, n_heads: int, *, causal: bool = False,
     transposes).  Sq must equal Sk when causal."""
     b, sq, nd = q.shape
     d = nd // n_heads
+    if d % 128 != 0:
+        # Mosaic requires last-dim blocks divisible by 128 (or full); a
+        # d=64 head strip can't be sliced from the packed dim.  The
+        # two-heads-per-128-lane-block variant is the round-2 follow-up.
+        raise ValueError(
+            f"flash_attention_packed requires head_dim % 128 == 0 on TPU "
+            f"(got {d}); use flash_attention for smaller heads")
     if scale is None:
         scale = d ** -0.5
     sk = k.shape[1]
