@@ -174,3 +174,23 @@ def test_cls_evaluate_only_resume(tmp_path):
     log = [_json.loads(l) for l in open(tmp_path / "out" / "log.txt")]
     tests = [e for e in log if "test" in e]
     assert len(tests) >= 2  # one from training run, one from eval-only
+
+    # --resume pointing at the TRAINED dir with a FRESH output_dir must
+    # restore the trained weights, not evaluate a fresh init
+    out2 = str(tmp_path / "out_fresh")
+    args = common.base_parser("t").parse_args([
+        "--config", cfg, "--output_dir", out2, "--fp32",
+        "--synthetic_data", "--max_steps", "2", "--seed", "0",
+        "--evaluate_only", "--resume", out])
+    runner = run_cls.main(args)
+    assert int(runner.state.step) > 0  # restored from external dir
+
+    # --evaluate_only with no checkpoint anywhere must fail loudly
+    import pytest as _pytest
+
+    args = common.base_parser("t").parse_args([
+        "--config", cfg, "--output_dir", str(tmp_path / "out_none"),
+        "--fp32", "--synthetic_data", "--max_steps", "2", "--seed", "0",
+        "--evaluate_only"])
+    with _pytest.raises(FileNotFoundError):
+        run_cls.main(args)

@@ -77,3 +77,48 @@ def test_pretrain_end_to_end(tiny_config, tmp_path):
     runner2 = common.setup(args2, niter_per_ep=3)
     assert int(runner2.state.step) == int(runner.state.step)
     assert runner2.start_epoch == 2
+
+
+def test_resume_interpolates_vision_embeds(tiny_config, tmp_path):
+    """Resuming a checkpoint trained at T frames into a config with more
+    frames / a different resolution interpolates pos/temporal embeds
+    (reference run_cls_distributed_gpt3.py:332-340) instead of failing."""
+    import json as _json
+
+    import yaml as _yaml
+
+    from youku_mplug_tpu.cli import common, run_pretrain
+
+    out = str(tmp_path / "out_src")
+    args = common.base_parser("t").parse_args([
+        "--config", tiny_config, "--output_dir", out, "--fp32",
+        "--synthetic_data", "--max_steps", "2", "--seed", "0"])
+    runner = run_pretrain.main(args)
+    src_temb = np.asarray(
+        runner.params["visual_encoder"]["temporal_embed"], np.float32)
+    assert src_temb.shape[1] == 2
+
+    # new config: 4 frames and 48px (9 patches vs 4)
+    cfg = _yaml.safe_load(open(tiny_config))
+    vis = _json.load(open(cfg["visual_cfg"]))
+    vis.update(num_frames=4, img_size=48)
+    vis_path = str(tmp_path / "vision4.json")
+    _json.dump(vis, open(vis_path, "w"))
+    cfg.update(visual_cfg=vis_path, num_frames=4, image_res=48)
+    cfg_path = str(tmp_path / "pretrain4.yaml")
+    _yaml.safe_dump(cfg, open(cfg_path, "w"))
+
+    args2 = common.base_parser("t").parse_args([
+        "--config", cfg_path, "--output_dir", str(tmp_path / "out_dst"),
+        "--fp32", "--synthetic_data", "--max_steps", "2", "--seed", "1",
+        "--resume", out])
+    runner2 = common.setup(args2, niter_per_ep=2)
+    temb = np.asarray(
+        runner2.params["visual_encoder"]["temporal_embed"], np.float32)
+    assert temb.shape[1] == 4
+    # linear interpolation endpoints preserved
+    np.testing.assert_allclose(temb[:, 0], src_temb[:, 0], rtol=1e-5)
+    np.testing.assert_allclose(temb[:, -1], src_temb[:, -1], rtol=1e-5)
+    pos = np.asarray(
+        runner2.params["visual_encoder"]["pos_embed"], np.float32)
+    assert pos.shape[1] == 1 + (48 // 16) ** 2

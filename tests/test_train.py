@@ -130,6 +130,42 @@ def test_train_step_skips_nonfinite():
     assert not np.allclose(np.asarray(state2.trainable["w"]), np.ones(2))
 
 
+def test_update_freq_accumulates_full_batch():
+    """update_freq>1 takes raw [B, ...] batches, splits them into
+    micro-batches, and matches the single-step full-batch update
+    (reference update_freq semantics, run_pretrain:135-147)."""
+    cfg = OptimizerConfig(lr=0.05, min_lr=0.05, weight_decay=0.0,
+                          clip_grad=None, epochs=1, niter_per_ep=100,
+                          warmup_steps=0, freeze_text_decoder=False)
+
+    def loss_fn(p, batch, rng, step):
+        pred = batch["x"] @ p["w"]
+        return {"loss": jnp.mean((pred - batch["y"]) ** 2),
+                "aux": jnp.mean(batch["y"])}
+
+    batch = {"x": jnp.asarray(np.random.default_rng(0).normal(
+        size=(4, 3)).astype(np.float32)),
+        "y": jnp.asarray(np.arange(4.0, dtype=np.float32))}
+
+    def run(update_freq):
+        params = {"w": jnp.ones((3,))}
+        state, tx, _ = create_train_state(params, cfg)
+        step_fn = jax.jit(make_train_step(loss_fn, tx,
+                                          update_freq=update_freq))
+        state, metrics = step_fn(state, batch, jax.random.key(0))
+        return np.asarray(state.trainable["w"]), metrics
+
+    w1, m1 = run(1)
+    w2, m2 = run(2)
+    # mean-of-micro-losses == full-batch loss for equal micro sizes
+    np.testing.assert_allclose(float(m2["loss"]), float(m1["loss"]),
+                               rtol=1e-5)
+    np.testing.assert_allclose(w2, w1, rtol=1e-5)
+    # scalar aux metrics are averaged across micro-batches
+    np.testing.assert_allclose(float(m2["aux"]), float(m1["aux"]),
+                               rtol=1e-5)
+
+
 def test_checkpoint_roundtrip(tmp_path):
     from youku_mplug_tpu.train.checkpoint import CheckpointManager
 

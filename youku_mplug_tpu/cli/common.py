@@ -138,13 +138,25 @@ def setup(args, niter_per_ep: int = 1000) -> Runner:
                            enabled=is_main)
 
     start_epoch = 0
-    resume_dir = args.resume or (
-        args.output_dir if ckpt.latest_step() is not None else "")
-    if resume_dir and ckpt.latest_step() is not None:
-        step = ckpt.latest_step()
+    # --resume <dir> names an external run directory (reference --resume,
+    # run_cls_distributed_gpt3.py:317-340); without it, auto-resume from
+    # this run's own checkpoints.
+    ckpt_src = ckpt
+    if args.resume and os.path.abspath(args.resume) != os.path.abspath(
+            args.output_dir):
+        src_dir = os.path.join(args.resume, "checkpoints")
+        if not os.path.isdir(src_dir):
+            src_dir = args.resume  # already a checkpoints dir
+        ckpt_src = CheckpointManager(src_dir)
+    step = ckpt_src.latest_step()
+    if (args.resume or args.evaluate_only) and step is None:
+        raise FileNotFoundError(
+            f"--resume/--evaluate_only set but no checkpoint found under "
+            f"{ckpt_src.directory}")
+    if step is not None:
         with jax.set_mesh(mesh):
-            state = ckpt.restore(step, state)
-        meta = ckpt.restore_metadata(step) or {}
+            state = restore_with_resize(ckpt_src, step, state, mesh)
+        meta = ckpt_src.restore_metadata(step) or {}
         start_epoch = int(meta.get("epoch", 0))
         print(f"resumed from step {step} (epoch {start_epoch})", flush=True)
 
@@ -152,6 +164,65 @@ def setup(args, niter_per_ep: int = 1000) -> Runner:
                   tokenizer=tokenizer, state=state, tx=tx,
                   schedule=schedule, ckpt=ckpt, tb=tb,
                   start_epoch=start_epoch)
+
+
+def _resize_param_tree(raw: dict, tmpl: dict, path: str = "") -> dict:
+    """Adapt a raw checkpoint param subtree to the template's shapes.
+
+    Vision pos/temporal embeds are interpolated when the resume config
+    uses a different resolution or frame count than the checkpoint
+    (reference: run_cls_distributed_gpt3.py:332-340 bicubic pos-embed +
+    linear temporal-embed interpolation). Any other mismatch is an error.
+    """
+    from youku_mplug_tpu.models.importers import (
+        resize_pos_embed,
+        resize_temporal_embed,
+    )
+
+    out = {}
+    for k, v in raw.items():
+        t = tmpl[k]
+        if isinstance(v, dict):
+            out[k] = _resize_param_tree(v, t, path + k + "/")
+            continue
+        v = np.asarray(v)
+        if v.shape != t.shape:
+            if k == "pos_embed":
+                v = resize_pos_embed(v, int(t.shape[1]) - 1)
+            elif k == "temporal_embed":
+                v = resize_temporal_embed(v, int(t.shape[1]))
+            else:
+                raise ValueError(
+                    f"checkpoint/model shape mismatch at {path + k}: "
+                    f"{v.shape} vs {t.shape}")
+            print(f"resume: interpolated {path + k} -> {v.shape}",
+                  flush=True)
+        out[k] = jax.device_put(v.astype(t.dtype), t.sharding)
+    return out
+
+
+def restore_with_resize(ckpt: CheckpointManager, step: int,
+                        state: TrainState, mesh) -> TrainState:
+    """Exact restore, falling back to vision-embed interpolation.
+
+    The fallback matches the reference's finetune-from-pretrain semantics
+    (run_cls_distributed_gpt3.py:317-340): model weights are loaded with
+    pos/temporal embeds interpolated to the new shapes; optimizer state
+    starts fresh.
+    """
+    try:
+        return ckpt.restore(step, state)
+    except Exception as exact_err:
+        try:
+            raw = ckpt.restore_raw(step)
+            trainable = _resize_param_tree(raw["trainable"],
+                                           state.trainable)
+            frozen = _resize_param_tree(raw["frozen"], state.frozen)
+        except Exception:
+            raise exact_err
+        print("resume: checkpoint shapes differ from config — vision "
+              "embeds interpolated, optimizer state reset", flush=True)
+        return state.replace(trainable=trainable, frozen=frozen)
 
 
 def put_batch(mesh, batch: Dict[str, Any]) -> Dict[str, Any]:

@@ -151,6 +151,24 @@ def main(args):
     os.makedirs(args.output_dir, exist_ok=True)
     rng = jax.random.key(args.seed)
 
+    # restore: --resume <dir> beats this run's own checkpoints; loud
+    # failure when --evaluate_only finds nothing to score.
+    ckpt_src = ckpt
+    if args.resume and os.path.abspath(args.resume) != os.path.abspath(
+            args.output_dir):
+        src = os.path.join(args.resume, "checkpoints")
+        ckpt_src = CheckpointManager(
+            src if os.path.isdir(src) else args.resume)
+    step = ckpt_src.latest_step()
+    if (args.resume or args.evaluate_only) and step is None:
+        raise FileNotFoundError(
+            f"--resume/--evaluate_only set but no checkpoint under "
+            f"{ckpt_src.directory}")
+    if step is not None:
+        with jax.set_mesh(mesh):
+            state = common.restore_with_resize(ckpt_src, step, state, mesh)
+        print(f"resumed from step {step}", flush=True)
+
     if not args.evaluate_only:
         for epoch in range(cfg.epochs):
             loader.set_epoch(epoch)

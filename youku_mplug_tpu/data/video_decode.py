@@ -83,9 +83,22 @@ def _resolve_tar(video_path: str) -> str:
     out = os.path.join(cache, member)
     if not os.path.exists(out):
         os.makedirs(os.path.dirname(out), exist_ok=True)
-        with tarfile.open(archive) as tf:
-            with tf.extractfile(member) as src, open(out, "wb") as dst:
-                dst.write(src.read())
+        # extract to a unique temp file then atomically rename so
+        # concurrent loader workers never observe a partial file
+        fd, tmp = tempfile.mkstemp(dir=os.path.dirname(out),
+                                   prefix=".tarx_")
+        try:
+            with tarfile.open(archive) as tf:
+                with tf.extractfile(member) as src, \
+                        os.fdopen(fd, "wb") as dst:
+                    dst.write(src.read())
+            os.replace(tmp, out)
+        except BaseException:
+            try:
+                os.unlink(tmp)
+            except OSError:
+                pass
+            raise
     return out
 
 

@@ -88,6 +88,13 @@ def dot_product_attention(
     if use_flash and bias is None:
         from youku_mplug_tpu.ops import flash_attention as fa
 
+        # flash requires a static kv_len; per-sample [B] arrays only work
+        # on the reference path — fail loudly rather than mis-mask on TPU
+        if kv_len is not None and not isinstance(kv_len, int):
+            raise TypeError(
+                "flash_attention needs a static int kv_len; got "
+                f"{type(kv_len).__name__} — pass use_flash=False for "
+                "per-sample lengths")
         return fa.flash_attention(
             q, k, v, causal=causal, kv_len=kv_len, scale=scale)
     return mha_reference(

@@ -64,6 +64,19 @@ class CheckpointManager:
             args=ocp.args.Composite(state=ocp.args.StandardRestore(abstract)))
         return restored["state"]
 
+    def restore_raw(self, step: int):
+        """Restore the state pytree as saved, with no shape template.
+
+        Used by the resume-time embed-resize path (reference
+        run_cls_distributed_gpt3.py:332-340): when the current config's
+        pos/temporal embed shapes differ from the checkpoint's, the exact
+        template restore would fail, so the caller restores raw and
+        interpolates."""
+        restored = self._mngr.restore(
+            int(step),
+            args=ocp.args.Composite(state=ocp.args.StandardRestore()))
+        return restored["state"]
+
     def restore_metadata(self, step: int) -> Optional[dict]:
         try:
             out = self._mngr.restore(

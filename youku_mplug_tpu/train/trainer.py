@@ -46,7 +46,17 @@ def make_train_step(loss_fn: Callable, tx,
             loss, out, grads = compute_grads(
                 state.trainable, state.frozen, batch, rng, step)
         else:
-            # micro-batch accumulation: batch leaves are [update_freq, ...]
+            # micro-batch accumulation: split [B, ...] leaves into
+            # [update_freq, B//update_freq, ...] and scan
+            def split(x):
+                x = jnp.asarray(x)
+                if x.shape[0] % update_freq != 0:
+                    raise ValueError(
+                        f"batch dim {x.shape[0]} not divisible by "
+                        f"update_freq {update_freq}")
+                return x.reshape(update_freq, x.shape[0] // update_freq,
+                                 *x.shape[1:])
+
             def micro(carry, mb):
                 acc, loss_sum = carry
                 rng_i = jax.random.fold_in(rng, mb["_micro_index"])
@@ -55,13 +65,15 @@ def make_train_step(loss_fn: Callable, tx,
                 acc = jax.tree.map(jnp.add, acc, grads)
                 return (acc, loss_sum + loss), out
             zeros = jax.tree.map(jnp.zeros_like, state.trainable)
-            batch = dict(batch,
+            batch = dict(jax.tree.map(split, batch),
                          _micro_index=jnp.arange(update_freq))
             (grads, loss_sum), outs = jax.lax.scan(
                 micro, (zeros, jnp.float32(0)), batch)
             grads = jax.tree.map(lambda g: g / update_freq, grads)
             loss = loss_sum / update_freq
-            out = jax.tree.map(lambda x: x[-1], outs)
+            # scalar aux metrics: average across micro-batches
+            out = jax.tree.map(
+                lambda x: jnp.mean(x, 0) if x.ndim == 1 else x[-1], outs)
 
         grad_norm = optax.global_norm(grads)
         finite = jnp.isfinite(loss) & jnp.isfinite(grad_norm)
