@@ -68,6 +68,8 @@ class BertConfig:
     @classmethod
     def from_json_file(cls, path: str, **overrides) -> "BertConfig":
         raw = json.load(open(path))
+        if "fusion_layers" in raw:  # mPLUG JSON spells it plural
+            raw.setdefault("fusion_layer", raw["fusion_layers"])
         known = {f.name for f in dataclasses.fields(cls)}
         mapped = {k: v for k, v in raw.items() if k in known}
         mapped.update(overrides)
