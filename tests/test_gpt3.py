@@ -168,3 +168,73 @@ def test_eva_vit_g_preset_shapes():
     # mlp hidden uses the fractional ratio
     assert params["blocks_0"]["mlp"]["fc1_kernel"].shape[1] == int(
         176 * 4.3637)
+
+
+def test_attention_dropout_is_applied(model_and_params):
+    """attention_dropout > 0 must change the training forward in an
+    rng-dependent way (reference attn dropout under the RNG tracker,
+    modeling_distributed_gpt3.py:778-780) — and grads must depend on it."""
+    import dataclasses
+
+    model, params = model_and_params
+    cfg_d = dataclasses.replace(CFG, attention_dropout=0.5)
+    model_d = GPT3LM(cfg_d, policy=FP32_POLICY)
+    tokens = jnp.asarray(np.random.default_rng(2).integers(0, 97, (2, 8)))
+    labels = jnp.concatenate([tokens[:, 1:], tokens[:, :1]], axis=1)
+    mask = jnp.ones((2, 7), jnp.int32)
+
+    def loss(p, rng, model_, det):
+        out = model_.apply({"params": p}, tokens, labels=labels,
+                           loss_mask=mask, deterministic=det,
+                           rngs=None if det else {"dropout": rng})
+        return out["loss"]
+
+    l_det = loss(params, None, model_d, True)
+    l_a = loss(params, jax.random.key(1), model_d, False)
+    l_b = loss(params, jax.random.key(2), model_d, False)
+    # dropout active: rng-dependent, differs from deterministic
+    assert not np.isclose(float(l_a), float(l_b))
+    assert not np.isclose(float(l_a), float(l_det))
+    # rate 0: training forward == deterministic forward
+    l0 = loss(params, jax.random.key(1), model, False)
+    np.testing.assert_allclose(float(l0), float(loss(params, None, model,
+                                                     True)), rtol=1e-6)
+    # grads are rng-dependent too
+    g_a = jax.grad(lambda p: loss(p, jax.random.key(1), model_d, False))(
+        params)
+    g_b = jax.grad(lambda p: loss(p, jax.random.key(2), model_d, False))(
+        params)
+    leaf_a = g_a["decoder"]["layers"]["attn"]["qkv_kernel"]
+    leaf_b = g_b["decoder"]["layers"]["attn"]["qkv_kernel"]
+    assert not np.allclose(np.asarray(leaf_a), np.asarray(leaf_b))
+
+
+def test_vision_attention_dropout_is_applied():
+    import dataclasses
+
+    from youku_mplug_tpu.models.vision import TimeSformer, VisionConfig
+
+    cfg = VisionConfig(img_size=32, patch_size=16, embed_dim=32, depth=1,
+                       num_heads=2, num_frames=2, mlp_ratio=2.0,
+                       attn_drop_rate=0.5)
+    model = TimeSformer(cfg, policy=FP32_POLICY)
+    video = jnp.asarray(np.random.default_rng(0).normal(
+        size=(1, 3, 2, 32, 32)).astype(np.float32))
+    params = model.init(jax.random.key(0), video)["params"]
+
+    def fwd(rng, det):
+        cls, _ = model.apply({"params": params}, video, deterministic=det,
+                             rngs=None if det else {"dropout": rng})
+        return np.asarray(cls)
+
+    a = fwd(jax.random.key(1), False)
+    b = fwd(jax.random.key(2), False)
+    assert not np.allclose(a, b)
+    # rate 0 path unchanged
+    cfg0 = dataclasses.replace(cfg, attn_drop_rate=0.0)
+    model0 = TimeSformer(cfg0, policy=FP32_POLICY)
+    a0 = model0.apply({"params": params}, video, deterministic=False,
+                      rngs={"dropout": jax.random.key(1)})
+    d0 = model0.apply({"params": params}, video, deterministic=True)
+    np.testing.assert_allclose(np.asarray(a0[0]), np.asarray(d0[0]),
+                               rtol=1e-6)

@@ -135,9 +135,11 @@ class GPT3Attention(nn.Module):
         qkv = jnp.einsum("bsh,hcnd->bcsnd", x, qkv_kernel.astype(dtype))
         qkv = qkv + qkv_bias.astype(dtype)[None, :, None]
 
+        attn_drop = cfg.attention_dropout if not deterministic else 0.0
+
         import os
         packed = (cache is None and jax.default_backend() == "tpu"
-                  and d % 128 == 0
+                  and d % 128 == 0 and attn_drop == 0.0
                   and os.environ.get("YOUKU_PACKED_FLASH", "0") == "1")
         if packed:
             # packed layout: [B, S, n*d] straight into the pallas kernel —
@@ -162,7 +164,14 @@ class GPT3Attention(nn.Module):
 
         new_cache = None
         if cache is None:
-            out = dot_product_attention(q, k, v, causal=True)
+            # attention-probability dropout (reference partition-local attn
+            # dropout, modeling_distributed_gpt3.py:778-780); active only on
+            # an unfrozen training decoder
+            drop_rng = (self.make_rng("dropout") if attn_drop > 0.0
+                        else None)
+            out = dot_product_attention(q, k, v, causal=True,
+                                        dropout_rate=attn_drop,
+                                        dropout_rng=drop_rng)
             # named checkpoint: the "attn" remat policy saves this tensor so
             # backward recompute skips the attention kernel entirely
             from jax.ad_checkpoint import checkpoint_name

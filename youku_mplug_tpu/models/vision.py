@@ -143,7 +143,11 @@ class VisionAttention(nn.Module):
         v = qkv[:, 2] + v_bias.astype(x.dtype)
         # [B, S, n, d] -> [B, n, S, d]
         q, k, v = (jnp.moveaxis(t, 2, 1) for t in (q, k, v))
-        out = dot_product_attention(q, k, v, causal=self.causal)
+        drop = self.attn_drop if not deterministic else 0.0
+        drop_rng = self.make_rng("dropout") if drop > 0.0 else None
+        out = dot_product_attention(q, k, v, causal=self.causal,
+                                    dropout_rate=drop,
+                                    dropout_rng=drop_rng)
         out = jnp.moveaxis(out, 1, 2)
         y = jnp.einsum("bsnd,ndh->bsh", out, proj_kernel.astype(out.dtype))
         y = y + proj_bias.astype(y.dtype)
@@ -204,6 +208,7 @@ class SpaceTimeBlock(nn.Module):
         xt = LayerNormFP32(c, cfg.ln_eps, name="temporal_ln")(xt)
         xt = VisionAttention(
             c, cfg.num_heads, init_std=cfg.init_std, proj_scale=1.0,
+            attn_drop=cfg.attn_drop_rate,
             name="temporal_attn")(xt, deterministic)
         temporal_fc_kernel = self.param(
             "temporal_fc_kernel",
@@ -223,6 +228,7 @@ class SpaceTimeBlock(nn.Module):
         xs = LayerNormFP32(c, cfg.ln_eps, name="norm1")(xs)
         xs = VisionAttention(
             c, cfg.num_heads, init_std=cfg.init_std, proj_scale=proj_scale,
+            attn_drop=cfg.attn_drop_rate,
             name="attn")(xs, deterministic)
         cls_new = jnp.mean(xs[:, :, 0, :], axis=1)  # mean over frames
         xs = xs[:, :, 1:, :].transpose(0, 2, 1, 3)  # [B, N, T, C]
@@ -353,7 +359,8 @@ class PlainBlock(nn.Module):
         proj_scale = (2.0 * self.layer_id) ** 0.5
         h = LayerNormFP32(c, cfg.ln_eps, name="norm1")(x)
         h = VisionAttention(c, cfg.num_heads, init_std=cfg.init_std,
-                            proj_scale=proj_scale, name="attn")(
+                            proj_scale=proj_scale,
+                            attn_drop=cfg.attn_drop_rate, name="attn")(
             h, deterministic)
         if self.drop_path > 0 and not deterministic:
             h = _drop_path(h, self.drop_path, deterministic,

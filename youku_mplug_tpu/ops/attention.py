@@ -37,11 +37,16 @@ def mha_reference(
     kv_len: Optional[jax.Array] = None,
     bias: Optional[jax.Array] = None,
     scale: Optional[float] = None,
+    dropout_rate: float = 0.0,
+    dropout_rng: Optional[jax.Array] = None,
 ) -> jax.Array:
     """Plain attention. q,k,v: [B, H, S, D]. fp32 softmax, returns q.dtype.
 
     kv_len: optional [B] int array — keys at positions >= kv_len are masked
     (used for padded variable-length batches).
+    dropout_rate/dropout_rng: attention-probability dropout (reference
+    modeling_distributed_gpt3.py:778-780 / vision attn_drop) — inverted
+    scaling, applied post-softmax.
     """
     orig_dtype = q.dtype
     if scale is None:
@@ -60,6 +65,12 @@ def mha_reference(
         ki = jnp.arange(k.shape[2])[None, None, None, :]
         s = jnp.where(ki < kv_len[:, None, None, None], s, mask_value)
     p = jax.nn.softmax(s, axis=-1)
+    if dropout_rate > 0.0:
+        if dropout_rng is None:
+            raise ValueError("dropout_rate > 0 requires dropout_rng")
+        keep = jax.random.bernoulli(dropout_rng, 1.0 - dropout_rate,
+                                    p.shape)
+        p = jnp.where(keep, p / (1.0 - dropout_rate), 0.0)
     out = jnp.einsum("bhqk,bhkd->bhqd", p.astype(orig_dtype), v)
     return out
 
@@ -74,8 +85,16 @@ def dot_product_attention(
     bias: Optional[jax.Array] = None,
     scale: Optional[float] = None,
     use_flash: Optional[bool] = None,
+    dropout_rate: float = 0.0,
+    dropout_rng: Optional[jax.Array] = None,
 ) -> jax.Array:
-    """Backend-dispatched attention. q,k,v: [B, H, S, D]."""
+    """Backend-dispatched attention. q,k,v: [B, H, S, D].
+
+    Attention-probability dropout runs on the reference path (the flash
+    kernel is inference/frozen-training fast path; training WITH attn
+    dropout falls back — same numerics as the reference's partition-local
+    dropout under the RNG tracker, distributed_gpt3.py:778-780).
+    """
     if use_flash is None:
         import os
 
@@ -83,8 +102,13 @@ def dot_product_attention(
             jax.default_backend() == "tpu"
             and os.environ.get("YOUKU_DISABLE_FLASH", "0") != "1"
             and bias is None
+            and dropout_rate == 0.0
             and q.shape[2] >= 128  # flash pays off past one query block
         )
+    if use_flash and dropout_rate > 0.0:
+        raise ValueError(
+            "flash attention does not implement attention dropout; "
+            "leave use_flash unset to fall back automatically")
     if use_flash and bias is None:
         from youku_mplug_tpu.ops import flash_attention as fa
 
@@ -98,4 +122,5 @@ def dot_product_attention(
         return fa.flash_attention(
             q, k, v, causal=causal, kv_len=kv_len, scale=scale)
     return mha_reference(
-        q, k, v, causal=causal, kv_len=kv_len, bias=bias, scale=scale)
+        q, k, v, causal=causal, kv_len=kv_len, bias=bias, scale=scale,
+        dropout_rate=dropout_rate, dropout_rng=dropout_rng)
