@@ -84,7 +84,17 @@ def main():
     from youku_mplug_tpu.train.trainer import make_train_step
     import __graft_entry__ as ge
 
-    cfg = ge._flagship_cfg()
+    # experiment knobs (env overrides live HERE, not in model code)
+    remat_env = os.environ.get("BENCH_REMAT", "1")
+    cfg = ge._flagship_cfg(
+        scan_layers=os.environ.get("BENCH_SCAN", "1") == "1",
+        remat=remat_env != "0",
+        remat_policy=(remat_env if remat_env in ("dots", "attn", "offload")
+                      else "nothing"),
+        ce_chunk=int(os.environ.get("BENCH_CE_CHUNK", "16")),
+        grad_ckpt=os.environ.get("BENCH_VIS_CKPT", "1") == "1",
+        use_packed_flash=os.environ.get("BENCH_PACKED", "1") == "1",
+    )
     model, params, video, ids, mask = ge._build(
         cfg, batch=batch, max_length=seq_text)
 

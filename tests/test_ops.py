@@ -229,3 +229,53 @@ def test_flash_attention_packed_matches_reference(rng):
     ))(q)
     np.testing.assert_allclose(np.asarray(g), np.asarray(g_ref),
                                rtol=2e-3, atol=2e-3)
+
+
+@pytest.mark.parametrize("n,s,d", [(4, 208, 64), (2, 197, 64)],
+                         ids=["decoder-geom", "vision-geom"])
+def test_flash_attention_packed_subhead_strips(rng, n, s, d):
+    """d=64 packs two heads per 128-lane strip (the hot geometry of both
+    production loops); outputs and all three grads must match plain
+    attention."""
+    import functools
+    import unittest.mock as mock
+
+    from jax.experimental import pallas as pl
+
+    from youku_mplug_tpu.ops.flash_attention import flash_attention_packed
+
+    b = 2
+    q = jnp.asarray(rng.normal(size=(b, s, n * d)), jnp.float32)
+    k = jnp.asarray(rng.normal(size=(b, s, n * d)), jnp.float32)
+    v = jnp.asarray(rng.normal(size=(b, s, n * d)), jnp.float32)
+
+    def unpack(t):
+        return t.reshape(b, s, n, d).transpose(0, 2, 1, 3)
+
+    def pack(t):
+        return t.transpose(0, 2, 1, 3).reshape(b, s, n * d)
+
+    with mock.patch.object(
+            pl, "pallas_call",
+            functools.partial(pl.pallas_call, interpret=True)):
+        for causal in (False, True):
+            got = flash_attention_packed(q, k, v, n, causal=causal)
+            want = pack(mha_reference(unpack(q), unpack(k), unpack(v),
+                                      causal=causal))
+            np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                       rtol=2e-3, atol=2e-3)
+
+        def loss(q_, k_, v_):
+            return jnp.sum(flash_attention_packed(
+                q_, k_, v_, n, causal=True) ** 2)
+
+        grads = jax.grad(loss, argnums=(0, 1, 2))(q, k, v)
+
+    def loss_ref(q_, k_, v_):
+        return jnp.sum(pack(mha_reference(
+            unpack(q_), unpack(k_), unpack(v_), causal=True)) ** 2)
+
+    grads_ref = jax.grad(loss_ref, argnums=(0, 1, 2))(q, k, v)
+    for a, b_ in zip(grads, grads_ref):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b_),
+                                   rtol=2e-3, atol=2e-3)

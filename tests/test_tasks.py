@@ -166,3 +166,48 @@ def test_batch_tokenizer_plain():
     # round-trip detokenize drops specials
     text = tok.decode(out["input_ids"][0][:out["attention_mask"][0].sum()])
     assert isinstance(text, str)
+
+
+def test_eva_vit_sharding_rules():
+    """EVA-style vision params must land on the model axis (VERDICT: a
+    1.9B encoder cannot be replicated per device; ref eva_vit.py:413-427)
+    and a sharded forward must run on the mesh."""
+    import dataclasses
+
+    import jax
+    import jax.numpy as jnp
+    import jax.tree_util as jtu
+    import numpy as np
+
+    from youku_mplug_tpu.models.vision import EVA_VIT_G, VisionTransformer
+    from youku_mplug_tpu.parallel.sharding import (
+        GPT3_SHARDING_RULES,
+        shard_params,
+    )
+    from youku_mplug_tpu.runtime.mesh import MeshConfig, make_mesh
+    from youku_mplug_tpu.runtime.precision import FP32_POLICY
+
+    # EVA-g geometry scaled down: same param paths, mesh-divisible dims
+    tiny = dataclasses.replace(EVA_VIT_G, img_size=28, patch_size=14,
+                               depth=2, embed_dim=32, num_heads=4,
+                               mlp_ratio=2.0, grad_ckpt=False, drop_path=0.0)
+    model = VisionTransformer(tiny, policy=FP32_POLICY)
+    imgs = jnp.zeros((4, 3, 28, 28), jnp.float32)
+    mesh = make_mesh(MeshConfig(data=4, model=2))
+    with jax.set_mesh(mesh):
+        params = model.init(jax.random.key(0), imgs)["params"]
+        params = shard_params(params, mesh, GPT3_SHARDING_RULES)
+
+        specs = {jtu.keystr(p): l.sharding.spec
+                 for p, l in jtu.tree_flatten_with_path(params)[0]}
+        qkv = specs["['blocks_0']['attn']['qkv_kernel']"]
+        assert "model" in qkv, qkv
+        assert "model" in specs["['blocks_0']['attn']['proj_kernel']"]
+        assert "model" in specs["['blocks_0']['attn']['q_bias']"]
+        assert "model" in specs["['blocks_0']['mlp']['fc1_kernel']"]
+        assert "model" in specs["['blocks_0']['mlp']['fc2_kernel']"]
+
+        cls, tokens = jax.jit(
+            lambda p, x: model.apply({"params": p}, x))(params, imgs)
+    assert np.isfinite(np.asarray(cls)).all()
+    assert tokens.shape == (4, 1 + (28 // 14) ** 2, 32)

@@ -76,6 +76,9 @@ class GPT3Config:
     remat: bool = False
     remat_policy: str = "nothing"  # "nothing" | "dots" | "attn"
     ce_chunk: int = 0
+    # packed-layout flash attention ([B,S,n*d], no head transposes; d<128
+    # heads run 128//d per lane strip) — the TPU production path
+    use_packed_flash: bool = True
 
     @property
     def ffn_dim(self) -> int:
@@ -137,17 +140,17 @@ class GPT3Attention(nn.Module):
 
         attn_drop = cfg.attention_dropout if not deterministic else 0.0
 
-        import os
+        from youku_mplug_tpu.ops.flash_attention import (
+            flash_attention_packed,
+            packed_supported,
+        )
+
         packed = (cache is None and jax.default_backend() == "tpu"
-                  and d % 128 == 0 and attn_drop == 0.0
-                  and os.environ.get("YOUKU_PACKED_FLASH", "0") == "1")
+                  and cfg.use_packed_flash and attn_drop == 0.0
+                  and packed_supported(n, d))
         if packed:
             # packed layout: [B, S, n*d] straight into the pallas kernel —
             # no per-head transposes (the profile's 'copy' tax)
-            from youku_mplug_tpu.ops.flash_attention import (
-                flash_attention_packed,
-            )
-
             b_, s_ = x.shape[:2]
             qp, kp, vp = (qkv[:, i].reshape(b_, s_, n * d)
                           for i in range(3))
@@ -155,8 +158,8 @@ class GPT3Attention(nn.Module):
             from jax.ad_checkpoint import checkpoint_name
             out_p = checkpoint_name(out_p, "attn_out")
             y = jnp.einsum(
-                "bsnd,ndh->bsh", out_p.reshape(b_, s_, n, d),
-                out_kernel.astype(out_p.dtype))
+                "bsk,kh->bsh", out_p,
+                out_kernel.reshape(n * d, h).astype(out_p.dtype))
             y = y + out_bias.astype(y.dtype)
             return y, None
 

@@ -138,12 +138,33 @@ class VisionAttention(nn.Module):
         s = x.shape[-2]
         xf = x.reshape((-1, s, self.dim))
         qkv = jnp.einsum("bsh,hcnd->bcsnd", xf, qkv_kernel.astype(x.dtype))
+        drop = self.attn_drop if not deterministic else 0.0
+
+        from youku_mplug_tpu.ops.flash_attention import (
+            flash_attention_packed,
+            packed_supported,
+        )
+
+        if (jax.default_backend() == "tpu" and drop == 0.0
+                and not self.causal and s >= 128
+                and packed_supported(n, d)):
+            # packed path: keep [B, S, n*d] end to end (no head transposes)
+            bf = xf.shape[0]
+            qp = (qkv[:, 0] + q_bias.astype(x.dtype)).reshape(bf, s, n * d)
+            kp = qkv[:, 1].reshape(bf, s, n * d)
+            vp = (qkv[:, 2] + v_bias.astype(x.dtype)).reshape(bf, s, n * d)
+            out_p = flash_attention_packed(qp, kp, vp, n)
+            y = jnp.einsum("bsk,kh->bsh", out_p,
+                           proj_kernel.reshape(n * d, self.dim).astype(
+                               out_p.dtype))
+            y = y + proj_bias.astype(y.dtype)
+            return y.reshape(lead + (s, self.dim))
+
         q = qkv[:, 0] + q_bias.astype(x.dtype)
         k = qkv[:, 1]
         v = qkv[:, 2] + v_bias.astype(x.dtype)
         # [B, S, n, d] -> [B, n, S, d]
         q, k, v = (jnp.moveaxis(t, 2, 1) for t in (q, k, v))
-        drop = self.attn_drop if not deterministic else 0.0
         drop_rng = self.make_rng("dropout") if drop > 0.0 else None
         out = dot_product_attention(q, k, v, causal=self.causal,
                                     dropout_rate=drop,

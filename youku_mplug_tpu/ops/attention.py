@@ -96,11 +96,8 @@ def dot_product_attention(
     dropout under the RNG tracker, distributed_gpt3.py:778-780).
     """
     if use_flash is None:
-        import os
-
         use_flash = (
             jax.default_backend() == "tpu"
-            and os.environ.get("YOUKU_DISABLE_FLASH", "0") != "1"
             and bias is None
             and dropout_rate == 0.0
             and q.shape[2] >= 128  # flash pays off past one query block

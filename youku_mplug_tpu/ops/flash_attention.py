@@ -351,16 +351,33 @@ def flash_attention(
 
 
 # ---------------------------------------------------------------------------
-# Packed-layout variant: q/k/v in [B, S, n_heads*d].  The BlockSpec slices
-# each head's d-wide strip straight out of the packed last dim, so the
-# model never materializes the [B, n, S, d] transpose (the 'copy' tax in
-# profiles).  Same math, same masks; lse kept as [B, n, Sq, 1].
+# Packed-layout variant: q/k/v in [B, S, n_heads*d].  The BlockSpec slices a
+# 128-lane strip straight out of the packed last dim, so the model never
+# materializes the [B, n, S, d] transpose (the 'copy' tax in profiles).
+# When d < 128 (e.g. the d=64 decoder/vision heads) a strip holds
+# g = 128 // d heads; the kernel runs g independent online softmaxes over
+# lane sub-slices of the strip.  Same math, same masks; lse is [B, n/g, Sq, g].
 # ---------------------------------------------------------------------------
 
 
+def _strip_geometry(n: int, d: int):
+    """-> (g, width): heads per 128-lane strip and strip width in lanes."""
+    if d % 128 == 0:
+        return 1, d
+    if 128 % d == 0 and n % (128 // d) == 0:
+        return 128 // d, 128
+    return None, None
+
+
+def packed_supported(n_heads: int, head_dim: int) -> bool:
+    """True when the packed [B,S,n*d] kernel can handle this geometry."""
+    return _strip_geometry(n_heads, head_dim)[0] is not None
+
+
 def _fwd_kernel_packed(q_ref, k_ref, v_ref, o_ref, lse_ref, *, scale,
-                       causal, block_k):
-    bq, d = q_ref.shape[1], q_ref.shape[2]
+                       causal, block_k, g):
+    bq, w = q_ref.shape[1], q_ref.shape[2]
+    d = w // g
     sk = k_ref.shape[1]
     i = pl.program_id(2)
     n_kv = sk // block_k
@@ -372,102 +389,138 @@ def _fwd_kernel_packed(q_ref, k_ref, v_ref, o_ref, lse_ref, *, scale,
         hi = n_kv
 
     def body(j, carry):
-        acc, m, l = carry
-        k = k_ref[0, pl.ds(j * block_k, block_k), :].astype(jnp.float32)
-        v = v_ref[0, pl.ds(j * block_k, block_k), :]
-        s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
-                                preferred_element_type=jnp.float32) * scale
+        accs, ms, ls = carry
+        kk = k_ref[0, pl.ds(j * block_k, block_k), :].astype(jnp.float32)
+        vv = v_ref[0, pl.ds(j * block_k, block_k), :]
         if causal:
             qi = i * bq + jax.lax.broadcasted_iota(jnp.int32,
                                                    (bq, block_k), 0)
             ki = j * block_k + jax.lax.broadcasted_iota(jnp.int32,
                                                         (bq, block_k), 1)
-            s = jnp.where(qi >= ki, s, NEG_INF)
-        m_new = jnp.maximum(m, jnp.max(s, axis=1, keepdims=True))
-        alpha = jnp.exp(m - m_new)
-        p = jnp.exp(s - m_new)
-        l = l * alpha + jnp.sum(p, axis=1, keepdims=True)
-        pv = jax.lax.dot_general(p.astype(v.dtype), v,
-                                 (((1,), (0,)), ((), ())),
-                                 preferred_element_type=jnp.float32)
-        return acc * alpha + pv, m_new, l
+            mask = qi >= ki
+        accs_n, ms_n, ls_n = [], [], []
+        for h in range(g):
+            sl = slice(h * d, (h + 1) * d)
+            s = jax.lax.dot_general(
+                q[:, sl], kk[:, sl], (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32) * scale
+            if causal:
+                s = jnp.where(mask, s, NEG_INF)
+            m_new = jnp.maximum(ms[h], jnp.max(s, axis=1, keepdims=True))
+            alpha = jnp.exp(ms[h] - m_new)
+            p = jnp.exp(s - m_new)
+            l_new = ls[h] * alpha + jnp.sum(p, axis=1, keepdims=True)
+            pv = jax.lax.dot_general(
+                p.astype(vv.dtype), vv[:, sl], (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
+            accs_n.append(accs[h] * alpha + pv)
+            ms_n.append(m_new)
+            ls_n.append(l_new)
+        return tuple(accs_n), tuple(ms_n), tuple(ls_n)
 
-    acc, m, l = jax.lax.fori_loop(
-        0, hi, body, (jnp.zeros((bq, d), jnp.float32),
-                      jnp.full((bq, 1), NEG_INF, jnp.float32),
-                      jnp.zeros((bq, 1), jnp.float32)))
-    l = jnp.maximum(l, 1e-30)
-    o_ref[0] = (acc / l).astype(o_ref.dtype)
-    lse_ref[0, 0] = m + jnp.log(l)
+    init = (tuple(jnp.zeros((bq, d), jnp.float32) for _ in range(g)),
+            tuple(jnp.full((bq, 1), NEG_INF, jnp.float32) for _ in range(g)),
+            tuple(jnp.zeros((bq, 1), jnp.float32) for _ in range(g)))
+    accs, ms, ls = jax.lax.fori_loop(0, hi, body, init)
+    outs, lses = [], []
+    for h in range(g):
+        l = jnp.maximum(ls[h], 1e-30)
+        outs.append(accs[h] / l)
+        lses.append(ms[h] + jnp.log(l))
+    o_ref[0] = jnp.concatenate(outs, axis=1).astype(o_ref.dtype) \
+        if g > 1 else outs[0].astype(o_ref.dtype)
+    lse_ref[0, 0] = (jnp.concatenate(lses, axis=1)
+                     if g > 1 else lses[0])
 
 
 def _fwd_packed(q, k, v, n, *, scale, causal, block_q, block_k):
     b, sq, nd = q.shape
     d = nd // n
+    g, w = _strip_geometry(n, d)
     sk = k.shape[1]
-    grid = (b, n, sq // block_q)
+    grid = (b, n // g, sq // block_q)
     return pl.pallas_call(
         functools.partial(_fwd_kernel_packed, scale=scale, causal=causal,
-                          block_k=block_k),
+                          block_k=block_k, g=g),
         grid=grid,
         in_specs=[
-            pl.BlockSpec((1, block_q, d), lambda b_, h_, i: (b_, i, h_)),
-            pl.BlockSpec((1, sk, d), lambda b_, h_, i: (b_, 0, h_)),
-            pl.BlockSpec((1, sk, d), lambda b_, h_, i: (b_, 0, h_)),
+            pl.BlockSpec((1, block_q, w), lambda b_, h_, i: (b_, i, h_)),
+            pl.BlockSpec((1, sk, w), lambda b_, h_, i: (b_, 0, h_)),
+            pl.BlockSpec((1, sk, w), lambda b_, h_, i: (b_, 0, h_)),
         ],
         out_specs=[
-            pl.BlockSpec((1, block_q, d), lambda b_, h_, i: (b_, i, h_)),
-            pl.BlockSpec((1, 1, block_q, 1),
+            pl.BlockSpec((1, block_q, w), lambda b_, h_, i: (b_, i, h_)),
+            pl.BlockSpec((1, 1, block_q, g),
                          lambda b_, h_, i: (b_, h_, i, 0)),
         ],
         out_shape=[
             jax.ShapeDtypeStruct((b, sq, nd), q.dtype),
-            jax.ShapeDtypeStruct((b, n, sq, 1), jnp.float32),
+            jax.ShapeDtypeStruct((b, n // g, sq, g), jnp.float32),
         ],
+        cost_estimate=pl.CostEstimate(
+            flops=int(4 * b * n * sq * sk * d * (0.5 if causal else 1.0)),
+            bytes_accessed=int((2 * q.size + k.size + v.size)
+                               * q.dtype.itemsize),
+            transcendentals=int(b * n * sq * sk),
+        ),
     )(q, k, v)
 
 
 def _bwd_dq_kernel_packed(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
-                          dq_ref, *, scale, causal, block_k):
-    bq, d = q_ref.shape[1], q_ref.shape[2]
+                          dq_ref, *, scale, causal, block_k, g):
+    bq, w = q_ref.shape[1], q_ref.shape[2]
+    d = w // g
     sk = k_ref.shape[1]
     i = pl.program_id(2)
     n_kv = sk // block_k
     q = q_ref[0].astype(jnp.float32)
     do = do_ref[0].astype(jnp.float32)
-    lse = lse_ref[0, 0]
-    delta = delta_ref[0, 0]
+    lse = lse_ref[0, 0]      # [bq, g]
+    delta = delta_ref[0, 0]  # [bq, g]
     if causal:
         hi = jnp.minimum(jax.lax.div((i + 1) * bq + block_k - 1, block_k),
                          n_kv)
     else:
         hi = n_kv
 
-    def body(j, dq):
-        k = k_ref[0, pl.ds(j * block_k, block_k), :].astype(jnp.float32)
-        v = v_ref[0, pl.ds(j * block_k, block_k), :].astype(jnp.float32)
-        s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
-                                preferred_element_type=jnp.float32) * scale
+    def body(j, dqs):
+        kk = k_ref[0, pl.ds(j * block_k, block_k), :].astype(jnp.float32)
+        vv = v_ref[0, pl.ds(j * block_k, block_k), :].astype(jnp.float32)
         if causal:
             qi = i * bq + jax.lax.broadcasted_iota(jnp.int32,
                                                    (bq, block_k), 0)
             ki = j * block_k + jax.lax.broadcasted_iota(jnp.int32,
                                                         (bq, block_k), 1)
-            s = jnp.where(qi >= ki, s, NEG_INF)
-        p = jnp.exp(s - lse)
-        dp = jax.lax.dot_general(do, v, (((1,), (1,)), ((), ())),
-                                 preferred_element_type=jnp.float32)
-        ds = p * (dp - delta) * scale
-        return dq + jax.lax.dot_general(ds, k, (((1,), (0,)), ((), ())),
-                                        preferred_element_type=jnp.float32)
+            mask = qi >= ki
+        out = []
+        for h in range(g):
+            sl = slice(h * d, (h + 1) * d)
+            s = jax.lax.dot_general(
+                q[:, sl], kk[:, sl], (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32) * scale
+            if causal:
+                s = jnp.where(mask, s, NEG_INF)
+            p = jnp.exp(s - lse[:, h:h + 1])
+            dp = jax.lax.dot_general(
+                do[:, sl], vv[:, sl], (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32)
+            ds = p * (dp - delta[:, h:h + 1]) * scale
+            out.append(dqs[h] + jax.lax.dot_general(
+                ds, kk[:, sl], (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32))
+        return tuple(out)
 
-    dq = jax.lax.fori_loop(0, hi, body, jnp.zeros((bq, d), jnp.float32))
+    dqs = jax.lax.fori_loop(
+        0, hi, body,
+        tuple(jnp.zeros((bq, d), jnp.float32) for _ in range(g)))
+    dq = jnp.concatenate(dqs, axis=1) if g > 1 else dqs[0]
     dq_ref[0] = dq.astype(dq_ref.dtype)
 
 
 def _bwd_dkv_kernel_packed(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
-                           dk_ref, dv_ref, *, scale, causal, block_q):
-    bk, d = k_ref.shape[1], k_ref.shape[2]
+                           dk_ref, dv_ref, *, scale, causal, block_q, g):
+    bk, w = k_ref.shape[1], k_ref.shape[2]
+    d = w // g
     sq = q_ref.shape[1]
     j = pl.program_id(2)
     n_q = sq // block_q
@@ -476,81 +529,92 @@ def _bwd_dkv_kernel_packed(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
     lo = jax.lax.div(j * bk, block_q) if causal else 0
 
     def body(i, carry):
-        dk, dv = carry
+        dks, dvs = carry
         q = q_ref[0, pl.ds(i * block_q, block_q), :].astype(jnp.float32)
         do = do_ref[0, pl.ds(i * block_q, block_q), :].astype(jnp.float32)
-        lse = lse_ref[0, 0, pl.ds(i * block_q, block_q), :]
+        lse = lse_ref[0, 0, pl.ds(i * block_q, block_q), :]    # [bq, g]
         delta = delta_ref[0, 0, pl.ds(i * block_q, block_q), :]
-        s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
-                                preferred_element_type=jnp.float32) * scale
         if causal:
             qi = i * block_q + jax.lax.broadcasted_iota(jnp.int32,
                                                         (block_q, bk), 0)
             ki = j * bk + jax.lax.broadcasted_iota(jnp.int32,
                                                    (block_q, bk), 1)
-            s = jnp.where(qi >= ki, s, NEG_INF)
-        p = jnp.exp(s - lse)
-        dv = dv + jax.lax.dot_general(p, do, (((0,), (0,)), ((), ())),
-                                      preferred_element_type=jnp.float32)
-        dp = jax.lax.dot_general(do, v, (((1,), (1,)), ((), ())),
-                                 preferred_element_type=jnp.float32)
-        ds = p * (dp - delta) * scale
-        dk = dk + jax.lax.dot_general(ds, q, (((0,), (0,)), ((), ())),
-                                      preferred_element_type=jnp.float32)
-        return dk, dv
+            mask = qi >= ki
+        dks_n, dvs_n = [], []
+        for h in range(g):
+            sl = slice(h * d, (h + 1) * d)
+            s = jax.lax.dot_general(
+                q[:, sl], k[:, sl], (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32) * scale
+            if causal:
+                s = jnp.where(mask, s, NEG_INF)
+            p = jnp.exp(s - lse[:, h:h + 1])
+            dvs_n.append(dvs[h] + jax.lax.dot_general(
+                p, do[:, sl], (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32))
+            dp = jax.lax.dot_general(
+                do[:, sl], v[:, sl], (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32)
+            ds = p * (dp - delta[:, h:h + 1]) * scale
+            dks_n.append(dks[h] + jax.lax.dot_general(
+                ds, q[:, sl], (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32))
+        return tuple(dks_n), tuple(dvs_n)
 
-    dk, dv = jax.lax.fori_loop(lo, n_q, body,
-                               (jnp.zeros((bk, d), jnp.float32),
-                                jnp.zeros((bk, d), jnp.float32)))
+    zeros = tuple(jnp.zeros((bk, d), jnp.float32) for _ in range(g))
+    dks, dvs = jax.lax.fori_loop(lo, n_q, body, (zeros, zeros))
+    dk = jnp.concatenate(dks, axis=1) if g > 1 else dks[0]
+    dv = jnp.concatenate(dvs, axis=1) if g > 1 else dvs[0]
     dk_ref[0] = dk.astype(dk_ref.dtype)
     dv_ref[0] = dv.astype(dv_ref.dtype)
 
 
-def _bwd_packed(n, scale, causal, block_q, block_k, res, g):
+def _bwd_packed(n, scale, causal, block_q, block_k, res, grad):
     q, k, v, out, lse = res
     b, sq, nd = q.shape
     d = nd // n
+    g, w = _strip_geometry(n, d)
     sk = k.shape[1]
-    do = g
-    # delta = rowsum(do * out) per head: [B, n, Sq, 1]
+    do = grad
+    # delta = rowsum(do * out) per head: [B, n/g, Sq, g]
     prod = (do.astype(jnp.float32) * out.astype(jnp.float32)).reshape(
-        b, sq, n, d).sum(-1)
-    delta = prod.transpose(0, 2, 1)[..., None]
+        b, sq, n // g, g, d).sum(-1)          # [B, Sq, n/g, g]
+    delta = prod.transpose(0, 2, 1, 3)         # [B, n/g, Sq, g]
 
     dq = pl.pallas_call(
         functools.partial(_bwd_dq_kernel_packed, scale=scale, causal=causal,
-                          block_k=block_k),
-        grid=(b, n, sq // block_q),
+                          block_k=block_k, g=g),
+        grid=(b, n // g, sq // block_q),
         in_specs=[
-            pl.BlockSpec((1, block_q, d), lambda b_, h_, i: (b_, i, h_)),
-            pl.BlockSpec((1, sk, d), lambda b_, h_, i: (b_, 0, h_)),
-            pl.BlockSpec((1, sk, d), lambda b_, h_, i: (b_, 0, h_)),
-            pl.BlockSpec((1, block_q, d), lambda b_, h_, i: (b_, i, h_)),
-            pl.BlockSpec((1, 1, block_q, 1),
+            pl.BlockSpec((1, block_q, w), lambda b_, h_, i: (b_, i, h_)),
+            pl.BlockSpec((1, sk, w), lambda b_, h_, i: (b_, 0, h_)),
+            pl.BlockSpec((1, sk, w), lambda b_, h_, i: (b_, 0, h_)),
+            pl.BlockSpec((1, block_q, w), lambda b_, h_, i: (b_, i, h_)),
+            pl.BlockSpec((1, 1, block_q, g),
                          lambda b_, h_, i: (b_, h_, i, 0)),
-            pl.BlockSpec((1, 1, block_q, 1),
+            pl.BlockSpec((1, 1, block_q, g),
                          lambda b_, h_, i: (b_, h_, i, 0)),
         ],
-        out_specs=pl.BlockSpec((1, block_q, d),
+        out_specs=pl.BlockSpec((1, block_q, w),
                                lambda b_, h_, i: (b_, i, h_)),
         out_shape=jax.ShapeDtypeStruct((b, sq, nd), q.dtype),
     )(q, k, v, do, lse, delta)
 
     dk, dv = pl.pallas_call(
         functools.partial(_bwd_dkv_kernel_packed, scale=scale,
-                          causal=causal, block_q=block_q),
-        grid=(b, n, sk // block_k),
+                          causal=causal, block_q=block_q, g=g),
+        grid=(b, n // g, sk // block_k),
         in_specs=[
-            pl.BlockSpec((1, sq, d), lambda b_, h_, j: (b_, 0, h_)),
-            pl.BlockSpec((1, block_k, d), lambda b_, h_, j: (b_, j, h_)),
-            pl.BlockSpec((1, block_k, d), lambda b_, h_, j: (b_, j, h_)),
-            pl.BlockSpec((1, sq, d), lambda b_, h_, j: (b_, 0, h_)),
-            pl.BlockSpec((1, 1, sq, 1), lambda b_, h_, j: (b_, h_, 0, 0)),
-            pl.BlockSpec((1, 1, sq, 1), lambda b_, h_, j: (b_, h_, 0, 0)),
+            pl.BlockSpec((1, sq, w), lambda b_, h_, j: (b_, 0, h_)),
+            pl.BlockSpec((1, block_k, w), lambda b_, h_, j: (b_, j, h_)),
+            pl.BlockSpec((1, block_k, w), lambda b_, h_, j: (b_, j, h_)),
+            pl.BlockSpec((1, sq, w), lambda b_, h_, j: (b_, 0, h_)),
+            pl.BlockSpec((1, 1, sq, g), lambda b_, h_, j: (b_, h_, 0, 0)),
+            pl.BlockSpec((1, 1, sq, g), lambda b_, h_, j: (b_, h_, 0, 0)),
         ],
         out_specs=[
-            pl.BlockSpec((1, block_k, d), lambda b_, h_, j: (b_, j, h_)),
-            pl.BlockSpec((1, block_k, d), lambda b_, h_, j: (b_, j, h_)),
+            pl.BlockSpec((1, block_k, w), lambda b_, h_, j: (b_, j, h_)),
+            pl.BlockSpec((1, block_k, w), lambda b_, h_, j: (b_, j, h_)),
         ],
         out_shape=[
             jax.ShapeDtypeStruct((b, sk, nd), k.dtype),
@@ -584,16 +648,20 @@ def flash_attention_packed(q, k, v, n_heads: int, *, causal: bool = False,
                            scale: Optional[float] = None,
                            block_q: int = 512, block_k: int = 512):
     """Flash attention over packed [B, S, n_heads*d] layouts (no head
-    transposes).  Sq must equal Sk when causal."""
+    transposes).  Sq must equal Sk when causal.
+
+    Mosaic lane blocks must be 128-divisible, so heads with d < 128 are
+    packed g = 128 // d per strip and computed as g independent online
+    softmaxes inside one grid cell (d=64: two heads per strip — the hot
+    decoder/vision geometry)."""
     b, sq, nd = q.shape
     d = nd // n_heads
-    if d % 128 != 0:
-        # Mosaic requires last-dim blocks divisible by 128 (or full); a
-        # d=64 head strip can't be sliced from the packed dim.  The
-        # two-heads-per-128-lane-block variant is the round-2 follow-up.
+    g, _ = _strip_geometry(n_heads, d)
+    if g is None:
         raise ValueError(
-            f"flash_attention_packed requires head_dim % 128 == 0 on TPU "
-            f"(got {d}); use flash_attention for smaller heads")
+            f"flash_attention_packed needs head_dim % 128 == 0 or "
+            f"(128 % head_dim == 0 and n_heads % (128//head_dim) == 0); "
+            f"got n={n_heads}, d={d} — use flash_attention instead")
     if scale is None:
         scale = d ** -0.5
     sk = k.shape[1]

@@ -38,14 +38,20 @@ ShardingRules = Sequence[tuple[str, P]]
 GPT3_SHARDING_RULES: ShardingRules = (
     # decoder (param shapes: see models/gpt3.py)
     (r".*word_embeddings/embedding$", P("model", None)),
-    (r".*/attn/qkv_kernel$", P(None, None, "model", None)),
-    (r".*/attn/qkv_bias$", P(None, "model", None)),
-    (r".*/attn/out_kernel$", P("model", None, None)),
+    (r".*attn/qkv_kernel$", P(None, None, "model", None)),
+    (r".*attn/qkv_bias$", P(None, "model", None)),
+    (r".*attn/out_kernel$", P("model", None, None)),
     (r".*/mlp/fc1_kernel$", P(None, "model")),
     (r".*/mlp/fc1_bias$", P("model")),
     (r".*/mlp/fc2_kernel$", P("model", None)),
-    # vision encoder: replicated (small and batch-bound); the giant EVA
-    # variant gets its own MLP rules when enabled.
+    # vision encoder attention (TimeSformer spatial+temporal, PlainBlock,
+    # EVA ViT-g — reference eva_vit.py:413-427): heads column-parallel,
+    # output projection row-parallel, like the decoder.  Required for the
+    # 1.9B EVA-g encoder, which cannot be replicated per device.
+    (r".*attn/q_bias$", P("model", None)),
+    (r".*attn/v_bias$", P("model", None)),
+    (r".*attn/proj_kernel$", P("model", None, None)),
+    # everything else (layernorms, embeds, small heads): replicated
     (r".*", P()),
 )
 
