@@ -137,7 +137,8 @@ def test_mplug_downstream_runner(tmp_path):
                  "hidden_dropout_prob": 0.0,
                  "attention_probs_dropout_prob": 0.0}
     cfg = write_cfg(tmp_path, "mplug_ds", bert_overrides=bert_over,
-                    embed_dim=8, num_classes=3)
+                    embed_dim=8, num_classes=3, beam_size=3,
+                    max_new_tokens=4)
     args = run_mplug_downstream.parser().parse_args([
         "--config", cfg, "--output_dir", str(tmp_path / "out_cls"),
         "--fp32", "--synthetic_data", "--max_steps", "2", "--seed", "0",
@@ -151,6 +152,14 @@ def test_mplug_downstream_runner(tmp_path):
         "--task", "retrieval"])
     _, res = run_mplug_downstream.main(args)
     assert "r_mean" in res
+
+    # caption decodes with beam_size=3 (in-jit BERT-decoder beam)
+    args = run_mplug_downstream.parser().parse_args([
+        "--config", cfg, "--output_dir", str(tmp_path / "out_cap"),
+        "--fp32", "--synthetic_data", "--max_steps", "1", "--seed", "0",
+        "--task", "caption"])
+    _, res = run_mplug_downstream.main(args)
+    assert "CIDEr" in res or "Bleu_4" in res or "ROUGE_L" in res
 
 
 def test_cls_evaluate_only_resume(tmp_path):

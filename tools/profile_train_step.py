@@ -1,22 +1,52 @@
-import os, sys
+"""Capture a device trace of ONE real train step (same step as bench.py)
+into /tmp/jaxprof.  Parse with tools/parse_trace.py."""
+import os
+import sys
+
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
-import jax, jax.numpy as jnp, os, time
+import jax
+import jax.numpy as jnp
+
 from youku_mplug_tpu.runtime.cache import enable_compilation_cache
+
 enable_compilation_cache()
 import __graft_entry__ as ge
 from youku_mplug_tpu.models.tasks import MPLUGVideo
-cfg = ge._flagship_cfg()
-model, params, video, ids, mask = ge._build(cfg, batch=16, max_length=80)
+from youku_mplug_tpu.optim.factory import OptimizerConfig
+from youku_mplug_tpu.train.state import create_train_state
+from youku_mplug_tpu.train.trainer import make_train_step
+
+batch = int(os.environ.get("BENCH_BATCH", "16"))
+remat_env = os.environ.get("BENCH_REMAT", "1")
+cfg = ge._flagship_cfg(
+    scan_layers=os.environ.get("BENCH_SCAN", "1") == "1",
+    remat=remat_env != "0",
+    remat_policy=(remat_env if remat_env in ("dots", "attn", "offload")
+                  else "nothing"),
+    ce_chunk=int(os.environ.get("BENCH_CE_CHUNK", "16")),
+    grad_ckpt=os.environ.get("BENCH_VIS_CKPT", "1") == "1",
+    use_packed_flash=os.environ.get("BENCH_PACKED", "1") == "1",
+)
+model, params, video, ids, mask = ge._build(cfg, batch=batch, max_length=80)
 video = jax.random.normal(jax.random.key(2), video.shape, video.dtype)
-fg = jax.jit(lambda p, v, i, m: jax.grad(lambda vv: model.apply(
-    {"params": p}, vv, i, m,
-    method=MPLUGVideo.pretrain_loss)["loss"])(v).astype(jnp.float32).sum())
-_ = float(fg(params, video, ids, mask))
+
+state, tx, _ = create_train_state(
+    params, OptimizerConfig(lr=1e-4, epochs=1, niter_per_ep=1000,
+                            warmup_steps=0, freeze_text_decoder=True))
+
+
+def loss_fn(p, batch_, rng, step):
+    return model.apply({"params": p}, batch_["video"], batch_["ids"],
+                       batch_["mask"], method=MPLUGVideo.pretrain_loss)
+
+
+step_fn = jax.jit(make_train_step(loss_fn, tx))
+batch_dev = {"video": video, "ids": ids, "mask": mask}
+state, m = step_fn(state, batch_dev, jax.random.key(0))
+_ = float(m["loss"])  # compile + warmup
 os.makedirs("/tmp/jaxprof", exist_ok=True)
 with jax.profiler.trace("/tmp/jaxprof"):
-    _ = float(fg(params, video + jnp.bfloat16(0.01), ids, mask))
-print("trace done", flush=True)
-import subprocess
-print(subprocess.run(["find", "/tmp/jaxprof", "-name", "*.pb", "-o",
-                      "-name", "*.json.gz", "-o", "-name", "*trace*"],
-                     capture_output=True, text=True).stdout[-2000:])
+    batch_dev["video"] = video + jnp.bfloat16(0.01)
+    state, m = step_fn(state, batch_dev, jax.random.key(1))
+    _ = float(m["loss"])
+print("trace done, loss", float(m["loss"]), flush=True)

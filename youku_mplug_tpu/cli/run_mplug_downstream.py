@@ -231,7 +231,9 @@ def main(args):
                     model, params, video,
                     bos_id=tokenizer.tokenizer.bos_id,
                     eos_id=tokenizer.tokenizer.eos_id,
-                    max_new_tokens=cfg.get("max_new_tokens", 20))
+                    max_new_tokens=cfg.get("max_new_tokens", 20),
+                    beam_size=int(cfg.get("beam_size", 1)),
+                    min_length=int(cfg.get("min_length", 0)))
             for vid, seq, golden in zip(raw["video_id"], np.asarray(seqs),
                                         raw["golden"]):
                 ans = tokenizer.decode(seq).replace(" ", "").strip()

@@ -425,14 +425,17 @@ class MPLUG(nn.Module):
 
 def mplug_generate(model: MPLUG, params, video, bos_id: int, eos_id: int,
                    max_new_tokens: int = 30, input_ids=None,
-                   attention_mask=None, beam_size: int = 1):
-    """Caption generation for the BERT prefix decoder (the capability of
-    the reference's TextGenerator beam, models/predictor_mplug.py:33-423).
+                   attention_mask=None, beam_size: int = 1,
+                   min_length: int = 0, alpha: float = 0.6):
+    """Caption generation for the BERT prefix decoder — greedy and beam
+    (reference: models/predictor_mplug.py TextGenerator:33-423; Wu length
+    penalty ((5+len)/6)**alpha with alpha=0.6 :61,213; min-length EOS
+    suppression :207-208).
 
     The BERT decoder is small and captions short, so each step re-runs the
     full fixed-length decoder forward under one jit (static shapes; the
-    causal mask hides future positions), picking greedy (beam_size=1) or
-    per-step top-beam tokens.  Returns token ids [B, max_new_tokens].
+    causal mask hides future positions).  Returns token ids
+    [B, max_new_tokens].
     """
     import jax
 
@@ -452,6 +455,12 @@ def mplug_generate(model: MPLUG, params, video, bos_id: int, eos_id: int,
     else:
         enc, enc_mask = image_embeds, image_atts
 
+    if beam_size > 1:
+        return mplug_beam_search(
+            model, params, enc, enc_mask, bos_id=bos_id, eos_id=eos_id,
+            max_new_tokens=max_new_tokens, beam_size=beam_size,
+            min_length=min_length, alpha=alpha)
+
     max_len = max_new_tokens + 1
     dec_apply = jax.jit(lambda p, ids, m: model.apply(
         {"params": p}, ids, m, encoder_hidden_states=enc,
@@ -470,3 +479,116 @@ def mplug_generate(model: MPLUG, params, video, bos_id: int, eos_id: int,
         ids = ids.at[:, t].set(nxt)
         done = done | (nxt == eos_id)
     return ids[:, 1:]
+
+
+def mplug_beam_search(model: MPLUG, params, enc, enc_mask, *, bos_id: int,
+                      eos_id: int, max_new_tokens: int, beam_size: int,
+                      min_length: int = 0, alpha: float = 0.6):
+    """In-jit beam search over the BERT prefix decoder.
+
+    Matches the reference TextGenerator's ONMT-style semantics
+    (predictor_mplug.py:133-310): running beam scores are raw log-prob
+    sums; candidates are ranked by score / wu(len) where
+    wu(len) = ((5+len)/6)**alpha; EOS candidates move to a finished pool
+    at their penalized score; EOS is suppressed while step < min_length.
+    Returns token ids [B, max_new_tokens] of the best hypothesis.
+    """
+    import functools
+
+    import jax
+
+    neg_inf = jnp.float32(jnp.finfo(jnp.float32).min)
+    b = enc.shape[0]
+    k = beam_size
+    max_len = max_new_tokens + 1  # bos + generated
+
+    enc_t = jnp.repeat(enc, k, axis=0)
+    enc_mask_t = jnp.repeat(enc_mask, k, axis=0)
+
+    def decode_logits(ids_flat, t):
+        """logits of position t-1 for fixed-length ids [B*K, max_len]."""
+        mask = (jnp.arange(max_len)[None, :] < t).astype(jnp.int32)
+        mask = jnp.broadcast_to(mask, (b * k, max_len))
+        out = model.apply({"params": params}, ids_flat, mask,
+                          encoder_hidden_states=enc_t,
+                          encoder_attention_mask=enc_mask_t,
+                          method=lambda mm, *a, **kw: mm.text_decoder(
+                              *a, **kw))["logits"]
+        return out[:, t - 1]
+
+    def wu(step):  # step: 1-based generated length
+        return ((5.0 + step) / 6.0) ** alpha
+
+    @functools.partial(jax.jit)
+    def run():
+        ids = jnp.full((b, k, max_len), eos_id, jnp.int32)
+        ids = ids.at[:, :, 0].set(bos_id)
+
+        # step 1: all beams identical — take top-K of beam 0
+        logp = jax.nn.log_softmax(
+            decode_logits(ids.reshape(b * k, max_len), 1).astype(
+                jnp.float32)).reshape(b, k, -1)[:, 0]
+        v = logp.shape[-1]
+        if min_length > 0:
+            logp = logp.at[:, eos_id].set(-1e20)
+        top_scores, top_tokens = jax.lax.top_k(logp, k)
+        ids = ids.at[:, :, 1].set(top_tokens)
+        is_eos0 = top_tokens == eos_id
+        alive_score = jnp.where(is_eos0, neg_inf, top_scores)
+        fin_seq = jnp.where(is_eos0[..., None], ids, jnp.zeros_like(ids))
+        fin_score = jnp.where(is_eos0, top_scores / wu(1), neg_inf)
+
+        def body(t, carry):
+            ids, alive_score, fin_seq, fin_score = carry
+            logp = jax.nn.log_softmax(decode_logits(
+                ids.reshape(b * k, max_len), t).astype(
+                    jnp.float32)).reshape(b, k, v)
+            step = t  # generated tokens after this pick (1-based)
+            logp = jnp.where(
+                jnp.asarray(step - 1 < min_length),
+                logp.at[:, :, eos_id].set(-1e20), logp)
+            cand = alive_score[:, :, None] + logp
+            curr = (cand / wu(step)).reshape(b, k * v)
+            top2k, idx2k = jax.lax.top_k(curr, 2 * k)
+            beam_idx = idx2k // v
+            tok_idx = idx2k % v
+            is_eos = tok_idx == eos_id
+
+            seq2k = jnp.take_along_axis(ids, beam_idx[..., None], axis=1)
+            seq2k = jax.vmap(lambda s, tok: s.at[:, t].set(tok))(
+                seq2k, tok_idx)
+
+            # finished pool update (penalized scores)
+            new_fin = jnp.where(is_eos, top2k, neg_inf)
+            all_fin_score = jnp.concatenate([fin_score, new_fin], axis=1)
+            all_fin_seq = jnp.concatenate([fin_seq, seq2k], axis=1)
+            keep, keep_idx = jax.lax.top_k(all_fin_score, k)
+            fin_seq = jnp.take_along_axis(all_fin_seq, keep_idx[..., None],
+                                          axis=1)
+            fin_score = keep
+
+            # alive: best K non-eos, scores de-penalized back to raw sums
+            alive_cand = jnp.where(is_eos, neg_inf, top2k)
+            new_curr, pick = jax.lax.top_k(alive_cand, k)
+            new_beam = jnp.take_along_axis(beam_idx, pick, axis=1)
+            new_tok = jnp.take_along_axis(tok_idx, pick, axis=1)
+            ids = jnp.take_along_axis(ids, new_beam[..., None], axis=1)
+            ids = jax.vmap(lambda s, tok: s.at[:, t].set(tok))(ids, new_tok)
+            alive_score = jnp.where(new_curr <= neg_inf / 2, neg_inf,
+                                    new_curr * wu(step))
+            return ids, alive_score, fin_seq, fin_score
+
+        ids, alive_score, fin_seq, fin_score = jax.lax.fori_loop(
+            2, max_len, body, (ids, alive_score, fin_seq, fin_score))
+
+        # unfinished beams enter the pool at final penalized score
+        # (reference: step+1 == max_length forces is_finished, :259-260)
+        open_score = jnp.where(alive_score <= neg_inf / 2, neg_inf,
+                               alive_score / wu(max_new_tokens))
+        all_score = jnp.concatenate([fin_score, open_score], axis=1)
+        all_seq = jnp.concatenate([fin_seq, ids], axis=1)
+        _, best = jax.lax.top_k(all_score, 1)
+        out = jnp.take_along_axis(all_seq, best[..., None], axis=1)[:, 0]
+        return out[:, 1:]
+
+    return run()
