@@ -100,6 +100,14 @@ def distributed_init(coordinator_address: str | None = None,
     everything up from the environment.
     """
     if num_processes is not None and num_processes > 1:
+        try:
+            # multi-process CPU (simulation/tests) needs a cross-process
+            # collectives backend; TPU pods ignore this
+            if "cpu" in str(jax.config.jax_platforms or ""):
+                jax.config.update("jax_cpu_collectives_implementation",
+                                  "gloo")
+        except Exception:
+            pass
         jax.distributed.initialize(
             coordinator_address=coordinator_address,
             num_processes=num_processes,
