@@ -327,3 +327,41 @@ def test_tar_packed_video(video_dir, tmp_path):
         tf.add(os.path.join(video_dir, "vid0.mp4"), arcname="vid0.mp4")
     clip = read_frames(archive + "/vid0.mp4", num_frames=2, sample="middle")
     assert clip.shape[0] == 2 and clip.dtype == np.uint8
+
+
+def test_random_erasing_semantics():
+    import numpy as np
+
+    from youku_mplug_tpu.data.transforms import RandomErasing
+
+    clip = np.ones((4, 32, 32, 3), np.float32)
+    # p=1 const: same cube erased in every frame
+    re = RandomErasing(probability=1.0, mode="const", cube=True)
+    out = re(clip.copy(), rng=np.random.default_rng(0))
+    erased = out == 0
+    assert erased.any()
+    # same box across frames
+    per_frame = erased.reshape(4, -1)
+    assert (per_frame == per_frame[0]).all()
+    # area within bounds
+    frac = erased[0].mean()
+    assert 0.01 < frac < 0.40
+
+    # pixel mode fills with noise, not a constant
+    re = RandomErasing(probability=1.0, mode="pixel", cube=True)
+    out = re(clip.copy(), rng=np.random.default_rng(1))
+    changed = out != 1.0
+    assert changed.any()
+    vals = out[changed]
+    assert np.unique(vals).size > 10
+
+    # p=0: identity
+    re = RandomErasing(probability=0.0)
+    out = re(clip.copy(), rng=np.random.default_rng(2))
+    np.testing.assert_array_equal(out, clip)
+
+    # non-cube: boxes may differ across frames
+    re = RandomErasing(probability=1.0, mode="const", cube=False)
+    out = re(clip.copy(), rng=np.random.default_rng(3))
+    per_frame = (out == 0).reshape(4, -1)
+    assert not (per_frame == per_frame[0]).all()

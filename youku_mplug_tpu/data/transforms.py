@@ -260,6 +260,89 @@ def normalize(clip_cthw: np.ndarray, mean=CLIP_MEAN, std=CLIP_STD
     return (clip_cthw - mean) / std
 
 
+class RandomErasing:
+    """Random Erasing (Zhong et al. 2017) for normalized clips — the
+    capability of the reference's timm-derived variant
+    (dataset/video_utils/random_erasing.py:27-172): with probability p,
+    pick up to ``max_count`` boxes by area/aspect and overwrite them with
+    zeros ('const'), a per-box normal color ('rand'), or per-pixel noise
+    ('pixel').  ``cube=True`` erases the SAME box in every frame (the
+    reference's temporal-cube default).
+
+    Applies to clips shaped (T, H, W, C) float (post-normalization, like
+    the reference) — place it after clip_to_tensor/normalize, or call
+    on (C, T, H, W) via ``chw=True``.
+    """
+
+    def __init__(self, probability=0.25, min_area=0.02, max_area=1 / 3,
+                 min_aspect=0.3, max_aspect=None, mode="pixel",
+                 min_count=1, max_count=None, cube=True):
+        import math
+
+        self.probability = probability
+        self.min_area = min_area
+        self.max_area = max_area
+        max_aspect = max_aspect or 1 / min_aspect
+        self.log_aspect = (math.log(min_aspect), math.log(max_aspect))
+        self.min_count = min_count
+        self.max_count = max_count or min_count
+        mode = (mode or "const").lower()
+        assert mode in ("const", "rand", "pixel")
+        self.mode = mode
+        self.cube = cube
+
+    def _fill(self, rng, shape, dtype):
+        h, w, c = shape
+        if self.mode == "pixel":
+            return rng.normal(size=(h, w, c)).astype(dtype)
+        if self.mode == "rand":
+            return np.broadcast_to(
+                rng.normal(size=(1, 1, c)).astype(dtype), (h, w, c))
+        return np.zeros((h, w, c), dtype)
+
+    def _boxes(self, rng, img_h, img_w):
+        import math
+
+        area = img_h * img_w
+        count = (self.min_count if self.min_count == self.max_count
+                 else int(rng.integers(self.min_count, self.max_count + 1)))
+        out = []
+        for _ in range(count):
+            for _ in range(10):
+                target = rng.uniform(self.min_area, self.max_area) * \
+                    area / count
+                aspect = math.exp(rng.uniform(*self.log_aspect))
+                h = int(round(math.sqrt(target * aspect)))
+                w = int(round(math.sqrt(target / aspect)))
+                if 0 < h < img_h and 0 < w < img_w:
+                    top = int(rng.integers(0, img_h - h + 1))
+                    left = int(rng.integers(0, img_w - w + 1))
+                    out.append((top, left, h, w))
+                    break
+        return out
+
+    def __call__(self, clip: np.ndarray, rng=None) -> np.ndarray:
+        rng = rng or np.random.default_rng()
+        clip = np.ascontiguousarray(clip)
+        t, img_h, img_w, c = clip.shape
+        if self.cube:
+            # one probability roll + one box set for the whole clip
+            if rng.random() > self.probability:
+                return clip
+            for top, left, h, w in self._boxes(rng, img_h, img_w):
+                clip[:, top:top + h, left:left + w, :] = \
+                    self._fill(rng, (h, w, c), clip.dtype)
+        else:
+            # reference non-cube path rolls per frame (:169-172)
+            for i in range(t):
+                if rng.random() > self.probability:
+                    continue
+                for top, left, h, w in self._boxes(rng, img_h, img_w):
+                    clip[i, top:top + h, left:left + w, :] = \
+                        self._fill(rng, (h, w, c), clip.dtype)
+        return clip
+
+
 class Compose:
     """Sequential clip transforms sharing one rng."""
 
