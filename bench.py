@@ -94,6 +94,7 @@ def main():
         ce_chunk=int(os.environ.get("BENCH_CE_CHUNK", "16")),
         grad_ckpt=os.environ.get("BENCH_VIS_CKPT", "1") == "1",
         use_packed_flash=os.environ.get("BENCH_PACKED", "1") == "1",
+        vis_remat_policy=os.environ.get("BENCH_VIS_REMAT", "attn"),
     )
     model, params, video, ids, mask = ge._build(
         cfg, batch=batch, max_length=seq_text)

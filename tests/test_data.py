@@ -365,3 +365,41 @@ def test_random_erasing_semantics():
     out = re(clip.copy(), rng=np.random.default_rng(3))
     per_frame = (out == 0).reshape(4, -1)
     assert not (per_frame == per_frame[0]).all()
+
+
+def test_rand_augment_extra_ops_match_pil_semantics():
+    """The full reference op table (rand_augment.py:398-415): each op must
+    run on uint8 frames and match PIL where PIL defines the semantics."""
+    import numpy as np
+
+    from youku_mplug_tpu.data import transforms as T
+
+    rng = np.random.default_rng(0)
+    img = rng.integers(0, 256, (24, 32, 3), dtype=np.uint8)
+
+    for name in T.RAND_TRANSFORMS:
+        fn, arg_fn = T.AUG_OPS[name]
+        out = fn(img.copy(), *arg_fn(5))
+        assert out.shape == img.shape and out.dtype == np.uint8, name
+
+    # exact semantics spot-checks
+    np.testing.assert_array_equal(T.AUG_OPS["Invert"][0](img), 255 - img)
+    sol = T.AUG_OPS["Solarize"][0](img, 128)
+    np.testing.assert_array_equal(sol[img < 128], img[img < 128])
+    np.testing.assert_array_equal(sol[img >= 128], 255 - img[img >= 128])
+    post = T.AUG_OPS["Posterize"][0](img, 4)
+    np.testing.assert_array_equal(post, img & 0xF0)
+    ac = T.AUG_OPS["AutoContrast"][0](img)
+    for c in range(3):
+        assert ac[..., c].min() == 0 and ac[..., c].max() == 255
+    # Color factor 1.0 is identity; 0.0 is grayscale
+    col1 = T.AUG_OPS["Color"][0](img, 1.0)
+    np.testing.assert_allclose(col1, img, atol=1)
+    col0 = T.AUG_OPS["Color"][0](img, 0.0)
+    assert (col0[..., 0] == col0[..., 1]).all()
+
+    # the temporal-consistent wrapper accepts the full reference list
+    aug = T.TemporalConsistentRandAugment(n=3, m=7, augs=T.RAND_TRANSFORMS)
+    clip = rng.integers(0, 256, (4, 24, 32, 3), dtype=np.uint8)
+    out = aug(clip, rng=np.random.default_rng(1))
+    assert out.shape == clip.shape

@@ -115,6 +115,64 @@ def _equalize(img):
     return np.stack(chans, axis=-1)
 
 
+def _auto_contrast(img):
+    """Per-channel min/max rescale (PIL ImageOps.autocontrast,
+    reference rand_augment.py:147-149)."""
+    out = np.empty_like(img)
+    for c in range(img.shape[-1]):
+        ch = img[..., c]
+        lo, hi = int(ch.min()), int(ch.max())
+        if hi <= lo:
+            out[..., c] = ch
+        else:
+            scale = 255.0 / (hi - lo)
+            table = np.clip((np.arange(256, dtype=np.float32) - lo) * scale,
+                            0, 255).astype(np.uint8)
+            out[..., c] = table[ch]
+    return out
+
+
+def _invert(img):
+    return 255 - img
+
+
+def _posterize(img, bits_to_keep):
+    if bits_to_keep >= 8:
+        return img
+    table = (np.arange(256, dtype=np.uint8)
+             & np.uint8(256 - (1 << (8 - int(bits_to_keep)))))
+    return table[img]
+
+
+def _solarize(img, thresh):
+    table = np.arange(256, dtype=np.int32)
+    table = np.where(table < thresh, table, 255 - table).astype(np.uint8)
+    return table[img]
+
+
+def _solarize_add(img, add, thresh=128):
+    table = np.arange(256, dtype=np.int32)
+    table = np.where(table < thresh,
+                     np.clip(table + int(add), 0, 255), table)
+    return table.astype(np.uint8)[img]
+
+
+def _color(img, factor):
+    """PIL ImageEnhance.Color: blend with the grayscale image."""
+    gray = cv2.cvtColor(img, cv2.COLOR_RGB2GRAY)[..., None].astype(
+        np.float32)
+    out = gray + factor * (img.astype(np.float32) - gray)
+    return np.clip(out, 0, 255).astype(np.uint8)
+
+
+def _translate_x_rel(img, pct):
+    return _translate_x(img, pct * img.shape[1])
+
+
+def _translate_y_rel(img, pct):
+    return _translate_y(img, pct * img.shape[0])
+
+
 def _enhance_arg(level):
     return ((level / _MAX_LEVEL) * 1.8 + 0.1,)
 
@@ -131,18 +189,49 @@ def _rotate_arg(level):
     return ((level / _MAX_LEVEL) * 30.0,)
 
 
+def _translate_rel_arg(level):
+    return ((level / _MAX_LEVEL) * 0.45,)
+
+
+def _posterize_arg(level):
+    return (int((level / _MAX_LEVEL) * 4),)
+
+
+def _solarize_arg(level):
+    return (int((level / _MAX_LEVEL) * 256),)
+
+
+def _solarize_add_arg(level):
+    return (int((level / _MAX_LEVEL) * 110),)
+
+
 AUG_OPS = {
     "Identity": (_identity, lambda level: ()),
     "Equalize": (_equalize, lambda level: ()),
+    "AutoContrast": (_auto_contrast, lambda level: ()),
+    "Invert": (_invert, lambda level: ()),
     "Brightness": (_lut_brightness, _enhance_arg),
     "Contrast": (_lut_contrast, _enhance_arg),
+    "Color": (_color, _enhance_arg),
     "Sharpness": (_sharpness, _enhance_arg),
     "ShearX": (_shear_x, _shear_arg),
     "ShearY": (_shear_y, _shear_arg),
     "TranslateX": (_translate_x, _translate_arg),
     "TranslateY": (_translate_y, _translate_arg),
+    "TranslateXRel": (_translate_x_rel, _translate_rel_arg),
+    "TranslateYRel": (_translate_y_rel, _translate_rel_arg),
     "Rotate": (_rotate, _rotate_arg),
+    "Posterize": (_posterize, _posterize_arg),
+    "Solarize": (_solarize, _solarize_arg),
+    "SolarizeAdd": (_solarize_add, _solarize_add_arg),
 }
+
+# the reference's default op list (rand_augment.py:398-415)
+RAND_TRANSFORMS = [
+    "AutoContrast", "Equalize", "Invert", "Rotate", "Posterize",
+    "Solarize", "SolarizeAdd", "Color", "Contrast", "Brightness",
+    "Sharpness", "ShearX", "ShearY", "TranslateXRel", "TranslateYRel",
+]
 
 
 class TemporalConsistentRandAugment:

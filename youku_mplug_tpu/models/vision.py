@@ -63,6 +63,10 @@ class VisionConfig:
     drop_rate: float = 0.0
     attn_drop_rate: float = 0.0
     grad_ckpt: bool = False
+    # remat policy under grad_ckpt: "nothing" recomputes the whole block;
+    # "attn" saves attention outputs so backward recompute skips the
+    # attention kernels (named checkpoints "vis_attn_out")
+    remat_policy: str = "nothing"
     stop_grad_conv1: bool = False
     use_abs_pos_emb: bool = True
     clip_model: bool = False
@@ -154,6 +158,8 @@ class VisionAttention(nn.Module):
             kp = qkv[:, 1].reshape(bf, s, n * d)
             vp = (qkv[:, 2] + v_bias.astype(x.dtype)).reshape(bf, s, n * d)
             out_p = flash_attention_packed(qp, kp, vp, n)
+            from jax.ad_checkpoint import checkpoint_name
+            out_p = checkpoint_name(out_p, "vis_attn_out")
             y = jnp.einsum("bsk,kh->bsh", out_p,
                            proj_kernel.reshape(n * d, self.dim).astype(
                                out_p.dtype))
@@ -169,6 +175,8 @@ class VisionAttention(nn.Module):
         out = dot_product_attention(q, k, v, causal=self.causal,
                                     dropout_rate=drop,
                                     dropout_rng=drop_rng)
+        from jax.ad_checkpoint import checkpoint_name
+        out = checkpoint_name(out, "vis_attn_out")
         out = jnp.moveaxis(out, 1, 2)
         y = jnp.einsum("bsnd,ndh->bsh", out, proj_kernel.astype(out.dtype))
         y = y + proj_bias.astype(y.dtype)
@@ -196,6 +204,17 @@ class Mlp(nn.Module):
         y = jax.nn.gelu(y + fc1_bias.astype(y.dtype), approximate=False)
         y = jnp.einsum("...f,fh->...h", y, fc2_kernel.astype(y.dtype))
         return y + fc2_bias.astype(y.dtype)
+
+
+def _remat_policy(cfg):
+    import jax
+
+    if cfg.remat_policy == "attn":
+        return jax.checkpoint_policies.save_only_these_names(
+            "vis_attn_out")
+    if cfg.remat_policy == "dots":
+        return jax.checkpoint_policies.dots_with_no_batch_dims_saveable
+    return None
 
 
 def _drop_path(x, rate, deterministic, rng):
@@ -354,7 +373,8 @@ class TimeSformer(nn.Module):
                if cfg.depth > 1 else [0.0])
         block_cls = SpaceTimeBlock
         if cfg.grad_ckpt:
-            block_cls = nn.remat(SpaceTimeBlock, static_argnums=(3,))
+            block_cls = nn.remat(SpaceTimeBlock, static_argnums=(3,),
+                                 policy=_remat_policy(cfg))
         for i in range(cfg.depth):
             x, cls = block_cls(
                 cfg, layer_id=i + 1, drop_path=dpr[i],
@@ -424,7 +444,8 @@ class VisionTransformer(nn.Module):
                if cfg.depth > 1 else [0.0])
         block_cls = PlainBlock
         if cfg.grad_ckpt:
-            block_cls = nn.remat(PlainBlock, static_argnums=(2,))
+            block_cls = nn.remat(PlainBlock, static_argnums=(2,),
+                                 policy=_remat_policy(cfg))
         for i in range(cfg.depth):
             x = block_cls(cfg, layer_id=i + 1, drop_path=dpr[i],
                           name=f"blocks_{i}")(x, deterministic)
