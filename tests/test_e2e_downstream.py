@@ -203,3 +203,41 @@ def test_cls_evaluate_only_resume(tmp_path):
         "--evaluate_only"])
     with _pytest.raises(FileNotFoundError):
         run_cls.main(args)
+
+
+def test_alpro_runner(tmp_path):
+    from youku_mplug_tpu.cli import run_alpro
+
+    bert_over = {"vocab_size": 256, "hidden_size": 32,
+                 "num_hidden_layers": 2, "num_attention_heads": 4,
+                 "intermediate_size": 64, "encoder_width": 32,
+                 "fusion_layer": 1, "hidden_dropout_prob": 0.0,
+                 "attention_probs_dropout_prob": 0.0}
+    cfg = write_cfg(tmp_path, "alpro", bert_overrides=bert_over,
+                    embed_dim=8, num_classes=3)
+
+    # pretrain: ITA + hard-neg ITM + MLM, finite losses
+    args = run_alpro.parser().parse_args([
+        "--config", cfg, "--output_dir", str(tmp_path / "out_pt"),
+        "--fp32", "--synthetic_data", "--max_steps", "2", "--seed", "0",
+        "--task", "pretrain"])
+    state, _ = run_alpro.main(args)
+    log = [json.loads(l) for l in open(tmp_path / "out_pt" / "log.txt")]
+    assert np.isfinite(log[0]["loss"])
+    assert log[0]["loss_ita"] > 0 and log[0]["loss_mlm"] > 0
+
+    # cls finetune + eval
+    args = run_alpro.parser().parse_args([
+        "--config", cfg, "--output_dir", str(tmp_path / "out_cls"),
+        "--fp32", "--synthetic_data", "--max_steps", "2", "--seed", "0",
+        "--task", "cls"])
+    _, res = run_alpro.main(args)
+    assert 0 <= res["top1"] <= 100
+
+    # retrieval finetune + sim-matrix eval
+    args = run_alpro.parser().parse_args([
+        "--config", cfg, "--output_dir", str(tmp_path / "out_ret"),
+        "--fp32", "--synthetic_data", "--max_steps", "2", "--seed", "0",
+        "--task", "retrieval"])
+    _, res = run_alpro.main(args)
+    assert "r_mean" in res

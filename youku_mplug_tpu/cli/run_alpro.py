@@ -1,0 +1,296 @@
+"""ALPRO runner: pretrain / retrieval / classification on the ALBEF-style
+split-BERT family.
+
+One runner, --task {pretrain, retrieval, cls}, covering the reference's
+ALPRO training paths (reference: models/alpro.py — ALPRO_Pretrain:30
+ITA+ITM+MLM, ALPRO_Retrieval:247 idx-matched ITA + hard-negative ITM,
+ALPRO_Cls:414 fused-CLS head; the prompt-entity pseudo-labeling teacher is
+upstream-offline and out of scope).  Retrieval eval reranks the
+dual-encoder sim matrix by ITM score like the mPLUG runner.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+import os
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from youku_mplug_tpu.cli import common
+from youku_mplug_tpu.cli.run_mplug_pretrain import build_tokenizer
+from youku_mplug_tpu.data.datasets import (
+    ClsVideoDataset,
+    PretrainVideoDataset,
+    RetrievalVideoDataset,
+    SyntheticVideoDataset,
+)
+from youku_mplug_tpu.data.loader import ShardedLoader
+from youku_mplug_tpu.data.transforms import test_transform, train_transform
+from youku_mplug_tpu.evals.metrics import itm_eval, topk_accuracy
+from youku_mplug_tpu.models.alpro import ALPRO, ALPROConfig
+from youku_mplug_tpu.models.bert import BertConfig
+from youku_mplug_tpu.models.mplug import mlm_mask_tokens
+from youku_mplug_tpu.ops.preprocess import normalize_clip
+from youku_mplug_tpu.parallel.sharding import shard_params
+from youku_mplug_tpu.runtime.cache import enable_compilation_cache
+from youku_mplug_tpu.runtime.mesh import make_mesh
+from youku_mplug_tpu.runtime.precision import DEFAULT_POLICY, FP32_POLICY
+from youku_mplug_tpu.train.checkpoint import CheckpointManager
+from youku_mplug_tpu.train.metrics import MetricLogger
+from youku_mplug_tpu.train.state import create_train_state
+from youku_mplug_tpu.train.trainer import make_train_step
+
+
+def build_model_cfg(cfg):
+    bert_cfg_path = cfg.get("bert_config", "")
+    bert = (BertConfig.from_json_file(bert_cfg_path)
+            if bert_cfg_path and os.path.exists(bert_cfg_path)
+            else BertConfig())
+    if cfg.get("bert_overrides"):
+        bert = dataclasses.replace(bert, **cfg.raw["bert_overrides"])
+    return ALPROConfig(
+        vision=cfg.model.vision, bert=bert,
+        embed_dim=int(cfg.get("embed_dim", 256)),
+        temp=float(cfg.get("temp", 0.07)),
+        mlm_probability=float(cfg.get("mlm_probability", 0.15)),
+        num_classes=int(cfg.get("num_classes", 0)))
+
+
+def build_dataset(args, cfg, train):
+    if args.synthetic_data:
+        return SyntheticVideoDataset(length=cfg.get("synthetic_length", 16),
+                                     num_frames=cfg.num_frames,
+                                     size=cfg.image_res,
+                                     num_classes=cfg.get("num_classes", 5))
+    tf = train_transform(cfg.image_res) if train else \
+        test_transform(cfg.image_res)
+    key = "train_file" if train else "test_file"
+    if args.task == "pretrain":
+        files = cfg.get(key)
+        return PretrainVideoDataset(
+            files if isinstance(files, list) else [files],
+            cfg.get("train_video_root", cfg.get("video_root")),
+            transform=tf, num_frames=cfg.num_frames)
+    if args.task == "cls":
+        return ClsVideoDataset(cfg.get(key), cfg.get("video_root"),
+                               transform=tf, num_frames=cfg.num_frames,
+                               train=train)
+    return RetrievalVideoDataset(cfg.get(key), cfg.get("video_root"),
+                                 transform=tf, num_frames=cfg.num_frames,
+                                 train=train)
+
+
+def main(args):
+    enable_compilation_cache()
+    import youku_mplug_tpu.config as cfgmod
+
+    cfg = cfgmod.load_config(args.config)
+    mcfg = build_model_cfg(cfg)
+    policy = FP32_POLICY if args.fp32 else DEFAULT_POLICY
+    model = ALPRO(mcfg, policy=policy)
+    tokenizer = build_tokenizer(cfg, mcfg.bert.vocab_size)
+    mesh = make_mesh(cfg.mesh)
+    dtype = policy.compute_dtype
+    task = args.task
+
+    train_ds = build_dataset(args, cfg, train=True)
+    test_ds = build_dataset(args, cfg, train=False)
+    if args.synthetic_data and task == "retrieval":
+        test_ds.text = [f"synthetic clip {i}" for i in range(len(test_ds))]
+        test_ds.vid2txt = {i: [i] for i in range(len(test_ds))}
+        test_ds.txt2vid = {i: [i] for i in range(len(test_ds))}
+    loader = ShardedLoader(train_ds, cfg.batch_size, shuffle=True,
+                           seed=args.seed, num_workers=cfg.num_workers)
+    niter = len(loader) if args.max_steps <= 0 else min(len(loader),
+                                                        args.max_steps)
+    opt_cfg = dataclasses.replace(cfg.optimizer, niter_per_ep=max(niter, 1),
+                                  freeze_text_decoder=False)
+
+    v = mcfg.vision
+    dummy_v = jnp.zeros((2, 3, cfg.num_frames, v.img_size, v.img_size),
+                        jnp.float32)
+    dummy_i = jnp.full((2, cfg.max_length), 104, jnp.int32)
+    dummy_m = jnp.ones((2, cfg.max_length), jnp.int32)
+    with jax.set_mesh(mesh):
+        params = model.init({"params": jax.random.key(args.seed),
+                             "dropout": jax.random.key(args.seed + 1)},
+                            dummy_v, dummy_i, dummy_m,
+                            method=ALPRO.full_init)["params"]
+        params = shard_params(params, mesh)
+        state, tx, schedule = create_train_state(params, opt_cfg)
+
+    mask_id = tokenizer.tokenizer.mask_id
+    vocab = mcfg.bert.vocab_size
+
+    def loss_fn(p, batch, rng, step):
+        video = normalize_clip(batch["video"], dtype=dtype)
+        if task == "pretrain":
+            return model.apply({"params": p}, video, batch["input_ids"],
+                               batch["attention_mask"],
+                               batch["mlm_ids"], batch["mlm_labels"],
+                               rng=rng, deterministic=False,
+                               rngs={"dropout": rng},
+                               method=ALPRO.pretrain_loss)
+        if task == "cls":
+            return model.apply({"params": p}, video, batch["input_ids"],
+                               batch["attention_mask"],
+                               labels=batch["labels"], deterministic=False,
+                               rngs={"dropout": rng},
+                               method=ALPRO.cls_forward)
+        return model.apply({"params": p}, video, batch["input_ids"],
+                           batch["attention_mask"], batch["idx"],
+                           rng=rng, deterministic=False,
+                           rngs={"dropout": rng},
+                           method=ALPRO.retrieval_loss)
+
+    mlm_key = jax.random.key(args.seed + 7)
+    mlm_step = [0]
+
+    def make_batch(raw):
+        tok = tokenizer(raw["text"], padding="max_length")
+        batch = {"video": jnp.asarray(raw["video"]),
+                 "input_ids": jnp.asarray(tok["input_ids"]),
+                 "attention_mask": jnp.asarray(tok["attention_mask"])}
+        if task == "pretrain":
+            mlm_step[0] += 1
+            mlm_ids, mlm_labels = mlm_mask_tokens(
+                jax.random.fold_in(mlm_key, mlm_step[0]),
+                jnp.asarray(tok["input_ids"]),
+                jnp.asarray(tok["attention_mask"]), vocab,
+                mlm_probability=mcfg.mlm_probability,
+                mask_token_id=mask_id)
+            batch["mlm_ids"] = mlm_ids
+            batch["mlm_labels"] = mlm_labels
+        if task == "cls":
+            batch["labels"] = jnp.asarray(raw["label"])
+        if task == "retrieval":
+            batch["idx"] = jnp.asarray(raw["match_id"])
+        return batch
+
+    train_step = jax.jit(make_train_step(loss_fn, tx))
+    ckpt = CheckpointManager(os.path.join(args.output_dir, "checkpoints"))
+    os.makedirs(args.output_dir, exist_ok=True)
+    rng = jax.random.key(args.seed)
+
+    ckpt_src = ckpt
+    if args.resume and os.path.abspath(args.resume) != os.path.abspath(
+            args.output_dir):
+        src = os.path.join(args.resume, "checkpoints")
+        ckpt_src = CheckpointManager(
+            src if os.path.isdir(src) else args.resume)
+    step = ckpt_src.latest_step()
+    if (args.resume or args.evaluate_only) and step is None:
+        raise FileNotFoundError(
+            f"--resume/--evaluate_only set but no checkpoint under "
+            f"{ckpt_src.directory}")
+    if step is not None:
+        with jax.set_mesh(mesh):
+            state = common.restore_with_resize(ckpt_src, step, state, mesh)
+        print(f"resumed from step {step}", flush=True)
+
+    if not args.evaluate_only:
+        for epoch in range(cfg.epochs):
+            loader.set_epoch(epoch)
+            logger = MetricLogger()
+            t0 = time.time()
+            for it, raw in enumerate(logger.log_every(
+                    loader, args.log_freq, f"Epoch [{epoch}]")):
+                if args.max_steps > 0 and it >= args.max_steps:
+                    break
+                with jax.set_mesh(mesh):
+                    state, metrics = train_step(
+                        state, make_batch(raw),
+                        jax.random.fold_in(rng, int(state.step)))
+                logger.update(**{k: float(x) for k, x in metrics.items()})
+            ckpt.save(int(state.step), state, metadata={"epoch": epoch + 1})
+            common.write_log(args, {
+                "epoch": epoch,
+                **{k: m.global_avg for k, m in logger.meters.items()},
+                "epoch_time": time.time() - t0})
+
+    # ---- evaluation -----------------------------------------------------
+    params = state.params
+    result = {}
+    if task == "pretrain":
+        common.write_log(args, {"done": int(state.step)})
+        return state, result
+    test_loader = ShardedLoader(test_ds, cfg.batch_size, shuffle=False,
+                                drop_last=False,
+                                num_workers=cfg.num_workers,
+                                process_index=0, process_count=1)
+    if task == "cls":
+        @jax.jit
+        def score(p, video, ids, mask):
+            return model.apply({"params": p},
+                               normalize_clip(video, dtype=dtype), ids,
+                               mask, method=ALPRO.cls_forward)["logits"]
+
+        hits = np.zeros(2)
+        n = 0
+        for it, raw in enumerate(test_loader):
+            if args.max_steps > 0 and it >= args.max_steps:
+                break
+            tok = tokenizer(raw["text"], padding="max_length")
+            with jax.set_mesh(mesh):
+                logits = score(params, jnp.asarray(raw["video"]),
+                               jnp.asarray(tok["input_ids"]),
+                               jnp.asarray(tok["attention_mask"]))
+            labels = np.asarray(raw["label"])
+            k = min(5, mcfg.num_classes)
+            t1, tk = topk_accuracy(np.asarray(logits, np.float32), labels,
+                                   topk=(1, k))
+            hits += np.array([t1, tk]) * len(labels)
+            n += len(labels)
+        result = {"top1": hits[0] / max(n, 1), "top5": hits[1] / max(n, 1)}
+    else:  # retrieval: dual-encoder features (reference eval protocol)
+        @jax.jit
+        def feats(p, video, ids, mask):
+            img = model.apply({"params": p},
+                              normalize_clip(video, dtype=dtype),
+                              method=ALPRO.encode_image)
+            vf = model.apply({"params": p}, img[:, 0].astype(jnp.float32),
+                             method=lambda m, x: m.vision_proj(x))
+            txt = model.apply({"params": p}, ids, mask,
+                              method=ALPRO.encode_text)
+            tf_ = model.apply({"params": p},
+                              txt[:, 0].astype(jnp.float32),
+                              method=lambda m, x: m.text_proj(x))
+            vf = vf / jnp.linalg.norm(vf, axis=-1, keepdims=True)
+            tf_ = tf_ / jnp.linalg.norm(tf_, axis=-1, keepdims=True)
+            return vf, tf_
+
+        vfeats, tfeats, order = [], [], []
+        for raw in test_loader:
+            tok = tokenizer(raw["text"], padding="max_length")
+            with jax.set_mesh(mesh):
+                vf, tf_ = feats(params, jnp.asarray(raw["video"]),
+                                jnp.asarray(tok["input_ids"]),
+                                jnp.asarray(tok["attention_mask"]))
+            vfeats.append(np.asarray(vf, np.float32))
+            tfeats.append(np.asarray(tf_, np.float32))
+            order += list(raw["index"])
+        perm = np.argsort(np.asarray(order))
+        vfeats = np.concatenate(vfeats)[perm]
+        tfeats = np.concatenate(tfeats)[perm]
+        sims = vfeats @ tfeats.T
+        result = itm_eval(sims, sims.T, test_ds.txt2vid, test_ds.vid2txt)
+
+    print(f"* ALPRO {task} eval:", json.dumps(result, ensure_ascii=False),
+          flush=True)
+    common.write_log(args, {"test": result})
+    return state, result
+
+
+def parser():
+    p = common.base_parser("ALPRO split-BERT video-text (TPU)")
+    p.add_argument("--task", choices=("pretrain", "retrieval", "cls"),
+                   default="pretrain")
+    return p
+
+
+if __name__ == "__main__":
+    main(parser().parse_args())
