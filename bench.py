@@ -95,6 +95,8 @@ def main():
         grad_ckpt=os.environ.get("BENCH_VIS_CKPT", "1") == "1",
         use_packed_flash=os.environ.get("BENCH_PACKED", "1") == "1",
         vis_remat_policy=os.environ.get("BENCH_VIS_REMAT", "attn"),
+        dec_attn_impl=os.environ.get("BENCH_DEC_ATTN", "packed"),
+        vis_attn_impl=os.environ.get("BENCH_VIS_ATTN", "packed"),
     )
     model, params, video, ids, mask = ge._build(
         cfg, batch=batch, max_length=seq_text)

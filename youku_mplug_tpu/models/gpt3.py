@@ -77,8 +77,10 @@ class GPT3Config:
     remat_policy: str = "nothing"  # "nothing" | "dots" | "attn"
     ce_chunk: int = 0
     # packed-layout flash attention ([B,S,n*d], no head transposes; d<128
-    # heads run 128//d per lane strip) — the TPU production path
+    # heads run 128//d per lane strip) — the TPU production path.
+    # attn_impl: "packed" | "xla" (einsum; XLA-batched matmuls)
     use_packed_flash: bool = True
+    attn_impl: str = "packed"
 
     @property
     def ffn_dim(self) -> int:
@@ -146,8 +148,8 @@ class GPT3Attention(nn.Module):
         )
 
         packed = (cache is None and jax.default_backend() == "tpu"
-                  and cfg.use_packed_flash and attn_drop == 0.0
-                  and packed_supported(n, d))
+                  and cfg.use_packed_flash and cfg.attn_impl == "packed"
+                  and attn_drop == 0.0 and packed_supported(n, d))
         if packed:
             # packed layout: [B, S, n*d] straight into the pallas kernel —
             # no per-head transposes (the profile's 'copy' tax)
@@ -172,9 +174,10 @@ class GPT3Attention(nn.Module):
             # an unfrozen training decoder
             drop_rng = (self.make_rng("dropout") if attn_drop > 0.0
                         else None)
-            out = dot_product_attention(q, k, v, causal=True,
-                                        dropout_rate=attn_drop,
-                                        dropout_rng=drop_rng)
+            out = dot_product_attention(
+                q, k, v, causal=True, dropout_rate=attn_drop,
+                dropout_rng=drop_rng,
+                use_flash=False if cfg.attn_impl == "xla" else None)
             # named checkpoint: the "attn" remat policy saves this tensor so
             # backward recompute skips the attention kernel entirely
             from jax.ad_checkpoint import checkpoint_name

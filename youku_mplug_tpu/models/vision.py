@@ -67,6 +67,9 @@ class VisionConfig:
     # "attn" saves attention outputs so backward recompute skips the
     # attention kernels (named checkpoints "vis_attn_out")
     remat_policy: str = "nothing"
+    # attention implementation: "packed" (pallas, no head transposes),
+    # "xla" (einsum attention — XLA batches the whole [B,n,S,S] matmul)
+    attn_impl: str = "packed"
     stop_grad_conv1: bool = False
     use_abs_pos_emb: bool = True
     clip_model: bool = False
@@ -122,6 +125,7 @@ class VisionAttention(nn.Module):
     proj_scale: float = 1.0  # fix_init_weight divisor for the out projection
     attn_drop: float = 0.0
     causal: bool = False
+    attn_impl: str = "packed"  # "packed" | "xla"
 
     @nn.compact
     def __call__(self, x, deterministic=True):
@@ -149,7 +153,8 @@ class VisionAttention(nn.Module):
             packed_supported,
         )
 
-        if (jax.default_backend() == "tpu" and drop == 0.0
+        if (self.attn_impl == "packed"
+                and jax.default_backend() == "tpu" and drop == 0.0
                 and not self.causal and s >= 128
                 and packed_supported(n, d)):
             # packed path: keep [B, S, n*d] end to end (no head transposes)
@@ -172,9 +177,10 @@ class VisionAttention(nn.Module):
         # [B, S, n, d] -> [B, n, S, d]
         q, k, v = (jnp.moveaxis(t, 2, 1) for t in (q, k, v))
         drop_rng = self.make_rng("dropout") if drop > 0.0 else None
-        out = dot_product_attention(q, k, v, causal=self.causal,
-                                    dropout_rate=drop,
-                                    dropout_rng=drop_rng)
+        out = dot_product_attention(
+            q, k, v, causal=self.causal, dropout_rate=drop,
+            dropout_rng=drop_rng,
+            use_flash=False if self.attn_impl == "xla" else None)
         from jax.ad_checkpoint import checkpoint_name
         out = checkpoint_name(out, "vis_attn_out")
         out = jnp.moveaxis(out, 1, 2)
@@ -248,7 +254,7 @@ class SpaceTimeBlock(nn.Module):
         xt = LayerNormFP32(c, cfg.ln_eps, name="temporal_ln")(xt)
         xt = VisionAttention(
             c, cfg.num_heads, init_std=cfg.init_std, proj_scale=1.0,
-            attn_drop=cfg.attn_drop_rate,
+            attn_drop=cfg.attn_drop_rate, attn_impl=cfg.attn_impl,
             name="temporal_attn")(xt, deterministic)
         temporal_fc_kernel = self.param(
             "temporal_fc_kernel",
@@ -268,7 +274,7 @@ class SpaceTimeBlock(nn.Module):
         xs = LayerNormFP32(c, cfg.ln_eps, name="norm1")(xs)
         xs = VisionAttention(
             c, cfg.num_heads, init_std=cfg.init_std, proj_scale=proj_scale,
-            attn_drop=cfg.attn_drop_rate,
+            attn_drop=cfg.attn_drop_rate, attn_impl=cfg.attn_impl,
             name="attn")(xs, deterministic)
         cls_new = jnp.mean(xs[:, :, 0, :], axis=1)  # mean over frames
         xs = xs[:, :, 1:, :].transpose(0, 2, 1, 3)  # [B, N, T, C]
@@ -401,7 +407,8 @@ class PlainBlock(nn.Module):
         h = LayerNormFP32(c, cfg.ln_eps, name="norm1")(x)
         h = VisionAttention(c, cfg.num_heads, init_std=cfg.init_std,
                             proj_scale=proj_scale,
-                            attn_drop=cfg.attn_drop_rate, name="attn")(
+                            attn_drop=cfg.attn_drop_rate,
+                            attn_impl=cfg.attn_impl, name="attn")(
             h, deterministic)
         if self.drop_path > 0 and not deterministic:
             h = _drop_path(h, self.drop_path, deterministic,
