@@ -1,0 +1,90 @@
+"""Serving-path benchmark: 1.3B greedy decode throughput (tokens/s).
+
+Measures the jitted whole-generate program (prefill 128 visual queries +
+greedy decode) on real hardware.  Prints one JSON line:
+    {"metric": "decode_tokens_per_sec", "value": ..., "unit": "tok/s",
+     "vs_baseline": ...}
+
+Baseline convention: a memory-bound roofline for the chip — each decoded
+token must stream the decoder weights once per sequence-independent
+batch, so tok/s_peak ~= batch * HBM_BW / decoder_bytes; vs_baseline is
+measured/roofline.  On the tunneled dev chip the timing loop lives in
+one dispatch (see axon notes in BENCHLOG.md).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+import jax
+import jax.numpy as jnp
+
+
+def main():
+    from youku_mplug_tpu.runtime.cache import enable_compilation_cache
+
+    enable_compilation_cache()
+    import __graft_entry__ as ge
+    from youku_mplug_tpu.models.generation import (
+        GenerationConfig,
+        generate,
+    )
+    from youku_mplug_tpu.models.gpt3 import GPT3LM
+    from youku_mplug_tpu.models.tasks import MPLUGVideo
+
+    batch = int(os.environ.get("BENCH_DECODE_BATCH", "8"))
+    new_tokens = int(os.environ.get("BENCH_DECODE_TOKENS", "64"))
+    prompt_len = 16
+
+    cfg = ge._flagship_cfg()
+    model, params, video, ids, mask = ge._build(
+        cfg, batch=batch, max_length=prompt_len)
+    video = jax.random.normal(jax.random.key(1), video.shape, video.dtype)
+
+    # visual prefix (queries through the abstractor), like run_caption
+    query_embeds = model.apply(
+        {"params": params}, video, method=MPLUGVideo.encode_video)
+    lm = GPT3LM(cfg.text, policy=model.policy)
+    lm_params = params["text_decoder"]
+
+    prompt = jnp.full((batch, prompt_len), 5, jnp.int32)
+    plen = jnp.full((batch,), prompt_len, jnp.int32)
+    gcfg = GenerationConfig(max_new_tokens=new_tokens, beam_size=1,
+                            do_sample=False, eos_id=-1, pad_id=0)
+
+    def run(seed):
+        out = generate(lm, lm_params, prompt, plen,
+                       query_embeds=query_embeds, config=gcfg,
+                       rng=jax.random.key(seed))
+        return out["sequences"]
+
+    seqs = run(0)
+    _ = jax.device_get(seqs)  # compile + warmup, value-forced
+    t0 = time.time()
+    seqs = run(1)
+    _ = jax.device_get(seqs)
+    dt = time.time() - t0
+
+    toks = batch * new_tokens
+    rate = toks / dt
+    # roofline: bf16 decoder params streamed once per decode step
+    n_params = sum(x.size for x in jax.tree.leaves(lm_params))
+    bytes_per_step = n_params * 2
+    hbm_bw = 819e9  # v5e
+    roofline = batch * hbm_bw / bytes_per_step
+    print(f"# {toks} tokens in {dt*1000:.0f} ms "
+          f"({dt/new_tokens*1000:.1f} ms/step, batch {batch}); "
+          f"roofline {roofline:.0f} tok/s", file=sys.stderr)
+    print(json.dumps({
+        "metric": "decode_tokens_per_sec",
+        "value": round(rate, 1),
+        "unit": "tok/s",
+        "vs_baseline": round(rate / roofline, 4),
+    }))
+
+
+if __name__ == "__main__":
+    main()

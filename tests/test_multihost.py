@@ -142,3 +142,64 @@ print("OK", pid, flush=True)
     for rc, out in outs:
         assert rc == 0, out
         assert "OK" in out
+
+
+def test_gather_eval_rows_single_process_dedup():
+    from youku_mplug_tpu.cli.common import gather_eval_rows
+
+    rows = np.arange(8, dtype=np.float32).reshape(4, 2)
+    order = np.array([2, 0, 1, 0])  # wrap-padded duplicate of index 0
+    merged, idx = gather_eval_rows(rows, order)
+    np.testing.assert_array_equal(idx, [0, 1, 2])
+    np.testing.assert_array_equal(merged[0], rows[1])  # first occurrence
+    np.testing.assert_array_equal(merged[2], rows[0])
+
+
+def test_gather_eval_rows_two_processes(tmp_path):
+    """Each host scores its loader shard; gather_eval_rows must merge the
+    shards into the full, ordered matrix on BOTH hosts (the reference's
+    rank-partitioned eval + collect_result)."""
+    import socket
+
+    with socket.socket() as s:
+        s.bind(("127.0.0.1", 0))
+        port = s.getsockname()[1]
+
+    worker = tmp_path / "worker.py"
+    worker.write_text(f"""
+import os, sys
+os.environ["JAX_PLATFORMS"] = "cpu"
+os.environ["XLA_FLAGS"] = ""
+import jax
+jax.config.update("jax_platforms", "cpu")
+sys.path.insert(0, {repr(os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))))})
+import numpy as np
+from youku_mplug_tpu.runtime.mesh import distributed_init
+pid = int(sys.argv[1])
+distributed_init("127.0.0.1:{port}", num_processes=2, process_id=pid)
+from youku_mplug_tpu.cli.common import gather_eval_rows
+# each host scored rows for its strided shard of 6 items (wrap to 8)
+idx = np.arange(pid, 8, 2) % 6
+rows = idx[:, None].astype(np.float32) * np.ones((1, 3), np.float32)
+merged, order = gather_eval_rows(rows, idx)
+assert list(order) == list(range(6)), order
+np.testing.assert_array_equal(merged[:, 0], np.arange(6))
+print("OK", pid, flush=True)
+""")
+    procs = [subprocess.Popen([sys.executable, str(worker), str(i)],
+                              stdout=subprocess.PIPE,
+                              stderr=subprocess.STDOUT, text=True)
+             for i in range(2)]
+    outs = []
+    try:
+        for p in procs:
+            out, _ = p.communicate(timeout=180)
+            outs.append((p.returncode, out))
+    except subprocess.TimeoutExpired:
+        for p in procs:
+            p.kill()
+        pytest.skip("jax.distributed CPU rendezvous timed out")
+    for rc, out in outs:
+        assert rc == 0, out
+        assert "OK" in out

@@ -225,6 +225,28 @@ def restore_with_resize(ckpt: CheckpointManager, step: int,
         return state.replace(trainable=trainable, frozen=frozen)
 
 
+def gather_eval_rows(rows: np.ndarray, order: np.ndarray):
+    """Merge per-host evaluation shards (the analog of the reference's
+    rank-partitioned eval + all_reduce merge, run_retrieval_itm:279-281 /
+    collect_result): all-gather (rows, order) across processes and keep
+    the first occurrence of each sample index (the loader wrap-pads, so
+    duplicates are expected).  Single-process: dedup only."""
+    rows = np.asarray(rows)
+    order = np.asarray(order)
+    if jax.process_count() > 1:
+        from jax.experimental import multihost_utils
+
+        rows = np.asarray(multihost_utils.process_allgather(
+            jnp.asarray(rows))).reshape(-1, *rows.shape[1:])
+        order = np.asarray(multihost_utils.process_allgather(
+            jnp.asarray(order))).reshape(-1)
+    _, first = np.unique(order, return_index=True)
+    keep = np.sort(first)
+    rows, order = rows[keep], order[keep]
+    perm = np.argsort(order)
+    return rows[perm], order[perm]
+
+
 def put_batch(mesh, batch: Dict[str, Any]) -> Dict[str, Any]:
     """device_put array fields with batch sharding over the data axis."""
     out = {}

@@ -96,10 +96,12 @@ def evaluation(runner, dataset, text_bs: int = 8):
                            num_text=text_bs,
                            method=MPLUGVideo.itm_eval_scores)
 
+    # shard VIDEO rows across hosts; rows are merged afterwards — the
+    # analog of the reference partitioning the V x T matrix across ranks
+    # (run_retrieval_itm:279-281)
     vb = cfg.get("eval_video_batch", 4)
     loader = ShardedLoader(dataset, vb, shuffle=False, drop_last=False,
-                           num_workers=cfg.num_workers, process_index=0,
-                           process_count=1)
+                           num_workers=cfg.num_workers)
     gen_rows, cls_rows, order = [], [], []
     for raw in loader:
         nv = len(raw["video"])
@@ -131,12 +133,13 @@ def evaluation(runner, dataset, text_bs: int = 8):
         if cls_cols:
             cls_rows.append(np.concatenate(cls_cols, axis=1))
         order += list(raw["index"])
-    perm = np.argsort(np.asarray(order))
-    gen = np.concatenate(gen_rows)[perm]
+    gen, _ = common.gather_eval_rows(np.concatenate(gen_rows),
+                                     np.asarray(order))
     res = {"gen_" + k: v for k, v in itm_eval(
         gen, gen.T, dataset.txt2vid, dataset.vid2txt).items()}
     if cls_rows:
-        cls = np.concatenate(cls_rows)[perm]
+        cls, _ = common.gather_eval_rows(np.concatenate(cls_rows),
+                                         np.asarray(order))
         res.update({"cls_" + k: v for k, v in itm_eval(
             cls, cls.T, dataset.txt2vid, dataset.vid2txt).items()})
     print("* ITM retrieval:", res, flush=True)

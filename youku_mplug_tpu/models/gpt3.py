@@ -74,7 +74,9 @@ class GPT3Config:
     # engineering knobs (ours, not the reference's)
     scan_layers: bool = True
     remat: bool = False
-    remat_policy: str = "nothing"  # "nothing" | "dots" | "attn"
+    # "nothing" | "dots" | "attn" | "names" (saves attn output + qkv +
+    # fc1-gelu so backward recompute runs only the cheap projections)
+    remat_policy: str = "nothing"
     ce_chunk: int = 0
     # packed-layout flash attention ([B,S,n*d], no head transposes; d<128
     # heads run 128//d per lane strip) — the TPU production path.
@@ -139,6 +141,8 @@ class GPT3Attention(nn.Module):
         dtype = self.policy.compute_dtype if x.dtype != jnp.float32 else x.dtype
         qkv = jnp.einsum("bsh,hcnd->bcsnd", x, qkv_kernel.astype(dtype))
         qkv = qkv + qkv_bias.astype(dtype)[None, :, None]
+        from jax.ad_checkpoint import checkpoint_name as _ckpt_name
+        qkv = _ckpt_name(qkv, "dec_qkv")
 
         attn_drop = cfg.attention_dropout if not deterministic else 0.0
 
@@ -232,6 +236,8 @@ class GPT3MLP(nn.Module):
         # fused bias + tanh-approx gelu (megatron bias_gelu_impl contract,
         # reference: modeling_distributed_gpt3.py:586-588)
         y = jax.nn.gelu(y + fc1_bias.astype(y.dtype), approximate=True)
+        from jax.ad_checkpoint import checkpoint_name as _ckpt_name
+        y = _ckpt_name(y, "dec_fc1h")
         y = jnp.einsum("bsf,fh->bsh", y, fc2_kernel.astype(y.dtype))
         y = y + fc2_bias.astype(y.dtype)
         return y
@@ -314,6 +320,9 @@ class GPT3Decoder(nn.Module):
             elif cfg.remat_policy == "attn":
                 policy = jax.checkpoint_policies.save_only_these_names(
                     "attn_out")
+            elif cfg.remat_policy == "names":
+                policy = jax.checkpoint_policies.save_only_these_names(
+                    "attn_out", "dec_qkv", "dec_fc1h")
             else:
                 policy = jax.checkpoint_policies.nothing_saveable
             # __call__(self, x, cache, cache_len, valid_from, deterministic)

@@ -65,7 +65,9 @@ class VisionConfig:
     grad_ckpt: bool = False
     # remat policy under grad_ckpt: "nothing" recomputes the whole block;
     # "attn" saves attention outputs so backward recompute skips the
-    # attention kernels (named checkpoints "vis_attn_out")
+    # attention kernels (named checkpoints "vis_attn_out"); "half" remats
+    # only every other block (half the recompute, ~half the act memory
+    # of no-remat)
     remat_policy: str = "nothing"
     # attention implementation: "packed" (pallas, no head transposes),
     # "xla" (einsum attention — XLA batches the whole [B,n,S,S] matmul)
@@ -377,11 +379,13 @@ class TimeSformer(nn.Module):
         x = x.reshape(b, t, n_p, d)
         dpr = (np.linspace(0, cfg.drop_path, cfg.depth).tolist()
                if cfg.depth > 1 else [0.0])
-        block_cls = SpaceTimeBlock
-        if cfg.grad_ckpt:
-            block_cls = nn.remat(SpaceTimeBlock, static_argnums=(3,),
-                                 policy=_remat_policy(cfg))
+        remat_block = nn.remat(SpaceTimeBlock, static_argnums=(3,),
+                               policy=_remat_policy(cfg))
         for i in range(cfg.depth):
+            block_cls = SpaceTimeBlock
+            if cfg.grad_ckpt and not (cfg.remat_policy == "half"
+                                      and i % 2 == 1):
+                block_cls = remat_block
             x, cls = block_cls(
                 cfg, layer_id=i + 1, drop_path=dpr[i],
                 name=f"blocks_{i}")(x, cls, deterministic)
