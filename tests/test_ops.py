@@ -279,3 +279,64 @@ def test_flash_attention_packed_subhead_strips(rng, n, s, d):
     for a, b_ in zip(grads, grads_ref):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b_),
                                    rtol=2e-3, atol=2e-3)
+
+
+def test_int8_quantization_roundtrip(rng):
+    from youku_mplug_tpu.ops.quant import dequantize, quantize_int8
+
+    w = jnp.asarray(rng.normal(size=(64, 48)).astype(np.float32) * 0.05)
+    q, scale = quantize_int8(w, (0,))
+    assert q.dtype == jnp.int8 and scale.shape == (1, 48)
+    back = dequantize(q, scale, jnp.float32)
+    # per-channel symmetric int8: relative error bounded by 1/127
+    err = np.abs(np.asarray(back) - np.asarray(w))
+    bound = np.abs(np.asarray(w)).max(0) / 127.0 * 0.51
+    assert (err <= bound[None, :] + 1e-8).all()
+    # matmul with output-channel scaling equals dequant matmul
+    x = jnp.asarray(rng.normal(size=(8, 64)).astype(np.float32))
+    y_scaled = (x @ q.astype(jnp.float32)) * scale[0]
+    y_deq = x @ back
+    np.testing.assert_allclose(np.asarray(y_scaled), np.asarray(y_deq),
+                               rtol=1e-5, atol=1e-5)
+
+
+def test_quantize_gpt3_decoder_tree(rng):
+    from youku_mplug_tpu.ops.quant import (
+        decoder_bytes,
+        quantize_gpt3_decoder,
+    )
+
+    params = {
+        "decoder": {"layers": {
+            "attn": {
+                "qkv_kernel": jnp.asarray(rng.normal(
+                    size=(3, 32, 3, 4, 8)).astype(np.float32)),  # scanned
+                "qkv_bias": jnp.zeros((3, 3, 4, 8), jnp.float32),
+                "out_kernel": jnp.asarray(rng.normal(
+                    size=(3, 4, 8, 32)).astype(np.float32)),
+                "out_bias": jnp.zeros((3, 32), jnp.float32),
+            },
+            "mlp": {
+                "fc1_kernel": jnp.asarray(rng.normal(
+                    size=(3, 32, 64)).astype(np.float32)),
+                "fc1_bias": jnp.zeros((3, 64), jnp.float32),
+                "fc2_kernel": jnp.asarray(rng.normal(
+                    size=(3, 64, 32)).astype(np.float32)),
+                "fc2_bias": jnp.zeros((3, 32), jnp.float32),
+            },
+        }},
+        "word_embeddings": {"embedding": jnp.ones((97, 32), jnp.float32)},
+    }
+    q, scales = quantize_gpt3_decoder(params)
+    assert q["decoder"]["layers"]["attn"]["qkv_kernel"].dtype == jnp.int8
+    assert q["decoder"]["layers"]["mlp"]["fc2_kernel"].dtype == jnp.int8
+    # embeddings and biases untouched
+    assert q["word_embeddings"]["embedding"].dtype == jnp.float32
+    assert q["decoder"]["layers"]["attn"]["qkv_bias"].dtype == jnp.float32
+    # scanned layout: scale keeps the layer dim, collapses reduction
+    s = scales["decoder"]["layers"]["attn"]["qkv_kernel"]
+    assert s.shape == (3, 1, 3, 4, 8)
+    s2 = scales["decoder"]["layers"]["attn"]["out_kernel"]
+    assert s2.shape == (3, 1, 1, 32)
+    # int8 kernels shrink the tree
+    assert decoder_bytes(q) < 0.45 * decoder_bytes(params)
