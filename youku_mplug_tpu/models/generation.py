@@ -87,7 +87,7 @@ def _build_prefix(model: GPT3LM, params, prompt_ids, prompt_len,
     shifted = jnp.where(j >= k[:, None],
                         jnp.take_along_axis(prompt_ids, src, axis=1), pad_id)
 
-    tok_emb = model.apply({"params": params}, shifted, method=GPT3LM.embed)
+    tok_emb = model.apply(_variables(params), shifted, method=GPT3LM.embed)
     h = tok_emb.shape[-1]
     total = nq + p
     jj = jnp.arange(total)[None, :, None]  # [1, total, 1]
@@ -106,6 +106,14 @@ def _build_prefix(model: GPT3LM, params, prompt_ids, prompt_len,
     else:
         embeds = jnp.where(jj < kk, 0.0, tok_part)
     return embeds, k, k
+
+
+def _variables(params):
+    """Accept a raw param tree or a full variables dict ({'params': ...,
+    'qscales': ...} for the int8 decode path, ops/quant.py)."""
+    if isinstance(params, dict) and "params" in params:
+        return params
+    return {"params": params}
 
 
 def generate(model: GPT3LM, params, prompt_ids, prompt_len,
@@ -137,10 +145,10 @@ def _sample(model, params, prompt_ids, prompt_len, query_embeds, config,
 
     embeds, valid_from, pos_offset = _build_prefix(
         model, params, prompt_ids, prompt_len, query_embeds, config.pad_id)
-    cache = model.apply({"params": params}, b, max_len,
+    cache = model.apply(_variables(params), b, max_len,
                         method=GPT3LM.init_cache)
     logits, cache = model.apply(
-        {"params": params}, embeds, cache, jnp.int32(0),
+        _variables(params), embeds, cache, jnp.int32(0),
         valid_from, pos_offset, method=GPT3LM.decode_step)
 
     def pick(logits, step_rng):
@@ -163,10 +171,10 @@ def _sample(model, params, prompt_ids, prompt_len, query_embeds, config,
     def body(state):
         t, seqs, cache, done, rng = state
         last = seqs[:, t - 1]
-        emb = model.apply({"params": params}, last[:, None],
+        emb = model.apply(_variables(params), last[:, None],
                           method=GPT3LM.embed)
         logits, cache = model.apply(
-            {"params": params}, emb, cache, prefix_len + t - 1,
+            _variables(params), emb, cache, prefix_len + t - 1,
             valid_from, pos_offset, method=GPT3LM.decode_step)
         rng, sub = jax.random.split(rng)
         nxt = pick(logits, sub)
@@ -215,10 +223,10 @@ def _beam_search(model, params, prompt_ids, prompt_len, query_embeds,
     valid_t = tile(valid_from)
     off_t = tile(pos_offset)
 
-    cache = model.apply({"params": params}, b * kbeam, max_len,
+    cache = model.apply(_variables(params), b * kbeam, max_len,
                         method=GPT3LM.init_cache)
     logits, cache = model.apply(
-        {"params": params}, embeds_t, cache, jnp.int32(0), valid_t, off_t,
+        _variables(params), embeds_t, cache, jnp.int32(0), valid_t, off_t,
         method=GPT3LM.decode_step)
     v = logits.shape[-1]
     logp = jax.nn.log_softmax(logits.astype(jnp.float32)).reshape(b, kbeam, v)
@@ -254,10 +262,10 @@ def _beam_search(model, params, prompt_ids, prompt_len, query_embeds,
     def body(state):
         t, alive_seq, cache, alive_score, fin_seq, fin_score = state
         last = alive_seq[:, :, t - 1].reshape(b * kbeam)
-        emb = model.apply({"params": params}, last[:, None],
+        emb = model.apply(_variables(params), last[:, None],
                           method=GPT3LM.embed)
         logits, cache = model.apply(
-            {"params": params}, emb, cache, prefix_len + t - 1,
+            _variables(params), emb, cache, prefix_len + t - 1,
             valid_t, off_t, method=GPT3LM.decode_step)
         logp = jax.nn.log_softmax(
             logits.astype(jnp.float32)).reshape(b, kbeam, v)

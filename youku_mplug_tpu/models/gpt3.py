@@ -118,6 +118,15 @@ def _dense_init(std):
     return nn.initializers.normal(stddev=std)
 
 
+def _qscale(mod: nn.Module, name: str):
+    """Optional int8 dequant scale from the 'qscales' collection (see
+    ops/quant.py): present only when the caller passed quantized params —
+    the default (no collection) traces identically to the fp path."""
+    if mod.has_variable("qscales", name):
+        return mod.get_variable("qscales", name)
+    return None
+
+
 class GPT3Attention(nn.Module):
     """Self-attention with heads-sharded fused QKV and explicit KV cache."""
 
@@ -140,6 +149,9 @@ class GPT3Attention(nn.Module):
 
         dtype = self.policy.compute_dtype if x.dtype != jnp.float32 else x.dtype
         qkv = jnp.einsum("bsh,hcnd->bcsnd", x, qkv_kernel.astype(dtype))
+        qkv_s = _qscale(self, "qkv_kernel")
+        if qkv_s is not None:  # int8 kernel: scale the output channels
+            qkv = qkv * qkv_s.reshape(3, n, d).astype(dtype)[None, :, None]
         qkv = qkv + qkv_bias.astype(dtype)[None, :, None]
         from jax.ad_checkpoint import checkpoint_name as _ckpt_name
         qkv = _ckpt_name(qkv, "dec_qkv")
@@ -166,6 +178,9 @@ class GPT3Attention(nn.Module):
             y = jnp.einsum(
                 "bsk,kh->bsh", out_p,
                 out_kernel.reshape(n * d, h).astype(out_p.dtype))
+            out_s = _qscale(self, "out_kernel")
+            if out_s is not None:
+                y = y * out_s.reshape(h).astype(y.dtype)
             y = y + out_bias.astype(y.dtype)
             return y, None
 
@@ -213,6 +228,9 @@ class GPT3Attention(nn.Module):
 
         out = jnp.moveaxis(out, 1, 2)  # [B,S,n,d]
         y = jnp.einsum("bsnd,ndh->bsh", out, out_kernel.astype(out.dtype))
+        out_s = _qscale(self, "out_kernel")
+        if out_s is not None:
+            y = y * out_s.reshape(h).astype(y.dtype)
         y = y + out_bias.astype(y.dtype)
         return y, new_cache
 
@@ -233,12 +251,18 @@ class GPT3MLP(nn.Module):
             "fc2_kernel", _dense_init(self.layer_scale_std), (f, h))
         fc2_bias = self.param("fc2_bias", nn.initializers.zeros, (h,))
         y = jnp.einsum("bsh,hf->bsf", x, fc1_kernel.astype(x.dtype))
+        s1 = _qscale(self, "fc1_kernel")
+        if s1 is not None:
+            y = y * s1.reshape(f).astype(y.dtype)
         # fused bias + tanh-approx gelu (megatron bias_gelu_impl contract,
         # reference: modeling_distributed_gpt3.py:586-588)
         y = jax.nn.gelu(y + fc1_bias.astype(y.dtype), approximate=True)
         from jax.ad_checkpoint import checkpoint_name as _ckpt_name
         y = _ckpt_name(y, "dec_fc1h")
         y = jnp.einsum("bsf,fh->bsh", y, fc2_kernel.astype(y.dtype))
+        s2 = _qscale(self, "fc2_kernel")
+        if s2 is not None:
+            y = y * s2.reshape(h).astype(y.dtype)
         y = y + fc2_bias.astype(y.dtype)
         return y
 
@@ -332,7 +356,7 @@ class GPT3Decoder(nn.Module):
         if cfg.scan_layers:
             scanned = nn.scan(
                 layer,
-                variable_axes={"params": 0},
+                variable_axes={"params": 0, "qscales": 0},
                 split_rngs={"params": True, "dropout": True},
                 in_axes=(0, nn.broadcast, nn.broadcast, nn.broadcast),
                 out_axes=0,
