@@ -55,8 +55,16 @@ def main():
     gcfg = GenerationConfig(max_new_tokens=new_tokens, beam_size=1,
                             do_sample=False, eos_id=-1, pad_id=0)
 
+    use_int8 = os.environ.get("BENCH_DECODE_INT8", "0") == "1"
+    lm_vars = lm_params
+    if use_int8:
+        from youku_mplug_tpu.ops.quant import quantize_gpt3_decoder
+
+        qparams, scales = quantize_gpt3_decoder(lm_params)
+        lm_vars = {"params": qparams, "qscales": scales}
+
     def run(seed):
-        out = generate(lm, lm_params, prompt, plen,
+        out = generate(lm, lm_vars, prompt, plen,
                        query_embeds=query_embeds, config=gcfg,
                        rng=jax.random.key(seed))
         return out["sequences"]

@@ -192,3 +192,25 @@ def test_lr_scale_rules_two_optimizer_split():
     assert s["visual_encoder"]["blocks_0"]["attn"]["qkv_kernel"] == 0.2
     assert s["visual_fc"]["kernel"] == 2.0
     assert s["text_decoder"]["word_embeddings"]["embedding"] == 1.0
+
+
+def test_layer_decay_scales():
+    """Layer-wise lr decay matches the reference assigner semantics
+    (optim_factory.py:268-291): embeddings at the deepest decay, block i
+    at decay^(L+1-(i+1)), head at 1.0."""
+    from youku_mplug_tpu.optim.factory import layer_decay_scale_tree
+
+    params = {
+        "pos_embed": jnp.zeros((1, 5, 8)),
+        "patch_embed": {"kernel": jnp.zeros((4, 8))},
+        "blocks_0": {"attn": {"qkv_kernel": jnp.zeros((8, 8))}},
+        "blocks_3": {"mlp": {"fc1_kernel": jnp.zeros((8, 8))}},
+        "head": {"kernel": jnp.zeros((8, 2))},
+    }
+    L, d = 4, 0.75
+    s = layer_decay_scale_tree(params, d, L)
+    assert s["pos_embed"] == pytest.approx(d ** (L + 1))
+    assert s["patch_embed"]["kernel"] == pytest.approx(d ** (L + 1))
+    assert s["blocks_0"]["attn"]["qkv_kernel"] == pytest.approx(d ** L)
+    assert s["blocks_3"]["mlp"]["fc1_kernel"] == pytest.approx(d ** (L - 3))
+    assert s["head"]["kernel"] == pytest.approx(1.0)

@@ -57,6 +57,11 @@ class OptimizerConfig:
     # per-group lr multipliers by path regex — the capability of the
     # reference's create_two_optimizer split (optim_factory.py:142-217)
     lr_scale_rules: tuple = ()
+    # layer-wise lr decay for ViT finetuning (reference
+    # LayerDecayValueAssigner + get_num_layer_for_vit,
+    # optim_factory.py:268-291): scale = decay^(L+1-layer_id)
+    layer_decay: Optional[float] = None
+    layer_decay_num_layers: int = 12
     freeze_text_decoder: bool = True
     freeze_vit: bool = False
 
@@ -106,6 +111,31 @@ def lr_scale_tree(params, visual_backbone_scale=False, lr_scale_rules=()):
                 "temporal" not in path:
             return 0.1
         return 1.0
+    return _tree_by_path(params, rule)
+
+
+def vit_layer_id(path: str, num_max_layer: int) -> int:
+    """Layer id for layer-decay scaling (reference
+    get_num_layer_for_vit, optim_factory.py:268-279): embeddings/cls at 0,
+    blocks_i at i+1, everything else (head etc.) at the top."""
+    parts = path.split("/")
+    for p in parts:
+        if p in ("cls_token", "mask_token", "pos_embed", "temporal_embed",
+                 "patch_embed"):
+            return 0
+        if p.startswith("rel_pos_bias"):
+            return num_max_layer - 1
+        if p.startswith("blocks_"):
+            return int(p.split("_")[1]) + 1
+    return num_max_layer
+
+
+def layer_decay_scale_tree(params, decay: float, num_layers: int):
+    """Per-leaf multiplier decay^(num_layers+1-layer_id)."""
+    values = [decay ** (num_layers + 1 - i) for i in range(num_layers + 2)]
+
+    def rule(path, leaf):
+        return float(values[vit_layer_id(path, num_layers + 1)])
     return _tree_by_path(params, rule)
 
 
@@ -193,6 +223,10 @@ def create_optimizer(trainable_params, config: OptimizerConfig):
     dmask = decay_mask(trainable_params)
     scales = lr_scale_tree(trainable_params, config.visual_backbone_scale,
                            config.lr_scale_rules)
+    if config.layer_decay is not None:
+        ld = layer_decay_scale_tree(trainable_params, config.layer_decay,
+                                    config.layer_decay_num_layers)
+        scales = jax.tree.map(lambda a, b: a * b, scales, ld)
     chain = [
         optax.scale_by_adam(b1=config.opt_betas[0], b2=config.opt_betas[1],
                             eps=config.opt_eps),
