@@ -47,3 +47,31 @@ def test_ring_attention_long_context_memory_shape():
     # uniform values: attention output equals v
     np.testing.assert_allclose(np.asarray(out)[0, 0, -1], np.ones(d),
                                rtol=1e-5)
+
+
+@pytest.mark.parametrize("causal", [False, True])
+def test_ulysses_attention_matches_full(causal):
+    from youku_mplug_tpu.parallel.ring_attention import ulysses_attention
+
+    rng = np.random.default_rng(3)
+    b, h, s, d = 2, 8, 64, 16
+    q = jnp.asarray(rng.normal(size=(b, h, s, d)).astype(np.float32))
+    k = jnp.asarray(rng.normal(size=(b, h, s, d)).astype(np.float32))
+    v = jnp.asarray(rng.normal(size=(b, h, s, d)).astype(np.float32))
+    want = mha_reference(q, k, v, causal=causal)
+
+    mesh = Mesh(np.asarray(jax.devices()[:4]), ("sp",))
+    with jax.set_mesh(mesh):
+        got = jax.jit(lambda q_, k_, v_: ulysses_attention(
+            q_, k_, v_, mesh=mesh, axis="sp", causal=causal))(q, k, v)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=2e-5, atol=2e-5)
+
+
+def test_ulysses_rejects_indivisible_heads():
+    from youku_mplug_tpu.parallel.ring_attention import ulysses_attention
+
+    mesh = Mesh(np.asarray(jax.devices()[:4]), ("sp",))
+    q = jnp.ones((1, 3, 16, 8))
+    with pytest.raises(ValueError):
+        ulysses_attention(q, q, q, mesh=mesh, axis="sp")

@@ -104,3 +104,50 @@ def ring_attention(
     fn = jax.shard_map(spmd, mesh=mesh, in_specs=(spec, spec, spec),
                        out_specs=spec, check_vma=False)
     return fn(q, k, v)
+
+
+def ulysses_attention(
+    q: jax.Array,
+    k: jax.Array,
+    v: jax.Array,
+    *,
+    mesh: Mesh,
+    axis: str = "sp",
+    causal: bool = False,
+    scale: Optional[float] = None,
+) -> jax.Array:
+    """DeepSpeed-Ulysses-style context parallelism: all_to_all scatters
+    HEADS and gathers the sequence, so each device runs ordinary full
+    attention on H/P heads; a second all_to_all restores the sequence
+    sharding.  Exact, two collectives per call; needs H % P == 0.
+
+    q, k, v: [B, H, S, D] global, S sharded over ``axis``.
+    """
+    if scale is None:
+        scale = q.shape[-1] ** -0.5
+    n_dev = mesh.shape[axis]
+    if q.shape[1] % n_dev:
+        raise ValueError(
+            f"ulysses needs heads ({q.shape[1]}) divisible by the axis "
+            f"size ({n_dev}); use ring_attention instead")
+
+    from youku_mplug_tpu.ops.attention import mha_reference
+
+    def spmd(q, k, v):
+        # local: [B, H, S/P, D] -> scatter heads, gather sequence
+        def to_heads(x):
+            return jax.lax.all_to_all(x, axis, split_axis=1, concat_axis=2,
+                                      tiled=True)
+
+        def to_seq(x):
+            return jax.lax.all_to_all(x, axis, split_axis=2, concat_axis=1,
+                                      tiled=True)
+
+        qh, kh, vh = to_heads(q), to_heads(k), to_heads(v)
+        out = mha_reference(qh, kh, vh, causal=causal, scale=scale)
+        return to_seq(out)
+
+    spec = P(None, None, axis, None)
+    fn = jax.shard_map(spmd, mesh=mesh, in_specs=(spec, spec, spec),
+                       out_specs=spec, check_vma=False)
+    return fn(q, k, v)
