@@ -89,7 +89,8 @@ def main():
     cfg = ge._flagship_cfg(
         scan_layers=os.environ.get("BENCH_SCAN", "1") == "1",
         remat=remat_env != "0",
-        remat_policy=(remat_env if remat_env in ("dots", "attn", "offload")
+        remat_policy=(remat_env
+                      if remat_env in ("dots", "attn", "names", "offload")
                       else "nothing"),
         ce_chunk=int(os.environ.get("BENCH_CE_CHUNK", "16")),
         grad_ckpt=os.environ.get("BENCH_VIS_CKPT", "1") == "1",
@@ -97,6 +98,7 @@ def main():
         vis_remat_policy=os.environ.get("BENCH_VIS_REMAT", "attn"),
         dec_attn_impl=os.environ.get("BENCH_DEC_ATTN", "packed"),
         vis_attn_impl=os.environ.get("BENCH_VIS_ATTN", "packed"),
+        scan_unroll=int(os.environ.get("BENCH_UNROLL", "1")),
     )
     model, params, video, ids, mask = ge._build(
         cfg, batch=batch, max_length=seq_text)

@@ -1,11 +1,12 @@
-"""Capture a device trace of ONE real train step (same step as bench.py)
-into /tmp/jaxprof.  Parse with tools/parse_trace.py."""
+"""AOT-compile the bench train step and dump the optimized HLO to
+/tmp/step_hlo.txt (works through the axon relay — as_text() fetches the
+post-optimization module wherever it was compiled).  Same knobs as
+bench.py."""
 import os
 import sys
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import jax
-import jax.numpy as jnp
 
 from youku_mplug_tpu.runtime.cache import enable_compilation_cache
 
@@ -32,7 +33,6 @@ cfg = ge._flagship_cfg(
     vis_attn_impl=os.environ.get("BENCH_VIS_ATTN", "packed"),
 )
 model, params, video, ids, mask = ge._build(cfg, batch=batch, max_length=80)
-video = jax.random.normal(jax.random.key(2), video.shape, video.dtype)
 
 state, tx, _ = create_train_state(
     params, OptimizerConfig(lr=1e-4, epochs=1, niter_per_ep=1000,
@@ -46,11 +46,14 @@ def loss_fn(p, batch_, rng, step):
 
 step_fn = jax.jit(make_train_step(loss_fn, tx))
 batch_dev = {"video": video, "ids": ids, "mask": mask}
-state, m = step_fn(state, batch_dev, jax.random.key(0))
-_ = float(m["loss"])  # compile + warmup
-os.makedirs("/tmp/jaxprof", exist_ok=True)
-with jax.profiler.trace("/tmp/jaxprof"):
-    batch_dev["video"] = video + jnp.bfloat16(0.01)
-    state, m = step_fn(state, batch_dev, jax.random.key(1))
-    _ = float(m["loss"])
-print("trace done, loss", float(m["loss"]), flush=True)
+compiled = step_fn.lower(state, batch_dev, jax.random.key(0)).compile()
+out = os.environ.get("HLO_OUT", "/tmp/step_hlo.txt")
+with open(out, "w") as f:
+    f.write(compiled.as_text())
+print("wrote", out, flush=True)
+try:
+    mem = compiled.memory_analysis()
+    print("peak HBM:", getattr(mem, "temp_size_in_bytes", None),
+          "args:", getattr(mem, "argument_size_in_bytes", None), flush=True)
+except Exception as e:
+    print("memory_analysis unavailable:", e)

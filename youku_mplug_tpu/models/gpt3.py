@@ -73,6 +73,9 @@ class GPT3Config:
     top_p: float = 0.9
     # engineering knobs (ours, not the reference's)
     scan_layers: bool = True
+    # unroll factor for the layer scan: >1 lets XLA software-pipeline
+    # weight loads against compute across consecutive layers
+    scan_unroll: int = 1
     remat: bool = False
     # "nothing" | "dots" | "attn" | "names" (saves attn output + qkv +
     # fc1-gelu so backward recompute runs only the cheap projections)
@@ -361,6 +364,7 @@ class GPT3Decoder(nn.Module):
                 in_axes=(0, nn.broadcast, nn.broadcast, nn.broadcast),
                 out_axes=0,
                 length=cfg.num_hidden_layers,
+                unroll=cfg.scan_unroll,
                 metadata_params={nn.meta.PARTITION_NAME: "layers"},
             )
             x, new_cache = scanned(cfg, policy=self.policy, name="layers")(

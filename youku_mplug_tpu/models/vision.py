@@ -148,6 +148,8 @@ class VisionAttention(nn.Module):
         s = x.shape[-2]
         xf = x.reshape((-1, s, self.dim))
         qkv = jnp.einsum("bsh,hcnd->bcsnd", xf, qkv_kernel.astype(x.dtype))
+        from jax.ad_checkpoint import checkpoint_name as _ckpt_name
+        qkv = _ckpt_name(qkv, "vis_qkv")
         drop = self.attn_drop if not deterministic else 0.0
 
         from youku_mplug_tpu.ops.flash_attention import (
@@ -176,6 +178,23 @@ class VisionAttention(nn.Module):
         q = qkv[:, 0] + q_bias.astype(x.dtype)
         k = qkv[:, 1]
         v = qkv[:, 2] + v_bias.astype(x.dtype)
+        from jax.ad_checkpoint import checkpoint_name
+        if drop == 0.0 and not self.causal:
+            # layout-preserving einsum attention: stay [B, S, n, d] end to
+            # end (no moveaxis copies of the big activations).  Same math
+            # as mha_reference: fp32 scores/softmax (qk_float contract),
+            # probs cast back before PV.  This is the short-sequence path
+            # (temporal attention, s = num_frames), where flash can't win.
+            scores = jnp.einsum(
+                "bqnd,bknd->bnqk", q, k,
+                preferred_element_type=jnp.float32) * (d ** -0.5)
+            p = jax.nn.softmax(scores, axis=-1)
+            out = jnp.einsum("bnqk,bknd->bqnd", p.astype(q.dtype), v)
+            out = checkpoint_name(out, "vis_attn_out")
+            y = jnp.einsum("bsnd,ndh->bsh", out,
+                           proj_kernel.astype(out.dtype))
+            y = y + proj_bias.astype(y.dtype)
+            return y.reshape(lead + (s, self.dim))
         # [B, S, n, d] -> [B, n, S, d]
         q, k, v = (jnp.moveaxis(t, 2, 1) for t in (q, k, v))
         drop_rng = self.make_rng("dropout") if drop > 0.0 else None
@@ -183,7 +202,6 @@ class VisionAttention(nn.Module):
             q, k, v, causal=self.causal, dropout_rate=drop,
             dropout_rng=drop_rng,
             use_flash=False if self.attn_impl == "xla" else None)
-        from jax.ad_checkpoint import checkpoint_name
         out = checkpoint_name(out, "vis_attn_out")
         out = jnp.moveaxis(out, 1, 2)
         y = jnp.einsum("bsnd,ndh->bsh", out, proj_kernel.astype(out.dtype))
@@ -210,6 +228,8 @@ class Mlp(nn.Module):
         y = jnp.einsum("...h,hf->...f", x, fc1_kernel.astype(x.dtype))
         # vision MLP uses exact (erf) GELU — torch nn.GELU default
         y = jax.nn.gelu(y + fc1_bias.astype(y.dtype), approximate=False)
+        from jax.ad_checkpoint import checkpoint_name
+        y = checkpoint_name(y, "vis_fc1h")
         y = jnp.einsum("...f,fh->...h", y, fc2_kernel.astype(y.dtype))
         return y + fc2_bias.astype(y.dtype)
 
@@ -220,6 +240,17 @@ def _remat_policy(cfg):
     if cfg.remat_policy == "attn":
         return jax.checkpoint_policies.save_only_these_names(
             "vis_attn_out")
+    if cfg.remat_policy == "names":
+        # save attention outputs + MLP hiddens: backward recompute runs
+        # only the qkv projections and layernorms (~45% of block flops
+        # instead of 100%), for ~230 MB/block of extra residuals
+        return jax.checkpoint_policies.save_only_these_names(
+            "vis_attn_out", "vis_fc1h")
+    if cfg.remat_policy == "namesq":
+        # additionally save the qkv projections — recompute is layernorms
+        # only, but the residual footprint roughly doubles vs "names"
+        return jax.checkpoint_policies.save_only_these_names(
+            "vis_attn_out", "vis_fc1h", "vis_qkv")
     if cfg.remat_policy == "dots":
         return jax.checkpoint_policies.dots_with_no_batch_dims_saveable
     return None

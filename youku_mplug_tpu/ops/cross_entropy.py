@@ -77,7 +77,11 @@ def lm_cross_entropy(
     n = s // chunk
     hid_c = hidden.reshape(b, n, chunk, h).transpose(1, 0, 2, 3)
     lab_c = labels.reshape(b, n, chunk).transpose(1, 0, 2)
-    losses = jax.lax.map(lambda args: compute(*args), (hid_c, lab_c))
+    # remat the chunk body: backward recomputes the [B, chunk, V] logits
+    # slab instead of keeping every chunk's fp32 logits live as residuals
+    # (saves ~n_chunks * B*chunk*V*4 bytes of HBM and the traffic to it)
+    body = jax.checkpoint(lambda args: compute(*args))
+    losses = jax.lax.map(body, (hid_c, lab_c))
     return losses.transpose(1, 0, 2).reshape(b, s)
 
 
