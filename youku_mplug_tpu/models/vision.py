@@ -128,6 +128,11 @@ class VisionAttention(nn.Module):
     attn_drop: float = 0.0
     causal: bool = False
     attn_impl: str = "packed"  # "packed" | "xla"
+    # block-diagonal attention: tokens only attend within their own
+    # period-`block_period` group.  Used to pack many tiny attentions
+    # (temporal attention: seq = num_frames) into one MXU-shaped call —
+    # mathematically identical to running each group separately.
+    block_period: int = 0
 
     @nn.compact
     def __call__(self, x, deterministic=True):
@@ -160,6 +165,7 @@ class VisionAttention(nn.Module):
         if (self.attn_impl == "packed"
                 and jax.default_backend() == "tpu" and drop == 0.0
                 and not self.causal and s >= 128
+                and self.block_period == 0
                 and packed_supported(n, d)):
             # packed path: keep [B, S, n*d] end to end (no head transposes)
             bf = xf.shape[0]
@@ -188,6 +194,11 @@ class VisionAttention(nn.Module):
             scores = jnp.einsum(
                 "bqnd,bknd->bnqk", q, k,
                 preferred_element_type=jnp.float32) * (d ** -0.5)
+            if self.block_period > 0 and s > self.block_period:
+                gi = jnp.arange(s) // self.block_period
+                scores = jnp.where(
+                    (gi[:, None] == gi[None, :])[None, None],
+                    scores, jnp.finfo(jnp.float32).min)
             p = jax.nn.softmax(scores, axis=-1)
             out = jnp.einsum("bnqk,bknd->bqnd", p.astype(q.dtype), v)
             out = checkpoint_name(out, "vis_attn_out")
@@ -283,12 +294,24 @@ class SpaceTimeBlock(nn.Module):
         proj_scale = (2.0 * self.layer_id) ** 0.5
 
         # --- temporal attention: per patch, across frames -------------
+        # Pack groups of g patches into one attention call of length g*T
+        # with a period-T block-diagonal mask: identical math, but the
+        # 37k tiny TxT attentions become MXU-shaped ~112x112 ones (a TxT
+        # score tile wastes 15/16 of a (8,128) TPU tile).
         xt = x.transpose(0, 2, 1, 3)  # [B, N, T, C] (token order n-major)
         xt = LayerNormFP32(c, cfg.ln_eps, name="temporal_ln")(xt)
+        g = 1
+        for cand in range(min(128 // t, n_p), 0, -1):
+            if n_p % cand == 0:
+                g = cand
+                break
+        xt = xt.reshape(b, n_p // g, g * t, c)
         xt = VisionAttention(
             c, cfg.num_heads, init_std=cfg.init_std, proj_scale=1.0,
             attn_drop=cfg.attn_drop_rate, attn_impl=cfg.attn_impl,
+            block_period=t if g > 1 else 0,
             name="temporal_attn")(xt, deterministic)
+        xt = xt.reshape(b, n_p, t, c)
         temporal_fc_kernel = self.param(
             "temporal_fc_kernel",
             (nn.initializers.zeros if self.layer_id > 1
