@@ -22,6 +22,7 @@ extern "C" {
 }
 
 #include <algorithm>
+#include <cmath>
 #include <cstring>
 #include <vector>
 
@@ -171,21 +172,70 @@ int vd_read_frames(void* handle, const long* indices, int n, int out_w,
   uint8_t* dst_data[4] = {nullptr, nullptr, nullptr, nullptr};
   int dst_linesize[4] = {out_w * 3, 0, 0, 0};
 
+  // --- keyframe-aware seeking (the decord behavior) ------------------
+  // Sparse sampling (8 frames from a multi-hundred-frame clip) must not
+  // decode every intermediate frame: seek to the keyframe at/before the
+  // target and decode forward from there.  Frame indices are recovered
+  // from best_effort_timestamp; when the stream has no usable pts we
+  // fall back to sequential decode.
+  AVStream* st = h->fmt->streams[h->stream_index];
+  const double tb = av_q2d(st->time_base);
+  const int64_t start_ts =
+      st->start_time == AV_NOPTS_VALUE ? 0 : st->start_time;
+  const bool can_index = h->fps > 0 && tb > 0;
+  const long kSeekGap = 16;  // decode-forward cheaper below this gap
+
+  auto frame_index = [&](int64_t fallback) -> int64_t {
+    int64_t ts = h->frame->best_effort_timestamp;
+    if (!can_index || ts == AV_NOPTS_VALUE) return fallback;
+    return (int64_t)llround((ts - start_ts) * tb * h->fps);
+  };
+  auto seek_to = [&](long target) -> bool {
+    if (!can_index) return false;
+    int64_t ts = start_ts + (int64_t)(target / h->fps / tb);
+    if (av_seek_frame(h->fmt, h->stream_index, ts,
+                      AVSEEK_FLAG_BACKWARD) < 0)
+      return false;
+    avcodec_flush_buffers(h->codec);
+    h->next_frame_idx = -1;  // unknown until the first frame decodes
+    return true;
+  };
+
   // rewind if we already passed the first wanted index
   if (order[0].first < h->next_frame_idx) {
-    av_seek_frame(h->fmt, h->stream_index, 0,
-                  AVSEEK_FLAG_BACKWARD | AVSEEK_FLAG_FRAME);
-    avcodec_flush_buffers(h->codec);
-    h->next_frame_idx = 0;
+    if (!seek_to(order[0].first)) {
+      av_seek_frame(h->fmt, h->stream_index, 0,
+                    AVSEEK_FLAG_BACKWARD | AVSEEK_FLAG_FRAME);
+      avcodec_flush_buffers(h->codec);
+      h->next_frame_idx = 0;
+    }
+  } else if (order[0].first >= h->next_frame_idx + kSeekGap) {
+    seek_to(order[0].first);
   }
 
   int written = 0;
   size_t oi = 0;
   unsigned char* last_frame_at = nullptr;
+  bool sought_back = false;  // guards against seek landing past target
   while (oi < order.size()) {
+    // forward-seek across large gaps between consecutive wanted indices
+    if (!sought_back && h->next_frame_idx >= 0 &&
+        order[oi].first >= h->next_frame_idx + kSeekGap) {
+      seek_to(order[oi].first);
+    }
     int ret = next_frame(h);
     if (ret != 0) break;  // EOF/error: pad below
-    int64_t cur = h->next_frame_idx++;
+    int64_t cur = frame_index(h->next_frame_idx < 0 ? 0
+                                                    : h->next_frame_idx);
+    if (cur < 0) cur = 0;
+    h->next_frame_idx = cur + 1;
+    if (cur > order[oi].first && !sought_back && can_index) {
+      // a seek overshot the target (sparse keyframes / imprecise pts):
+      // retry once from the start of the file, then decode sequentially
+      av_frame_unref(h->frame);
+      sought_back = true;
+      if (seek_to(0)) continue;
+    }
     bool wanted = false;
     while (oi < order.size() && order[oi].first == cur) {
       unsigned char* dst = out + frame_bytes * order[oi].second;

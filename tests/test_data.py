@@ -98,6 +98,37 @@ def test_native_decoder_rescale(video_dir):
     assert frames.shape == (2, 24, 32, 3)
 
 
+def test_native_decoder_sparse_seek(tmp_path):
+    """Sparse sampling from a long video must stay frame-accurate through
+    the keyframe-seek fast path (and the backward-rewind on handle reuse)."""
+    import cv2
+
+    from youku_mplug_tpu.data import native_decode
+    from youku_mplug_tpu.data.video_decode import _read_cv2
+
+    if not native_decode.available():
+        pytest.skip("native decoder unavailable")
+    path = str(tmp_path / "long.mp4")
+    w = cv2.VideoWriter(path, cv2.VideoWriter_fourcc(*"mp4v"), 25, (64, 48))
+    for i in range(300):
+        frame = np.zeros((48, 64, 3), np.uint8)
+        frame[:, :, 0] = i % 256  # per-frame fingerprint in the blue plane
+        frame[:, :, 1] = (i // 4) % 256
+        w.write(frame)
+    w.release()
+
+    sparse = [3, 57, 123, 250, 299]
+    with native_decode.NativeVideoReader(path) as r:
+        got = r.get_batch(sparse)
+        # reuse the handle with earlier indices: exercises backward seek
+        got2 = r.get_batch([10, 200])
+    want = _read_cv2(path, sparse)
+    diff = np.abs(got.astype(int) - want.astype(int))
+    assert diff.max() <= 4, f"sparse seek decode mismatch: {diff.max()}"
+    want2 = _read_cv2(path, [10, 200])
+    assert np.abs(got2.astype(int) - want2.astype(int)).max() <= 4
+
+
 def test_transforms_shapes_and_consistency():
     rng = np.random.default_rng(0)
     clip = rng.integers(0, 255, size=(4, 48, 64, 3), dtype=np.uint8)

@@ -151,11 +151,14 @@ class GPT3Attention(nn.Module):
         out_bias = self.param("out_bias", nn.initializers.zeros, (h,))
 
         dtype = self.policy.compute_dtype if x.dtype != jnp.float32 else x.dtype
-        qkv = jnp.einsum("bsh,hcnd->bcsnd", x, qkv_kernel.astype(dtype))
+        # one flat [M,H]x[H,3nd] matmul; q/k/v are contiguous slices (the
+        # [b,3,s,n,d] layout costs a fused transpose on every qkv matmul)
+        qkv = jnp.einsum("bsh,hk->bsk", x,
+                         qkv_kernel.reshape(h, 3 * n * d).astype(dtype))
         qkv_s = _qscale(self, "qkv_kernel")
         if qkv_s is not None:  # int8 kernel: scale the output channels
-            qkv = qkv * qkv_s.reshape(3, n, d).astype(dtype)[None, :, None]
-        qkv = qkv + qkv_bias.astype(dtype)[None, :, None]
+            qkv = qkv * qkv_s.reshape(3 * n * d).astype(dtype)
+        qkv = qkv + qkv_bias.reshape(3 * n * d).astype(dtype)
         from jax.ad_checkpoint import checkpoint_name as _ckpt_name
         qkv = _ckpt_name(qkv, "dec_qkv")
 
@@ -172,9 +175,9 @@ class GPT3Attention(nn.Module):
         if packed:
             # packed layout: [B, S, n*d] straight into the pallas kernel —
             # no per-head transposes (the profile's 'copy' tax)
-            b_, s_ = x.shape[:2]
-            qp, kp, vp = (qkv[:, i].reshape(b_, s_, n * d)
-                          for i in range(3))
+            qp = qkv[..., :n * d]
+            kp = qkv[..., n * d:2 * n * d]
+            vp = qkv[..., 2 * n * d:]
             out_p = flash_attention_packed(qp, kp, vp, n, causal=True)
             from jax.ad_checkpoint import checkpoint_name
             out_p = checkpoint_name(out_p, "attn_out")
@@ -187,7 +190,12 @@ class GPT3Attention(nn.Module):
             y = y + out_bias.astype(y.dtype)
             return y, None
 
-        q, k, v = [jnp.moveaxis(qkv[:, i], 2, 1) for i in range(3)]  # [B,n,S,d]
+        b_, s_ = x.shape[:2]
+        q, k, v = [
+            jnp.moveaxis(
+                qkv[..., i * n * d:(i + 1) * n * d].reshape(b_, s_, n, d),
+                2, 1)
+            for i in range(3)]  # [B,n,S,d]
 
         new_cache = None
         if cache is None:

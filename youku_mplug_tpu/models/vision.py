@@ -152,9 +152,15 @@ class VisionAttention(nn.Module):
         lead = x.shape[:-2]
         s = x.shape[-2]
         xf = x.reshape((-1, s, self.dim))
-        qkv = jnp.einsum("bsh,hcnd->bcsnd", xf, qkv_kernel.astype(x.dtype))
+        bf = xf.shape[0]
+        # one flat [M,H]x[H,3nd] matmul; q/k/v are contiguous slices of the
+        # output (no [b,3,s,n,d] intermediate, whose layout costs a
+        # transpose fused into every qkv matmul)
+        qkv_flat = jnp.einsum(
+            "bsh,hk->bsk", xf,
+            qkv_kernel.reshape(self.dim, 3 * n * d).astype(x.dtype))
         from jax.ad_checkpoint import checkpoint_name as _ckpt_name
-        qkv = _ckpt_name(qkv, "vis_qkv")
+        qkv_flat = _ckpt_name(qkv_flat, "vis_qkv")
         drop = self.attn_drop if not deterministic else 0.0
 
         from youku_mplug_tpu.ops.flash_attention import (
@@ -168,10 +174,11 @@ class VisionAttention(nn.Module):
                 and self.block_period == 0
                 and packed_supported(n, d)):
             # packed path: keep [B, S, n*d] end to end (no head transposes)
-            bf = xf.shape[0]
-            qp = (qkv[:, 0] + q_bias.astype(x.dtype)).reshape(bf, s, n * d)
-            kp = qkv[:, 1].reshape(bf, s, n * d)
-            vp = (qkv[:, 2] + v_bias.astype(x.dtype)).reshape(bf, s, n * d)
+            qp = (qkv_flat[..., :n * d]
+                  + q_bias.reshape(n * d).astype(x.dtype))
+            kp = qkv_flat[..., n * d:2 * n * d]
+            vp = (qkv_flat[..., 2 * n * d:]
+                  + v_bias.reshape(n * d).astype(x.dtype))
             out_p = flash_attention_packed(qp, kp, vp, n)
             from jax.ad_checkpoint import checkpoint_name
             out_p = checkpoint_name(out_p, "vis_attn_out")
@@ -181,9 +188,11 @@ class VisionAttention(nn.Module):
             y = y + proj_bias.astype(y.dtype)
             return y.reshape(lead + (s, self.dim))
 
-        q = qkv[:, 0] + q_bias.astype(x.dtype)
-        k = qkv[:, 1]
-        v = qkv[:, 2] + v_bias.astype(x.dtype)
+        q = (qkv_flat[..., :n * d]
+             + q_bias.reshape(n * d).astype(x.dtype)).reshape(bf, s, n, d)
+        k = qkv_flat[..., n * d:2 * n * d].reshape(bf, s, n, d)
+        v = (qkv_flat[..., 2 * n * d:]
+             + v_bias.reshape(n * d).astype(x.dtype)).reshape(bf, s, n, d)
         from jax.ad_checkpoint import checkpoint_name
         if drop == 0.0 and not self.causal:
             # layout-preserving einsum attention: stay [B, S, n, d] end to
