@@ -39,13 +39,17 @@ def main():
     num_workers = int(os.environ.get("BENCH_WORKERS",
                                      str(os.cpu_count() or 8)))
     seconds = float(os.environ.get("BENCH_SECONDS", "10"))
+    # Youku clips average ~half a minute; 10 s @ 30 fps is a conservative
+    # stand-in.  Sparse 8-frame sampling from such clips rides the
+    # decoder's keyframe-seek path rather than decoding every frame.
+    clip_frames = int(os.environ.get("BENCH_CLIP_FRAMES", "300"))
 
     from youku_mplug_tpu.data.datasets import PretrainVideoDataset
     from youku_mplug_tpu.data.loader import ShardedLoader
     from youku_mplug_tpu.data.transforms import train_transform
 
     root = tempfile.mkdtemp(prefix="bench_vids_")
-    make_videos(root)
+    make_videos(root, frames=clip_frames)
     ann = [{"video_id": f"v{k % 16}.mp4", "caption": f"clip {k}"}
            for k in range(100000)]
     ann_path = os.path.join(root, "ann.json")

@@ -231,6 +231,43 @@ def test_flash_attention_packed_matches_reference(rng):
                                rtol=2e-3, atol=2e-3)
 
 
+def test_flash_attention_packed_period(rng):
+    """Block-diagonal (periodic) mask == per-group attention; grads too.
+    This is the grouped-temporal-attention kernel path (period=T)."""
+    import functools
+    import unittest.mock as mock
+
+    from jax.experimental import pallas as pl
+
+    from youku_mplug_tpu.ops.flash_attention import flash_attention_packed
+
+    b, n, d, period, groups = 2, 4, 64, 8, 14
+    s = period * groups  # 112, the grouped temporal sequence
+    q = jnp.asarray(rng.normal(size=(b, s, n * d)), jnp.float32)
+    k = jnp.asarray(rng.normal(size=(b, s, n * d)), jnp.float32)
+    v = jnp.asarray(rng.normal(size=(b, s, n * d)), jnp.float32)
+
+    def per_group(q_, k_, v_):
+        # reference: run each period-sized group separately
+        def unpack(t):
+            return t.reshape(b * groups, period, n, d).transpose(0, 2, 1, 3)
+        out = mha_reference(unpack(q_), unpack(k_), unpack(v_))
+        return out.transpose(0, 2, 1, 3).reshape(b, s, n * d)
+
+    with mock.patch.object(
+            pl, "pallas_call",
+            functools.partial(pl.pallas_call, interpret=True)):
+        got = flash_attention_packed(q, k, v, n, period=period)
+        np.testing.assert_allclose(np.asarray(got),
+                                   np.asarray(per_group(q, k, v)),
+                                   rtol=2e-3, atol=2e-3)
+        g = jax.grad(lambda q_: jnp.sum(flash_attention_packed(
+            q_, k, v, n, period=period) ** 2))(q)
+    g_ref = jax.grad(lambda q_: jnp.sum(per_group(q_, k, v) ** 2))(q)
+    np.testing.assert_allclose(np.asarray(g), np.asarray(g_ref),
+                               rtol=2e-3, atol=2e-3)
+
+
 @pytest.mark.parametrize("n,s,d", [(4, 208, 64), (2, 197, 64)],
                          ids=["decoder-geom", "vision-geom"])
 def test_flash_attention_packed_subhead_strips(rng, n, s, d):

@@ -59,9 +59,10 @@ def _lut_brightness(img, factor):
 def _lut_contrast(img, factor):
     # luminance-weighted mean, PIL ImageEnhance.Contrast semantics (note the
     # reference applies BGR-order weights to RGB frames; we keep the same
-    # arithmetic for behavioral parity)
-    mean = float(np.sum(np.mean(img, axis=(0, 1))
-                        * np.array([0.114, 0.587, 0.299])))
+    # arithmetic for behavioral parity).  cv2.mean == np.mean per channel
+    # (double accumulation) but SIMD-vectorized.
+    ch = cv2.mean(img)[:3]
+    mean = float(ch[0] * 0.114 + ch[1] * 0.587 + ch[2] * 0.299)
     table = np.clip((np.arange(256, dtype=np.float32) - mean) * factor
                     + mean, 0, 255).astype(np.uint8)
     return table[img]

@@ -354,10 +354,10 @@ class GPT3Decoder(nn.Module):
                     dots_with_no_batch_dims_saveable
             elif cfg.remat_policy == "attn":
                 policy = jax.checkpoint_policies.save_only_these_names(
-                    "attn_out")
+                    "attn_out", "flash_lse")
             elif cfg.remat_policy == "names":
                 policy = jax.checkpoint_policies.save_only_these_names(
-                    "attn_out", "dec_qkv", "dec_fc1h")
+                    "attn_out", "dec_qkv", "dec_fc1h", "flash_lse")
             else:
                 policy = jax.checkpoint_policies.nothing_saveable
             # __call__(self, x, cache, cache_len, valid_from, deterministic)

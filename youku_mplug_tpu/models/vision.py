@@ -72,6 +72,11 @@ class VisionConfig:
     # attention implementation: "packed" (pallas, no head transposes),
     # "xla" (einsum attention — XLA batches the whole [B,n,S,S] matmul)
     attn_impl: str = "packed"
+    # grouped temporal attention backend: True = periodic flash kernel
+    # (no fp32 score materialization, whole-seq blocks on a fine grid);
+    # False = block-diag einsum (scores materialized, fused by XLA).
+    # Benchmarked per hardware; einsum won on v5e (BENCHLOG round 2).
+    temporal_flash: bool = False
     stop_grad_conv1: bool = False
     use_abs_pos_emb: bool = True
     clip_model: bool = False
@@ -133,6 +138,9 @@ class VisionAttention(nn.Module):
     # (temporal attention: seq = num_frames) into one MXU-shaped call —
     # mathematically identical to running each group separately.
     block_period: int = 0
+    # use the periodic flash kernel for block_period > 0 (see
+    # VisionConfig.temporal_flash)
+    period_flash: bool = False
 
     @nn.compact
     def __call__(self, x, deterministic=True):
@@ -170,16 +178,20 @@ class VisionAttention(nn.Module):
 
         if (self.attn_impl == "packed"
                 and jax.default_backend() == "tpu" and drop == 0.0
-                and not self.causal and s >= 128
-                and self.block_period == 0
+                and not self.causal
+                and (s >= 128 if self.block_period == 0
+                     else (s % 8 == 0 and self.period_flash))
                 and packed_supported(n, d)):
-            # packed path: keep [B, S, n*d] end to end (no head transposes)
+            # packed path: keep [B, S, n*d] end to end (no head transposes);
+            # block_period > 0 runs the block-diagonal variant (grouped
+            # temporal attention) without materializing fp32 scores
             qp = (qkv_flat[..., :n * d]
                   + q_bias.reshape(n * d).astype(x.dtype))
             kp = qkv_flat[..., n * d:2 * n * d]
             vp = (qkv_flat[..., 2 * n * d:]
                   + v_bias.reshape(n * d).astype(x.dtype))
-            out_p = flash_attention_packed(qp, kp, vp, n)
+            out_p = flash_attention_packed(qp, kp, vp, n,
+                                           period=self.block_period)
             from jax.ad_checkpoint import checkpoint_name
             out_p = checkpoint_name(out_p, "vis_attn_out")
             y = jnp.einsum("bsk,kh->bsh", out_p,
@@ -259,18 +271,18 @@ def _remat_policy(cfg):
 
     if cfg.remat_policy == "attn":
         return jax.checkpoint_policies.save_only_these_names(
-            "vis_attn_out")
+            "vis_attn_out", "flash_lse")
     if cfg.remat_policy == "names":
         # save attention outputs + MLP hiddens: backward recompute runs
         # only the qkv projections and layernorms (~45% of block flops
         # instead of 100%), for ~230 MB/block of extra residuals
         return jax.checkpoint_policies.save_only_these_names(
-            "vis_attn_out", "vis_fc1h")
+            "vis_attn_out", "vis_fc1h", "flash_lse")
     if cfg.remat_policy == "namesq":
         # additionally save the qkv projections — recompute is layernorms
         # only, but the residual footprint roughly doubles vs "names"
         return jax.checkpoint_policies.save_only_these_names(
-            "vis_attn_out", "vis_fc1h", "vis_qkv")
+            "vis_attn_out", "vis_fc1h", "vis_qkv", "flash_lse")
     if cfg.remat_policy == "dots":
         return jax.checkpoint_policies.dots_with_no_batch_dims_saveable
     return None
@@ -319,6 +331,7 @@ class SpaceTimeBlock(nn.Module):
             c, cfg.num_heads, init_std=cfg.init_std, proj_scale=1.0,
             attn_drop=cfg.attn_drop_rate, attn_impl=cfg.attn_impl,
             block_period=t if g > 1 else 0,
+            period_flash=cfg.temporal_flash,
             name="temporal_attn")(xt, deterministic)
         xt = xt.reshape(b, n_p, t, c)
         temporal_fc_kernel = self.param(

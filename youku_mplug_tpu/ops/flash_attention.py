@@ -296,6 +296,8 @@ def _flash(q, k, v, scale, causal, kv_len, block_q, block_k):
 def _flash_fwd(q, k, v, scale, causal, kv_len, block_q, block_k):
     out, lse = _fwd(q, k, v, scale=scale, causal=causal, kv_len=kv_len,
                     block_q=block_q, block_k=block_k)
+    from jax.ad_checkpoint import checkpoint_name
+    lse = checkpoint_name(lse, "flash_lse")
     return out, (q, k, v, out, lse)
 
 
@@ -375,7 +377,7 @@ def packed_supported(n_heads: int, head_dim: int) -> bool:
 
 
 def _fwd_kernel_packed(q_ref, k_ref, v_ref, o_ref, lse_ref, *, scale,
-                       causal, block_k, g):
+                       causal, period, block_k, g):
     bq, w = q_ref.shape[1], q_ref.shape[2]
     d = w // g
     sk = k_ref.shape[1]
@@ -392,19 +394,19 @@ def _fwd_kernel_packed(q_ref, k_ref, v_ref, o_ref, lse_ref, *, scale,
         accs, ms, ls = carry
         kk = k_ref[0, pl.ds(j * block_k, block_k), :].astype(jnp.float32)
         vv = v_ref[0, pl.ds(j * block_k, block_k), :]
-        if causal:
+        if causal or period:
             qi = i * bq + jax.lax.broadcasted_iota(jnp.int32,
                                                    (bq, block_k), 0)
             ki = j * block_k + jax.lax.broadcasted_iota(jnp.int32,
                                                         (bq, block_k), 1)
-            mask = qi >= ki
+            mask = qi >= ki if causal else (qi // period) == (ki // period)
         accs_n, ms_n, ls_n = [], [], []
         for h in range(g):
             sl = slice(h * d, (h + 1) * d)
             s = jax.lax.dot_general(
                 q[:, sl], kk[:, sl], (((1,), (1,)), ((), ())),
                 preferred_element_type=jnp.float32) * scale
-            if causal:
+            if causal or period:
                 s = jnp.where(mask, s, NEG_INF)
             m_new = jnp.maximum(ms[h], jnp.max(s, axis=1, keepdims=True))
             alpha = jnp.exp(ms[h] - m_new)
@@ -433,7 +435,7 @@ def _fwd_kernel_packed(q_ref, k_ref, v_ref, o_ref, lse_ref, *, scale,
                      if g > 1 else lses[0])
 
 
-def _fwd_packed(q, k, v, n, *, scale, causal, block_q, block_k):
+def _fwd_packed(q, k, v, n, *, scale, causal, period, block_q, block_k):
     b, sq, nd = q.shape
     d = nd // n
     g, w = _strip_geometry(n, d)
@@ -441,7 +443,7 @@ def _fwd_packed(q, k, v, n, *, scale, causal, block_q, block_k):
     grid = (b, n // g, sq // block_q)
     return pl.pallas_call(
         functools.partial(_fwd_kernel_packed, scale=scale, causal=causal,
-                          block_k=block_k, g=g),
+                          period=period, block_k=block_k, g=g),
         grid=grid,
         in_specs=[
             pl.BlockSpec((1, block_q, w), lambda b_, h_, i: (b_, i, h_)),
@@ -458,7 +460,8 @@ def _fwd_packed(q, k, v, n, *, scale, causal, block_q, block_k):
             jax.ShapeDtypeStruct((b, n // g, sq, g), jnp.float32),
         ],
         cost_estimate=pl.CostEstimate(
-            flops=int(4 * b * n * sq * sk * d * (0.5 if causal else 1.0)),
+            flops=int(4 * b * n * sq * sk * d * (0.5 if causal else 1.0)
+                      * ((period / sk) if period else 1.0)),
             bytes_accessed=int((2 * q.size + k.size + v.size)
                                * q.dtype.itemsize),
             transcendentals=int(b * n * sq * sk),
@@ -467,7 +470,7 @@ def _fwd_packed(q, k, v, n, *, scale, causal, block_q, block_k):
 
 
 def _bwd_dq_kernel_packed(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
-                          dq_ref, *, scale, causal, block_k, g):
+                          dq_ref, *, scale, causal, period, block_k, g):
     bq, w = q_ref.shape[1], q_ref.shape[2]
     d = w // g
     sk = k_ref.shape[1]
@@ -486,19 +489,19 @@ def _bwd_dq_kernel_packed(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
     def body(j, dqs):
         kk = k_ref[0, pl.ds(j * block_k, block_k), :].astype(jnp.float32)
         vv = v_ref[0, pl.ds(j * block_k, block_k), :].astype(jnp.float32)
-        if causal:
+        if causal or period:
             qi = i * bq + jax.lax.broadcasted_iota(jnp.int32,
                                                    (bq, block_k), 0)
             ki = j * block_k + jax.lax.broadcasted_iota(jnp.int32,
                                                         (bq, block_k), 1)
-            mask = qi >= ki
+            mask = qi >= ki if causal else (qi // period) == (ki // period)
         out = []
         for h in range(g):
             sl = slice(h * d, (h + 1) * d)
             s = jax.lax.dot_general(
                 q[:, sl], kk[:, sl], (((1,), (1,)), ((), ())),
                 preferred_element_type=jnp.float32) * scale
-            if causal:
+            if causal or period:
                 s = jnp.where(mask, s, NEG_INF)
             p = jnp.exp(s - lse[:, h:h + 1])
             dp = jax.lax.dot_general(
@@ -518,7 +521,8 @@ def _bwd_dq_kernel_packed(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
 
 
 def _bwd_dkv_kernel_packed(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
-                           dk_ref, dv_ref, *, scale, causal, block_q, g):
+                           dk_ref, dv_ref, *, scale, causal, period, block_q,
+                           g):
     bk, w = k_ref.shape[1], k_ref.shape[2]
     d = w // g
     sq = q_ref.shape[1]
@@ -534,19 +538,19 @@ def _bwd_dkv_kernel_packed(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
         do = do_ref[0, pl.ds(i * block_q, block_q), :].astype(jnp.float32)
         lse = lse_ref[0, 0, pl.ds(i * block_q, block_q), :]    # [bq, g]
         delta = delta_ref[0, 0, pl.ds(i * block_q, block_q), :]
-        if causal:
+        if causal or period:
             qi = i * block_q + jax.lax.broadcasted_iota(jnp.int32,
                                                         (block_q, bk), 0)
             ki = j * bk + jax.lax.broadcasted_iota(jnp.int32,
                                                    (block_q, bk), 1)
-            mask = qi >= ki
+            mask = qi >= ki if causal else (qi // period) == (ki // period)
         dks_n, dvs_n = [], []
         for h in range(g):
             sl = slice(h * d, (h + 1) * d)
             s = jax.lax.dot_general(
                 q[:, sl], k[:, sl], (((1,), (1,)), ((), ())),
                 preferred_element_type=jnp.float32) * scale
-            if causal:
+            if causal or period:
                 s = jnp.where(mask, s, NEG_INF)
             p = jnp.exp(s - lse[:, h:h + 1])
             dvs_n.append(dvs[h] + jax.lax.dot_general(
@@ -569,7 +573,7 @@ def _bwd_dkv_kernel_packed(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
     dv_ref[0] = dv.astype(dv_ref.dtype)
 
 
-def _bwd_packed(n, scale, causal, block_q, block_k, res, grad):
+def _bwd_packed(n, scale, causal, period, block_q, block_k, res, grad):
     q, k, v, out, lse = res
     b, sq, nd = q.shape
     d = nd // n
@@ -583,7 +587,7 @@ def _bwd_packed(n, scale, causal, block_q, block_k, res, grad):
 
     dq = pl.pallas_call(
         functools.partial(_bwd_dq_kernel_packed, scale=scale, causal=causal,
-                          block_k=block_k, g=g),
+                          period=period, block_k=block_k, g=g),
         grid=(b, n // g, sq // block_q),
         in_specs=[
             pl.BlockSpec((1, block_q, w), lambda b_, h_, i: (b_, i, h_)),
@@ -602,7 +606,7 @@ def _bwd_packed(n, scale, causal, block_q, block_k, res, grad):
 
     dk, dv = pl.pallas_call(
         functools.partial(_bwd_dkv_kernel_packed, scale=scale,
-                          causal=causal, block_q=block_q, g=g),
+                          causal=causal, period=period, block_q=block_q, g=g),
         grid=(b, n // g, sk // block_k),
         in_specs=[
             pl.BlockSpec((1, sq, w), lambda b_, h_, j: (b_, 0, h_)),
@@ -624,27 +628,32 @@ def _bwd_packed(n, scale, causal, block_q, block_k, res, grad):
     return dq, dk, dv
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6, 7))
-def _flash_packed(q, k, v, n, scale, causal, block_q, block_k):
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6, 7, 8))
+def _flash_packed(q, k, v, n, scale, causal, period, block_q, block_k):
     out, _ = _fwd_packed(q, k, v, n, scale=scale, causal=causal,
-                         block_q=block_q, block_k=block_k)
+                         period=period, block_q=block_q, block_k=block_k)
     return out
 
 
-def _flash_packed_fwd(q, k, v, n, scale, causal, block_q, block_k):
+def _flash_packed_fwd(q, k, v, n, scale, causal, period, block_q, block_k):
     out, lse = _fwd_packed(q, k, v, n, scale=scale, causal=causal,
-                           block_q=block_q, block_k=block_k)
+                           period=period, block_q=block_q, block_k=block_k)
+    # name the lse residual so remat policies can save it — otherwise the
+    # backward re-runs the forward flash kernel just to rebuild lse
+    from jax.ad_checkpoint import checkpoint_name
+    lse = checkpoint_name(lse, "flash_lse")
     return out, (q, k, v, out, lse)
 
 
-def _flash_packed_bwd(n, scale, causal, block_q, block_k, res, g):
-    return _bwd_packed(n, scale, causal, block_q, block_k, res, g)
+def _flash_packed_bwd(n, scale, causal, period, block_q, block_k, res, g):
+    return _bwd_packed(n, scale, causal, period, block_q, block_k, res, g)
 
 
 _flash_packed.defvjp(_flash_packed_fwd, _flash_packed_bwd)
 
 
 def flash_attention_packed(q, k, v, n_heads: int, *, causal: bool = False,
+                           period: int = 0,
                            scale: Optional[float] = None,
                            block_q: int = 512, block_k: int = 512):
     """Flash attention over packed [B, S, n_heads*d] layouts (no head
@@ -671,4 +680,4 @@ def flash_attention_packed(q, k, v, n_heads: int, *, causal: bool = False,
         bq = min(_pick_block(sq), block_q)
         bk = min(_pick_block(sk), block_k)
     return _flash_packed(q, k, v, n_heads, float(scale), bool(causal),
-                         bq, bk)
+                         int(period), bq, bk)
