@@ -65,9 +65,9 @@ class VisionConfig:
     grad_ckpt: bool = False
     # remat policy under grad_ckpt: "nothing" recomputes the whole block;
     # "attn" saves attention outputs so backward recompute skips the
-    # attention kernels (named checkpoints "vis_attn_out"); "half" remats
-    # only every other block (half the recompute, ~half the act memory
-    # of no-remat)
+    # attention kernels (named checkpoints "vis_attn_out"); "half"/"third"
+    # remat only every 2nd/3rd block (recompute and activation memory
+    # scale proportionally — measured best on v5e where HBM has headroom)
     remat_policy: str = "nothing"
     # attention implementation: "packed" (pallas, no head transposes),
     # "xla" (einsum attention — XLA batches the whole [B,n,S,S] matmul)
@@ -459,8 +459,9 @@ class TimeSformer(nn.Module):
                                policy=_remat_policy(cfg))
         for i in range(cfg.depth):
             block_cls = SpaceTimeBlock
-            if cfg.grad_ckpt and not (cfg.remat_policy == "half"
-                                      and i % 2 == 1):
+            skip_remat = ((cfg.remat_policy == "half" and i % 2 == 1)
+                          or (cfg.remat_policy == "third" and i % 3 != 0))
+            if cfg.grad_ckpt and not skip_remat:
                 block_cls = remat_block
             x, cls = block_cls(
                 cfg, layer_id=i + 1, drop_path=dpr[i],
