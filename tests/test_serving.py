@@ -1,0 +1,115 @@
+"""Continuous-batching serving engine tests.
+
+Correctness contract: every request decoded by the slot-based engine must
+produce exactly the tokens of an unpadded, uncached greedy forward on the
+same model (the oracle from test_generation), regardless of which other
+requests share the batch, when they were admitted, or which slot/bucket
+they landed in.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from youku_mplug_tpu.models.generation import GenerationConfig
+from youku_mplug_tpu.models.gpt3 import GPT3Config, GPT3LM
+from youku_mplug_tpu.runtime.precision import FP32_POLICY
+from youku_mplug_tpu.serving.engine import ServingEngine
+
+from tests.test_generation import greedy_oracle
+
+V, H, L, N = 37, 16, 2, 2
+CFG = GPT3Config(vocab_size=V, hidden_size=H, num_hidden_layers=L,
+                 num_attention_heads=N, max_position_embeddings=128,
+                 hidden_dropout=0.0, attention_dropout=0.0)
+EOS = 2
+
+
+@pytest.fixture(scope="module")
+def model_params():
+    model = GPT3LM(CFG, policy=FP32_POLICY)
+    params = model.init(jax.random.key(0), jnp.zeros((1, 4), jnp.int32))
+    return model, params["params"]
+
+
+def _engine(model, params, **kw):
+    kw.setdefault("num_slots", 3)
+    kw.setdefault("max_len", 64)
+    kw.setdefault("prefill_buckets", (4, 8))
+    kw.setdefault("config", GenerationConfig(
+        max_new_tokens=8, eos_id=EOS, pad_id=EOS))
+    return ServingEngine(model, params, **kw)
+
+
+def _strip(tokens):
+    return tokens[:tokens.index(EOS)] if EOS in tokens else tokens
+
+
+def test_single_request_matches_oracle(model_params):
+    model, params = model_params
+    eng = _engine(model, params)
+    prompt = [1, 5, 9, 11]
+    rid = eng.submit(prompt)
+    fin = eng.run_to_completion()
+    assert [f.rid for f in fin] == [rid]
+    want = _strip(greedy_oracle(model, params, prompt, None, 8, EOS))
+    assert fin[0].tokens == want
+
+
+def test_staggered_requests_match_solo_decodes(model_params):
+    """The continuous-batching case: a second request joins mid-flight
+    (different length, different bucket) — both must equal their solo
+    oracle decodes (per-sample cache_len correctness)."""
+    model, params = model_params
+    eng = _engine(model, params)
+    p1, p2 = [1, 5, 9, 11, 3, 6], [4, 7]
+    r1 = eng.submit(p1)
+    fin = []
+    for _ in range(3):  # r1 decodes alone for a few steps
+        fin.extend(eng.step())
+    r2 = eng.submit(p2)
+    fin.extend(eng.run_to_completion())
+    got = {f.rid: f.tokens for f in fin}
+    assert set(got) == {r1, r2}
+    assert got[r1] == _strip(greedy_oracle(model, params, p1, None, 8, EOS))
+    assert got[r2] == _strip(greedy_oracle(model, params, p2, None, 8, EOS))
+
+
+def test_slot_reuse_queue_overflow(model_params):
+    """More requests than slots: the queue drains as slots free up, and a
+    reused slot (stale cache contents) still decodes correctly."""
+    model, params = model_params
+    eng = _engine(model, params, num_slots=1)
+    prompts = [[1, 5, 9], [4, 7, 13, 2 + 9], [8]]
+    rids = [eng.submit(p) for p in prompts]
+    fin = {f.rid: f.tokens for f in eng.run_to_completion()}
+    assert set(fin) == set(rids)
+    for rid, p in zip(rids, prompts):
+        assert fin[rid] == _strip(
+            greedy_oracle(model, params, p, None, 8, EOS))
+
+
+def test_query_embeds_prefix(model_params):
+    """Visual-query prefix requests (the mPLUG-Video captioning path)."""
+    model, params = model_params
+    rng = np.random.default_rng(3)
+    eng = _engine(model, params)
+    nq = 3
+    p1, p2 = [1, 5, 9], [4, 7]
+    q1 = rng.normal(size=(nq, H)).astype(np.float32)
+    q2 = rng.normal(size=(nq, H)).astype(np.float32)
+    r1 = eng.submit(p1, query_embeds=q1)
+    r2 = eng.submit(p2, query_embeds=q2)
+    fin = {f.rid: f.tokens for f in eng.run_to_completion()}
+    assert fin[r1] == _strip(greedy_oracle(model, params, p1, q1, 8, EOS))
+    assert fin[r2] == _strip(greedy_oracle(model, params, p2, q2, 8, EOS))
+
+
+def test_max_new_tokens_cap(model_params):
+    model, params = model_params
+    eng = _engine(model, params)
+    rid = eng.submit([1, 5], max_new_tokens=3)
+    fin = eng.run_to_completion()
+    assert [f.rid for f in fin] == [rid]
+    assert len(fin[0].tokens) <= 3

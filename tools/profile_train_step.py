@@ -44,7 +44,9 @@ def loss_fn(p, batch_, rng, step):
                        batch_["mask"], method=MPLUGVideo.pretrain_loss)
 
 
-step_fn = jax.jit(make_train_step(loss_fn, tx))
+# donate the state: without aliasing, old+new state double-buffers ~3.5 GB
+# and the lighter-remat policies (half/third) then OOM on a 16 GB chip
+step_fn = jax.jit(make_train_step(loss_fn, tx), donate_argnums=(0,))
 batch_dev = {"video": video, "ids": ids, "mask": mask}
 state, m = step_fn(state, batch_dev, jax.random.key(0))
 _ = float(m["loss"])  # compile + warmup

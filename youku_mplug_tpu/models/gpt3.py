@@ -215,22 +215,34 @@ class GPT3Attention(nn.Module):
         else:
             # Decode: write this chunk into the static-size cache, attend to
             # everything written so far.  cache k/v: [B, n, M, d].
+            # cache_len is a scalar (lock-step generate) or a [B] array
+            # (continuous batching: every slot sits at its own length —
+            # serving/engine.py).
             ck, cv = cache
             m = ck.shape[2]
             s = q.shape[2]
             idx = cache_len
-            ck = jax.lax.dynamic_update_slice(ck, k.astype(ck.dtype),
-                                              (0, 0, idx, 0))
-            cv = jax.lax.dynamic_update_slice(cv, v.astype(cv.dtype),
-                                              (0, 0, idx, 0))
+            ki = jnp.arange(m)[None, :]  # [1, M]
+            if jnp.ndim(cache_len) == 1:
+                def upd(c, new, i):  # c [n, M, d], new [n, S, d]
+                    return jax.lax.dynamic_update_slice(c, new, (0, i, 0))
+                ck = jax.vmap(upd)(ck, k.astype(ck.dtype), idx)
+                cv = jax.vmap(upd)(cv, v.astype(cv.dtype), idx)
+                qi = (cache_len[:, None, None]
+                      + jnp.arange(s)[None, :, None])     # [B, S, 1]
+                allowed = ki[None] <= qi                  # [B, S, M]
+            else:
+                ck = jax.lax.dynamic_update_slice(ck, k.astype(ck.dtype),
+                                                  (0, 0, idx, 0))
+                cv = jax.lax.dynamic_update_slice(cv, v.astype(cv.dtype),
+                                                  (0, 0, idx, 0))
+                qi = cache_len + jnp.arange(s)[:, None]
+                allowed = (ki <= qi)[None]  # [1, S, M]
             new_cache = (ck, cv)
             # mask: key j visible to query i(abs = cache_len+i) iff j <= abs;
             # valid_from [B] additionally hides front-padding positions
             # (batched variable-length prompts; the reference instead loops
             # per sample, modeling_distributed_gpt3.py:800)
-            ki = jnp.arange(m)[None, :]
-            qi = cache_len + jnp.arange(s)[:, None]
-            allowed = (ki <= qi)[None]  # [1, S, M]
             if valid_from is not None:
                 allowed = allowed & (
                     ki[None] >= valid_from[:, None, None])
@@ -473,9 +485,13 @@ class GPT3LM(nn.Module):
         front-padding of variable-length prompts).
         position_offset [B]: subtracted from absolute positions so position
         ids start at 0 at each sample's first real token.
+        cache_len: scalar (lock-step decode) or [B] per-sample write
+        positions (continuous batching, serving/engine.py).
         """
         b, s, _ = input_embeds.shape
-        positions = cache_len + jnp.arange(s)[None]
+        cl = jnp.asarray(cache_len)
+        positions = (cl[:, None] if cl.ndim == 1 else cl) + \
+            jnp.arange(s)[None]
         positions = jnp.broadcast_to(positions, (b, s))
         if position_offset is not None:
             positions = jnp.maximum(positions - position_offset[:, None], 0)

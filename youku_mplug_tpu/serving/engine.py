@@ -1,0 +1,245 @@
+"""Continuous-batching serving engine for the GPT-3 decoder.
+
+The reference serves generation with a per-sample python loop over
+``text_decoder.generate`` (reference: models/distributed_gpt3.py:800,
+modeling_distributed_gpt3.py:1620-1741) — one sequence at a time, one
+device dispatch per token.  This engine is the TPU-native serving design:
+
+- a fixed pool of **slots** shares one static-shape KV cache
+  ([L, num_slots, n, max_len, d]); every slot sits at its own sequence
+  length (per-sample ``cache_len`` — models/gpt3.py decode path),
+- **prefill** and **decode** are separate compiled programs: prefill runs
+  one request's front-padded prompt (+ optional visual query prefix) into
+  its slot's cache slice; decode advances ALL active slots one token in a
+  single fused step,
+- requests are admitted whenever a slot is free — new work joins the
+  running batch between decode steps (continuous batching), so short
+  requests never wait for long ones to drain,
+- prompt widths are padded to a small set of **buckets** so the number of
+  compiled prefill programs is bounded.
+
+Everything device-side is jitted with donated caches; the host scheduler
+only moves token ids and bookkeeping.
+"""
+
+from __future__ import annotations
+
+import collections
+import dataclasses
+import itertools
+from typing import Any, Dict, List, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from youku_mplug_tpu.models.generation import (
+    GenerationConfig,
+    _build_prefix,
+    _variables,
+    top_k_top_p_filter,
+)
+from youku_mplug_tpu.models.gpt3 import GPT3LM
+
+
+@dataclasses.dataclass
+class _Slot:
+    rid: int
+    prompt_len: int
+    max_new: int
+    tokens: List[int]
+    done: bool = False
+
+
+@dataclasses.dataclass
+class FinishedRequest:
+    rid: int
+    tokens: List[int]
+
+
+class ServingEngine:
+    """Slot-based continuous batching over a shared static KV cache.
+
+    Usage::
+
+        eng = ServingEngine(model, params, num_slots=8, max_len=256)
+        rid = eng.submit([12, 7, 91], query_embeds=None)
+        for fin in eng.run_to_completion():
+            print(fin.rid, fin.tokens)
+    """
+
+    def __init__(self, model: GPT3LM, params, *, num_slots: int = 8,
+                 max_len: int = 256,
+                 prefill_buckets: Sequence[int] = (8, 16, 32, 64),
+                 config: GenerationConfig = GenerationConfig(),
+                 rng: Optional[jax.Array] = None):
+        self.model = model
+        self.params = params
+        self.num_slots = num_slots
+        self.max_len = max_len
+        self.buckets = tuple(sorted(prefill_buckets))
+        self.config = config
+        self._rng = rng if rng is not None else jax.random.key(0)
+
+        self.cache = model.apply(_variables(params), num_slots, max_len,
+                                 method=GPT3LM.init_cache)
+        self.cache_len = np.zeros((num_slots,), np.int32)
+        self.valid_from = np.zeros((num_slots,), np.int32)
+        self.pos_offset = np.zeros((num_slots,), np.int32)
+        self.last_token = np.full((num_slots,), config.pad_id, np.int32)
+
+        self._slots: List[Optional[_Slot]] = [None] * num_slots
+        self._queue: collections.deque = collections.deque()
+        self._rid = itertools.count()
+
+        self._prefill = jax.jit(self._prefill_impl, donate_argnums=(0,))
+        self._decode = jax.jit(self._decode_impl, donate_argnums=(0,))
+
+    # ------------------------------------------------------------------
+    # device programs
+    # ------------------------------------------------------------------
+
+    def _pick(self, logits, rng):
+        cfg = self.config
+        logits = logits.astype(jnp.float32) / cfg.temperature
+        if not cfg.do_sample:
+            return jnp.argmax(logits, axis=-1).astype(jnp.int32)
+        logits = top_k_top_p_filter(logits, cfg.top_k, cfg.top_p)
+        return jax.random.categorical(rng, logits).astype(jnp.int32)
+
+    def _prefill_impl(self, cache, slot, prompt_ids, prompt_len,
+                      query_embeds, rng):
+        """Run one request's prompt into its slot's cache slice.
+
+        prompt_ids [1, P] right-padded; prompt_len [1]; query_embeds
+        [1, nq, H] or None.  Returns (cache, first_token, valid_from).
+        """
+        model, params = self.model, self.params
+        sub = jax.tree.map(
+            lambda c: jax.lax.dynamic_slice_in_dim(c, slot, 1, axis=1),
+            cache)
+        embeds, valid_from, pos_offset = _build_prefix(
+            model, params, prompt_ids, prompt_len, query_embeds,
+            self.config.pad_id)
+        logits, sub = model.apply(
+            _variables(params), embeds, sub, jnp.int32(0), valid_from,
+            pos_offset, method=GPT3LM.decode_step)
+        cache = jax.tree.map(
+            lambda c, s_: jax.lax.dynamic_update_slice_in_dim(
+                c, s_.astype(c.dtype), slot, axis=1),
+            cache, sub)
+        first = self._pick(logits, rng)
+        return cache, first[0], valid_from[0]
+
+    def _decode_impl(self, cache, cache_len, valid_from, pos_offset,
+                     last_token, rng):
+        """One token step for every slot (inactive slots compute too —
+        static shapes — and are ignored host-side; their repeated write
+        lands at a masked position and is overwritten on slot reuse)."""
+        model, params = self.model, self.params
+        emb = model.apply(_variables(params), last_token[:, None],
+                          method=GPT3LM.embed)
+        logits, cache = model.apply(
+            _variables(params), emb, cache, cache_len, valid_from,
+            pos_offset, method=GPT3LM.decode_step)
+        return cache, self._pick(logits, rng)
+
+    # ------------------------------------------------------------------
+    # host scheduler
+    # ------------------------------------------------------------------
+
+    def submit(self, prompt_ids: Sequence[int],
+               query_embeds: Optional[jax.Array] = None,
+               max_new_tokens: Optional[int] = None) -> int:
+        """Enqueue a request. prompt_ids: true tokens (no padding);
+        query_embeds: optional [nq, H] visual prefix. Returns request id."""
+        rid = next(self._rid)
+        self._queue.append((rid, list(prompt_ids), query_embeds,
+                            max_new_tokens or self.config.max_new_tokens))
+        return rid
+
+    def _bucket(self, n: int) -> int:
+        for b in self.buckets:
+            if n <= b:
+                return b
+        raise ValueError(f"prompt length {n} exceeds largest bucket "
+                         f"{self.buckets[-1]}")
+
+    def _next_rng(self):
+        self._rng, sub = jax.random.split(self._rng)
+        return sub
+
+    def _admit(self):
+        for slot in range(self.num_slots):
+            if self._slots[slot] is not None or not self._queue:
+                continue
+            rid, ids, qe, max_new = self._queue.popleft()
+            p = self._bucket(len(ids))
+            nq = 0 if qe is None else qe.shape[0]
+            padded = np.full((1, p), self.config.pad_id, np.int32)
+            padded[0, :len(ids)] = ids
+            qe_dev = None if qe is None else jnp.asarray(qe)[None]
+            self.cache, first, vf = self._prefill(
+                self.cache, jnp.int32(slot), jnp.asarray(padded),
+                jnp.asarray([len(ids)], jnp.int32), qe_dev,
+                self._next_rng())
+            first = int(first)
+            self.cache_len[slot] = nq + p
+            self.valid_from[slot] = int(vf)
+            self.pos_offset[slot] = int(vf)
+            self.last_token[slot] = first
+            st = _Slot(rid=rid, prompt_len=len(ids), max_new=max_new,
+                       tokens=[first])
+            st.done = (first == self.config.eos_id or max_new <= 1)
+            self._slots[slot] = st
+
+    def step(self) -> List[FinishedRequest]:
+        """Admit pending requests, run ONE decode step for all slots, and
+        return any requests that finished this step."""
+        self._admit()
+        finished: List[FinishedRequest] = []
+        # harvest slots that finished at prefill time (eos first token)
+        for slot, st in enumerate(self._slots):
+            if st is not None and st.done:
+                finished.append(self._finish(slot))
+        if not any(self._slots) or all(s is None for s in self._slots):
+            return finished
+
+        self.cache, nxt = self._decode(
+            self.cache, jnp.asarray(self.cache_len),
+            jnp.asarray(self.valid_from), jnp.asarray(self.pos_offset),
+            jnp.asarray(self.last_token), self._next_rng())
+        nxt = np.asarray(nxt)
+        for slot, st in enumerate(self._slots):
+            if st is None:
+                continue
+            tok = int(nxt[slot])
+            st.tokens.append(tok)
+            self.cache_len[slot] += 1
+            self.last_token[slot] = tok
+            if (tok == self.config.eos_id
+                    or len(st.tokens) >= st.max_new
+                    or int(self.cache_len[slot]) >= self.max_len - 1):
+                finished.append(self._finish(slot))
+        return finished
+
+    def _finish(self, slot: int) -> FinishedRequest:
+        st = self._slots[slot]
+        self._slots[slot] = None
+        toks = st.tokens
+        if self.config.eos_id in toks:
+            toks = toks[:toks.index(self.config.eos_id)]
+        return FinishedRequest(rid=st.rid, tokens=toks)
+
+    @property
+    def idle(self) -> bool:
+        return not self._queue and all(s is None for s in self._slots)
+
+    def run_to_completion(self, max_steps: int = 100000
+                          ) -> List[FinishedRequest]:
+        out: List[FinishedRequest] = []
+        for _ in range(max_steps):
+            if self.idle:
+                break
+            out.extend(self.step())
+        return out
