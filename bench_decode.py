@@ -46,7 +46,7 @@ def main():
 
     # visual prefix (queries through the abstractor), like run_caption
     query_embeds = model.apply(
-        {"params": params}, video, method=MPLUGVideo.encode_video)
+        {"params": params}, video, method=MPLUGVideo.encode_video)[1]
     lm = GPT3LM(cfg.text, policy=model.policy)
     lm_params = params["text_decoder"]
 

@@ -300,7 +300,12 @@ def _drop_path(x, rate, deterministic, rng):
 class SpaceTimeBlock(nn.Module):
     """Divided space-time attention block (reference Block:211-295).
 
-    Input x: [B, T, N, C]; cls: [B, C].  Returns same.
+    Input x: [B, N, T, C] (n-major patch tokens); cls: [B, C].  Returns
+    same.  The n-major layout is carried end-to-end through the block:
+    temporal attention and the joint MLP consume it directly, only
+    spatial attention transposes to per-frame order (one in / one out) —
+    the time-major block I/O of a naive port costs two extra full-tensor
+    transposes per block.
     """
 
     cfg: VisionConfig
@@ -311,7 +316,7 @@ class SpaceTimeBlock(nn.Module):
     def __call__(self, x, cls, deterministic=True):
         cfg = self.cfg
         c = cfg.embed_dim
-        b, t, n_p, _ = x.shape
+        b, n_p, t, _ = x.shape
         proj_scale = (2.0 * self.layer_id) ** 0.5
 
         # --- temporal attention: per patch, across frames -------------
@@ -319,8 +324,7 @@ class SpaceTimeBlock(nn.Module):
         # with a period-T block-diagonal mask: identical math, but the
         # 37k tiny TxT attentions become MXU-shaped ~112x112 ones (a TxT
         # score tile wastes 15/16 of a (8,128) TPU tile).
-        xt = x.transpose(0, 2, 1, 3)  # [B, N, T, C] (token order n-major)
-        xt = LayerNormFP32(c, cfg.ln_eps, name="temporal_ln")(xt)
+        xt = LayerNormFP32(c, cfg.ln_eps, name="temporal_ln")(x)
         g = 1
         for cand in range(min(128 // t, n_p), 0, -1):
             if n_p % cand == 0:
@@ -343,7 +347,7 @@ class SpaceTimeBlock(nn.Module):
         xt = jnp.einsum("bntc,cd->bntd", xt,
                         temporal_fc_kernel.astype(xt.dtype))
         xt = xt + temporal_fc_bias.astype(xt.dtype)
-        xt = x.transpose(0, 2, 1, 3) + xt  # residual, [B, N, T, C]
+        xt = x + xt  # residual, [B, N, T, C]
 
         # --- spatial attention: per frame, cls repeated per frame -----
         xs = xt.transpose(0, 2, 1, 3)  # [B, T, N, C]
@@ -376,7 +380,7 @@ class SpaceTimeBlock(nn.Module):
         y = y + mlp_out
 
         cls_out = y[:, 0, :]
-        x_out = y[:, 1:, :].reshape(b, n_p, t, c).transpose(0, 2, 1, 3)
+        x_out = y[:, 1:, :].reshape(b, n_p, t, c)
         return x_out, cls_out
 
 
@@ -452,7 +456,9 @@ class TimeSformer(nn.Module):
             joint = LayerNormFP32(d, cfg.ln_eps, name="norm_pre")(joint)
             cls, x = joint[:, 0], joint[:, 1:]
 
-        x = x.reshape(b, t, n_p, d)
+        # blocks carry the n-major [B, N, T, C] layout (one transpose in,
+        # one out — instead of two per block)
+        x = x.reshape(b, t, n_p, d).transpose(0, 2, 1, 3)
         dpr = (np.linspace(0, cfg.drop_path, cfg.depth).tolist()
                if cfg.depth > 1 else [0.0])
         remat_block = nn.remat(SpaceTimeBlock, static_argnums=(3,),
@@ -467,6 +473,7 @@ class TimeSformer(nn.Module):
                 cfg, layer_id=i + 1, drop_path=dpr[i],
                 name=f"blocks_{i}")(x, cls, deterministic)
 
+        x = x.transpose(0, 2, 1, 3)  # back to time-major token order
         tokens = jnp.concatenate(
             [cls[:, None, :], x.reshape(b, t * n_p, d)], axis=1)
         tokens = LayerNormFP32(d, cfg.ln_eps, name="norm")(tokens)

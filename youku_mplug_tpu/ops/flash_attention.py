@@ -371,6 +371,27 @@ def _strip_geometry(n: int, d: int):
     return None, None
 
 
+def _cell_geometry(n: int, d: int, max_width: int = 512):
+    """-> (g, width) with multiple base strips packed per grid cell.
+
+    At short S the grid cells of the one-strip kernel hold ~1us of work
+    against ~2-3us of fixed per-cell overhead (DMA issue, semaphores,
+    prologue) — measured 2.7-3.5us/cell on v5e at S~200, d=64.  Packing m
+    strips per cell multiplies the per-cell work without changing the
+    math (the kernels loop over g heads generically).  Width is capped so
+    fp32 staging of q/k/v blocks stays comfortably inside VMEM."""
+    g, w = _strip_geometry(n, d)
+    if g is None:
+        return None, None
+    strips = n // g
+    m = 1
+    for cand in range(min(strips, max_width // w), 0, -1):
+        if strips % cand == 0:
+            m = cand
+            break
+    return g * m, w * m
+
+
 def packed_supported(n_heads: int, head_dim: int) -> bool:
     """True when the packed [B,S,n*d] kernel can handle this geometry."""
     return _strip_geometry(n_heads, head_dim)[0] is not None
@@ -438,7 +459,7 @@ def _fwd_kernel_packed(q_ref, k_ref, v_ref, o_ref, lse_ref, *, scale,
 def _fwd_packed(q, k, v, n, *, scale, causal, period, block_q, block_k):
     b, sq, nd = q.shape
     d = nd // n
-    g, w = _strip_geometry(n, d)
+    g, w = _cell_geometry(n, d)
     sk = k.shape[1]
     grid = (b, n // g, sq // block_q)
     return pl.pallas_call(
@@ -577,7 +598,7 @@ def _bwd_packed(n, scale, causal, period, block_q, block_k, res, grad):
     q, k, v, out, lse = res
     b, sq, nd = q.shape
     d = nd // n
-    g, w = _strip_geometry(n, d)
+    g, w = _cell_geometry(n, d)
     sk = k.shape[1]
     do = grad
     # delta = rowsum(do * out) per head: [B, n/g, Sq, g]
