@@ -65,8 +65,8 @@ class VisionConfig:
     grad_ckpt: bool = False
     # remat policy under grad_ckpt: "nothing" recomputes the whole block;
     # "attn" saves attention outputs so backward recompute skips the
-    # attention kernels (named checkpoints "vis_attn_out"); "half"/"third"
-    # remat only every 2nd/3rd block (recompute and activation memory
+    # attention kernels (named checkpoints "vis_attn_out"); "half"/"third"/
+    # "sixth" remat only every 2nd/3rd/6th block (recompute and activation memory
     # scale proportionally — measured best on v5e where HBM has headroom)
     remat_policy: str = "nothing"
     # attention implementation: "packed" (pallas, no head transposes),
@@ -465,8 +465,9 @@ class TimeSformer(nn.Module):
                                policy=_remat_policy(cfg))
         for i in range(cfg.depth):
             block_cls = SpaceTimeBlock
-            skip_remat = ((cfg.remat_policy == "half" and i % 2 == 1)
-                          or (cfg.remat_policy == "third" and i % 3 != 0))
+            stride = {"half": 2, "third": 3, "sixth": 6}.get(
+                cfg.remat_policy, 1)
+            skip_remat = stride > 1 and i % stride != 0
             if cfg.grad_ckpt and not skip_remat:
                 block_cls = remat_block
             x, cls = block_cls(
