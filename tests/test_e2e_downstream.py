@@ -241,3 +241,21 @@ def test_alpro_runner(tmp_path):
         "--task", "retrieval"])
     _, res = run_alpro.main(args)
     assert "r_mean" in res
+
+
+def test_serve_runner(tmp_path):
+    """Continuous-batching serving CLI: synthetic videos stream through the
+    engine; every request must finish with tokens and a latency."""
+    from youku_mplug_tpu.cli import serve
+
+    cfg = write_cfg(tmp_path, "serve", prompt="", max_new_tokens=4)
+    args = serve.serve_parser().parse_args([
+        "--config", cfg, "--output_dir", str(tmp_path / "out"),
+        "--fp32", "--synthetic_data", "--seed", "0",
+        "--num_requests", "5", "--num_slots", "2"])
+    stats = serve.main(args)
+    assert stats["requests"] == 5
+    results = json.load(open(tmp_path / "out" / "serve_results.json"))
+    assert len(results) == 5
+    assert all(r["n_tokens"] > 0 for r in results)
+    assert stats["tokens_per_sec"] > 0
