@@ -92,7 +92,7 @@ def main():
         remat_policy=(remat_env
                       if remat_env in ("dots", "attn", "names", "offload")
                       else "nothing"),
-        ce_chunk=int(os.environ.get("BENCH_CE_CHUNK", "16")),
+        ce_chunk=int(os.environ.get("BENCH_CE_CHUNK", "32")),
         grad_ckpt=os.environ.get("BENCH_VIS_CKPT", "1") == "1",
         use_packed_flash=os.environ.get("BENCH_PACKED", "1") == "1",
         vis_remat_policy=os.environ.get("BENCH_VIS_REMAT", "third"),
