@@ -86,6 +86,18 @@ class GPT3Config:
     # attn_impl: "packed" | "xla" (einsum; XLA-batched matmuls)
     use_packed_flash: bool = True
     attn_impl: str = "packed"
+    # pair-scan: scan over L/2 two-layer bodies, rematerializing only the
+    # FIRST layer of each pair (skip-remat — the decoder analog of the
+    # vision half/third policies: spend HBM headroom to halve backward
+    # recompute).  Changes the param layout to layers/{a,b} stacked
+    # [L/2, ...]; requires even L + scan_layers.  Checkpoints are NOT
+    # layout-compatible across this flag.
+    layer_pairing: bool = False
+
+    @property
+    def pairing_active(self) -> bool:
+        return (self.layer_pairing and self.scan_layers and self.remat
+                and self.num_hidden_layers % 2 == 0)
 
     @property
     def ffn_dim(self) -> int:
@@ -336,6 +348,38 @@ class GPT3Layer(nn.Module):
         return x, new_cache
 
 
+class GPT3LayerPair(nn.Module):
+    """Two consecutive decoder layers as one scan body
+    (``GPT3Config.layer_pairing``): sublayer ``a`` runs under full
+    rematerialization, sublayer ``b`` keeps its activations — skip-remat,
+    halving backward recompute for ~75 MB/pair of residuals.  Cache
+    slices arrive stacked [2, B, n, M, d] per pair."""
+
+    config: GPT3Config
+    policy: Policy = DEFAULT_POLICY
+
+    @nn.compact
+    def __call__(self, x, cache=None, cache_len=None, valid_from=None,
+                 deterministic=True):
+        a_cls = GPT3Layer
+        if self.config.remat:
+            a_cls = nn.remat(
+                GPT3Layer, static_argnums=(5,),
+                policy=jax.checkpoint_policies.nothing_saveable)
+        ca = cb = None
+        if cache is not None:
+            ca = jax.tree.map(lambda c: c[0], cache)
+            cb = jax.tree.map(lambda c: c[1], cache)
+        x, na = a_cls(self.config, policy=self.policy, name="a")(
+            x, ca, cache_len, valid_from, deterministic)
+        x, nb = GPT3Layer(self.config, policy=self.policy, name="b")(
+            x, cb, cache_len, valid_from, deterministic)
+        new_cache = None
+        if na is not None:
+            new_cache = jax.tree.map(lambda p, q: jnp.stack([p, q]), na, nb)
+        return x, new_cache
+
+
 class GPT3Decoder(nn.Module):
     """Embedding + scanned layer stack + final layernorm.
 
@@ -376,7 +420,29 @@ class GPT3Decoder(nn.Module):
             # -> deterministic is static arg index 5 (self counts as 0)
             layer = nn.remat(layer, static_argnums=(5,), policy=policy)
 
-        if cfg.scan_layers:
+        if cfg.pairing_active:
+            n_pair = cfg.num_hidden_layers // 2
+            cache_s = None
+            if cache is not None:
+                cache_s = jax.tree.map(
+                    lambda c: c.reshape((n_pair, 2) + c.shape[1:]), cache)
+            scanned = nn.scan(
+                GPT3LayerPair,
+                variable_axes={"params": 0, "qscales": 0},
+                split_rngs={"params": True, "dropout": True},
+                in_axes=(0, nn.broadcast, nn.broadcast, nn.broadcast),
+                out_axes=0,
+                length=n_pair,
+                unroll=cfg.scan_unroll,
+                metadata_params={nn.meta.PARTITION_NAME: "layers"},
+            )
+            x, new_cache = scanned(cfg, policy=self.policy, name="layers")(
+                x, cache_s, cache_len, valid_from, deterministic)
+            if new_cache is not None:
+                new_cache = jax.tree.map(
+                    lambda c: c.reshape((cfg.num_hidden_layers,)
+                                        + c.shape[2:]), new_cache)
+        elif cfg.scan_layers:
             scanned = nn.scan(
                 layer,
                 variable_axes={"params": 0, "qscales": 0},

@@ -93,7 +93,8 @@ def load_torch_gpt3_state(model_dir: str) -> Dict[str, np.ndarray]:
 
 def gpt3_params_from_torch(sd: Dict[str, np.ndarray], text_cfg,
                            scan_layers: bool = True,
-                           megatron_qkv: bool = True) -> dict:
+                           megatron_qkv: bool = True,
+                           layer_pairing: bool = False) -> dict:
     """Megatron/twin GPT-3 state dict -> our GPT3LM param tree.
 
     megatron_qkv: fused QKV rows are (heads, 3, d) interleaved (the
@@ -141,7 +142,16 @@ def gpt3_params_from_torch(sd: Dict[str, np.ndarray], text_cfg,
         }
 
     layers = [layer(i) for i in range(L)]
-    if scan_layers:
+    if scan_layers and layer_pairing:
+        # pair-scan layout (GPT3Config.layer_pairing): even layers stack
+        # into sublayer 'a', odd into 'b', each [L/2, ...]
+        import jax
+
+        layer_tree = {
+            "a": jax.tree.map(lambda *xs: np.stack(xs), *layers[0::2]),
+            "b": jax.tree.map(lambda *xs: np.stack(xs), *layers[1::2]),
+        }
+    elif scan_layers:
         import jax
 
         stacked = jax.tree.map(lambda *xs: np.stack(xs), *layers)
@@ -323,8 +333,10 @@ def import_all(params: dict, cfg, src_spec) -> dict:
         src_spec = {"gpt3": src_spec}
     if src_spec.get("gpt3"):
         sd = load_torch_gpt3_state(src_spec["gpt3"])
-        dec = gpt3_params_from_torch(sd, cfg.model.text,
-                                     scan_layers=cfg.model.text.scan_layers)
+        dec = gpt3_params_from_torch(
+            sd, cfg.model.text,
+            scan_layers=cfg.model.text.scan_layers,
+            layer_pairing=cfg.model.text.pairing_active)
         n = merge_into(params["text_decoder"], dec)
         print(f"imported {n} decoder tensors from {src_spec['gpt3']}",
               flush=True)
