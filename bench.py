@@ -70,7 +70,7 @@ def main():
 
     enable_compilation_cache()
     batch = int(os.environ.get("BENCH_BATCH", "16"))
-    steps = int(os.environ.get("BENCH_STEPS", "10"))
+    steps = int(os.environ.get("BENCH_STEPS", "30"))
     seq_text = 80
 
     from youku_mplug_tpu.models.tasks import MPLUGVideo
