@@ -205,36 +205,62 @@ class VEDataset:
 class GroundingDataset:
     """Referring-expression grounding (reference
     dataset/grounding_dataset.py): {"image", "text"/"sentence",
-    "bbox": [x, y, w, h]} with boxes normalized to the resized image."""
+    "bbox": [x, y, w, h]}.
+
+    train=True runs the reference's box-aware augmentation pipeline
+    (vg_transforms: scale jitter / box-preserving crop / hflip with
+    left-right word swap / color jitter / mean-pad to square); eval is a
+    deterministic long-side resize + center pad.  Targets come out as
+    cxcywh normalized to the padded square, plus the pad mask."""
 
     def __init__(self, ann_file, image_root: str = "", transform=None,
-                 image_res: int = 224, max_words: int = 30, seed: int = 0):
+                 image_res: int = 224, max_words: int = 30, seed: int = 0,
+                 train: bool = False, aug_scale: bool = True,
+                 aug_crop: bool = True, aug_blur: bool = False,
+                 aug_translate: bool = False):
+        from youku_mplug_tpu.data.vg_transforms import (
+            vg_test_transform,
+            vg_train_transform,
+        )
+
         self.ann = _read_annotations(ann_file, id_key="image")
         self.image_root = image_root
-        self.transform = transform
+        self.transform = transform  # legacy clip-transform override
         self.image_res = image_res
         self.max_words = max_words
         self.seed = seed
+        self.train = train
+        self.epoch = 0
+        self.vg_transform = (
+            vg_train_transform(image_res, aug_scale=aug_scale,
+                               aug_crop=aug_crop, aug_blur=aug_blur,
+                               aug_translate=aug_translate)
+            if train else vg_test_transform(image_res))
 
     def set_epoch(self, epoch):
-        pass
+        self.epoch = epoch
 
     def __len__(self):
         return len(self.ann)
 
     def __getitem__(self, index):
         a = self.ann[index]
-        rng = np.random.default_rng(self.seed + index)
+        rng = np.random.default_rng(
+            (self.seed + index) * (self.epoch + 1) if self.train
+            else self.seed + index)
         img = read_image(os.path.join(self.image_root, str(a["image"])))
-        h0, w0 = img.shape[:2]
-        clip = img[None]
-        if self.transform is not None:
-            clip = self.transform(clip, rng=rng)
+        text = pre_caption(str(a.get("text") or a.get("sentence") or ""),
+                           self.max_words)
         x, y, w, h = a["bbox"]
-        # normalize to [0, 1] relative cxcywh (DETR-style grounding target)
-        box = np.asarray([(x + w / 2) / w0, (y + h / 2) / h0,
-                          w / w0, h / h0], np.float32)
-        text = a.get("text") or a.get("sentence") or ""
-        return {"image": clip[0],
-                "text": pre_caption(str(text), self.max_words),
+        if self.transform is not None:
+            # legacy path: plain clip transform, box relative to original
+            h0, w0 = img.shape[:2]
+            clip = self.transform(img[None], rng=rng)
+            box = np.asarray([(x + w / 2) / w0, (y + h / 2) / h0,
+                              w / w0, h / h0], np.float32)
+            return {"image": clip[0], "text": text, "box": box,
+                    "index": index}
+        box_xyxy = np.asarray([x, y, x + w, y + h], np.float32)
+        img, mask, box, text = self.vg_transform(img, box_xyxy, text, rng)
+        return {"image": img, "pad_mask": mask, "text": text,
                 "box": box, "index": index}
