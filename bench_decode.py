@@ -39,7 +39,8 @@ def main():
     new_tokens = int(os.environ.get("BENCH_DECODE_TOKENS", "64"))
     prompt_len = 16
 
-    cfg = ge._flagship_cfg()
+    cfg = ge._flagship_cfg(
+        scan_layers=os.environ.get("BENCH_SCAN", "1") == "1")
     model, params, video, ids, mask = ge._build(
         cfg, batch=batch, max_length=prompt_len)
     video = jax.random.normal(jax.random.key(1), video.shape, video.dtype)

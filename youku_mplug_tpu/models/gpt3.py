@@ -442,6 +442,43 @@ class GPT3Decoder(nn.Module):
                 new_cache = jax.tree.map(
                     lambda c: c.reshape((cfg.num_hidden_layers,)
                                         + c.shape[2:]), new_cache)
+        elif cfg.scan_layers and cache is not None:
+            # Decode: thread the FULL cache through the scan as a carry
+            # and update each layer's slice with dynamic_update_index.
+            # XLA keeps the carry aliased in the surrounding while loop,
+            # so a decode step writes only the new token's K/V — the
+            # xs/ys scan form instead re-slices and re-stacks the whole
+            # [L, B, n, M, d] cache every step (measured linear-in-B
+            # decode cost, BENCHLOG round 2 decode table).
+            def body(layer_mod, carry, idx):
+                x, ck, cv = carry
+                lc = (jax.lax.dynamic_index_in_dim(ck, idx, 0,
+                                                   keepdims=False),
+                      jax.lax.dynamic_index_in_dim(cv, idx, 0,
+                                                   keepdims=False))
+                x, nc = layer_mod(x, lc, cache_len, valid_from,
+                                  deterministic)
+                nk, nv = nc
+                ck = jax.lax.dynamic_update_index_in_dim(
+                    ck, nk.astype(ck.dtype), idx, 0)
+                cv = jax.lax.dynamic_update_index_in_dim(
+                    cv, nv.astype(cv.dtype), idx, 0)
+                return (x, ck, cv), None
+
+            scanned = nn.scan(
+                body,
+                variable_axes={"params": 0, "qscales": 0},
+                split_rngs={"params": True, "dropout": True},
+                in_axes=0,
+                out_axes=0,
+                length=cfg.num_hidden_layers,
+                metadata_params={nn.meta.PARTITION_NAME: "layers"},
+            )
+            (x, new_k, new_v), _ = scanned(
+                GPT3Layer(cfg, policy=self.policy, name="layers"),
+                (x, cache[0], cache[1]),
+                jnp.arange(cfg.num_hidden_layers))
+            new_cache = (new_k, new_v)
         elif cfg.scan_layers:
             scanned = nn.scan(
                 layer,
