@@ -113,3 +113,31 @@ def test_max_new_tokens_cap(model_params):
     fin = eng.run_to_completion()
     assert [f.rid for f in fin] == [rid]
     assert len(fin[0].tokens) <= 3
+
+
+def test_engine_with_tensor_parallel_params(model_params):
+    """Serving composes with TP: the same engine run with the decoder
+    sharded over a (data=1, model=2) mesh must produce byte-identical
+    tokens (GSPMD inserts the collectives; the engine never knows)."""
+    from jax.sharding import Mesh
+
+    from youku_mplug_tpu.parallel.sharding import (
+        GPT3_SHARDING_RULES,
+        shard_params,
+    )
+
+    model, params = model_params
+    prompts = [[1, 5, 9, 11], [4, 7]]
+    eng = _engine(model, params)
+    rids = [eng.submit(p) for p in prompts]
+    want = {f.rid: f.tokens for f in eng.run_to_completion()}
+
+    devs = np.asarray(jax.devices()[:2]).reshape(1, 2)
+    mesh = Mesh(devs, ("data", "model"))
+    with jax.set_mesh(mesh):
+        p_sh = shard_params({"p": params}, mesh, GPT3_SHARDING_RULES)["p"]
+        eng_sh = _engine(model, p_sh)
+        rids_sh = [eng_sh.submit(p) for p in prompts]
+        got = {f.rid: f.tokens for f in eng_sh.run_to_completion()}
+    for r, rs in zip(rids, rids_sh):
+        assert got[rs] == want[r]
