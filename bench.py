@@ -100,7 +100,7 @@ def main():
         vis_attn_impl=os.environ.get("BENCH_VIS_ATTN", "packed"),
         scan_unroll=int(os.environ.get("BENCH_UNROLL", "1")),
         layer_pairing=os.environ.get("BENCH_PAIR", "0") == "1",
-        temporal_flash=os.environ.get("BENCH_TFLASH", "0") == "1",
+        temporal_flash=os.environ.get("BENCH_TFLASH", "1") == "1",
     )
     model, params, video, ids, mask = ge._build(
         cfg, batch=batch, max_length=seq_text)

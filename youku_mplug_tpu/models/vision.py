@@ -73,10 +73,11 @@ class VisionConfig:
     # "xla" (einsum attention — XLA batches the whole [B,n,S,S] matmul)
     attn_impl: str = "packed"
     # grouped temporal attention backend: True = periodic flash kernel
-    # (no fp32 score materialization, whole-seq blocks on a fine grid);
-    # False = block-diag einsum (scores materialized, fused by XLA).
-    # Benchmarked per hardware; einsum won on v5e (BENCHLOG round 2).
-    temporal_flash: bool = False
+    # (no fp32 score materialization); False = block-diag einsum (scores
+    # materialized, fused by XLA).  With multi-strip grid cells
+    # (_cell_geometry) the flash kernel wins on v5e: 41.8 -> 43.2% MFU
+    # (it lost only to per-cell overhead before; BENCHLOG round 2).
+    temporal_flash: bool = True
     stop_grad_conv1: bool = False
     use_abs_pos_emb: bool = True
     clip_model: bool = False
