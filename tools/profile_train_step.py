@@ -30,6 +30,7 @@ cfg = ge._flagship_cfg(
     vis_remat_policy=os.environ.get("BENCH_VIS_REMAT", "third"),
     dec_attn_impl=os.environ.get("BENCH_DEC_ATTN", "packed"),
     vis_attn_impl=os.environ.get("BENCH_VIS_ATTN", "packed"),
+    temporal_flash=os.environ.get("BENCH_TFLASH", "1") == "1",
 )
 model, params, video, ids, mask = ge._build(cfg, batch=batch, max_length=80)
 video = jax.random.normal(jax.random.key(2), video.shape, video.dtype)
