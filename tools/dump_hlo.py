@@ -28,7 +28,7 @@ cfg = ge._flagship_cfg(
     ce_chunk=int(os.environ.get("BENCH_CE_CHUNK", "32")),
     grad_ckpt=os.environ.get("BENCH_VIS_CKPT", "1") == "1",
     use_packed_flash=os.environ.get("BENCH_PACKED", "1") == "1",
-    vis_remat_policy=os.environ.get("BENCH_VIS_REMAT", "third"),
+    vis_remat_policy=os.environ.get("BENCH_VIS_REMAT", "sixth"),
     dec_attn_impl=os.environ.get("BENCH_DEC_ATTN", "packed"),
     vis_attn_impl=os.environ.get("BENCH_VIS_ATTN", "packed"),
     temporal_flash=os.environ.get("BENCH_TFLASH", "1") == "1",

@@ -65,9 +65,10 @@ class VisionConfig:
     grad_ckpt: bool = False
     # remat policy under grad_ckpt: "nothing" recomputes the whole block;
     # "attn" saves attention outputs so backward recompute skips the
-    # attention kernels (named checkpoints "vis_attn_out"); "half"/"third"/
-    # "sixth" remat only every 2nd/3rd/6th block (recompute and activation memory
-    # scale proportionally — measured best on v5e where HBM has headroom)
+    # attention kernels (named checkpoints "vis_attn_out"); "half"/
+    # "third"/"sixth"/"twelfth" remat only every 2nd/3rd/6th/12th block
+    # (recompute and activation memory scale inversely; "sixth" measured
+    # best on v5e once temporal-flash freed the score buffers)
     remat_policy: str = "nothing"
     # attention implementation: "packed" (pallas, no head transposes),
     # "xla" (einsum attention — XLA batches the whole [B,n,S,S] matmul)
@@ -466,7 +467,8 @@ class TimeSformer(nn.Module):
                                policy=_remat_policy(cfg))
         for i in range(cfg.depth):
             block_cls = SpaceTimeBlock
-            stride = {"half": 2, "third": 3, "sixth": 6}.get(
+            stride = {"half": 2, "third": 3, "sixth": 6,
+                      "twelfth": 12}.get(
                 cfg.remat_policy, 1)
             skip_remat = stride > 1 and i % stride != 0
             if cfg.grad_ckpt and not skip_remat:
