@@ -230,27 +230,64 @@ class GPT3Attention(nn.Module):
             # cache_len is a scalar (lock-step generate) or a [B] array
             # (continuous batching: every slot sits at its own length —
             # serving/engine.py).
-            ck, cv = cache
-            m = ck.shape[2]
+            #
+            # Full-stack mode (cache = (ck_full [L,B,n,M,d], cv_full,
+            # layer_idx), used by the decode scan): the new token's K/V
+            # slice is written DIRECTLY into the stacked carry — a
+            # [B,n,S,d]-sized write — instead of returning an updated
+            # [B,n,M,d] layer slice for the scan to copy back whole
+            # (~1 ms/token of pure write-back at 1.3B B=16, BENCHLOG).
+            full_stack = len(cache) == 3
             s = q.shape[2]
             idx = cache_len
+            if full_stack:
+                ckf, cvf, lidx = cache
+                m = ckf.shape[3]
+                if jnp.ndim(cache_len) == 1:
+                    def updf(c, new, i):  # c [L, n, M, d], new [n, S, d]
+                        return jax.lax.dynamic_update_slice(
+                            c, new[None], (lidx, 0, i, 0))
+                    ckf = jax.vmap(updf, in_axes=(1, 0, 0),
+                                   out_axes=1)(ckf, k.astype(ckf.dtype),
+                                               idx)
+                    cvf = jax.vmap(updf, in_axes=(1, 0, 0),
+                                   out_axes=1)(cvf, v.astype(cvf.dtype),
+                                               idx)
+                else:
+                    ckf = jax.lax.dynamic_update_slice(
+                        ckf, k.astype(ckf.dtype)[None],
+                        (lidx, 0, 0, idx, 0))
+                    cvf = jax.lax.dynamic_update_slice(
+                        cvf, v.astype(cvf.dtype)[None],
+                        (lidx, 0, 0, idx, 0))
+                ck = jax.lax.dynamic_index_in_dim(ckf, lidx, 0,
+                                                  keepdims=False)
+                cv = jax.lax.dynamic_index_in_dim(cvf, lidx, 0,
+                                                  keepdims=False)
+                new_cache = (ckf, cvf)
+            else:
+                ck, cv = cache
+                m = ck.shape[2]
+                if jnp.ndim(cache_len) == 1:
+                    def upd(c, new, i):  # c [n, M, d], new [n, S, d]
+                        return jax.lax.dynamic_update_slice(c, new,
+                                                            (0, i, 0))
+                    ck = jax.vmap(upd)(ck, k.astype(ck.dtype), idx)
+                    cv = jax.vmap(upd)(cv, v.astype(cv.dtype), idx)
+                else:
+                    ck = jax.lax.dynamic_update_slice(
+                        ck, k.astype(ck.dtype), (0, 0, idx, 0))
+                    cv = jax.lax.dynamic_update_slice(
+                        cv, v.astype(cv.dtype), (0, 0, idx, 0))
+                new_cache = (ck, cv)
             ki = jnp.arange(m)[None, :]  # [1, M]
             if jnp.ndim(cache_len) == 1:
-                def upd(c, new, i):  # c [n, M, d], new [n, S, d]
-                    return jax.lax.dynamic_update_slice(c, new, (0, i, 0))
-                ck = jax.vmap(upd)(ck, k.astype(ck.dtype), idx)
-                cv = jax.vmap(upd)(cv, v.astype(cv.dtype), idx)
                 qi = (cache_len[:, None, None]
                       + jnp.arange(s)[None, :, None])     # [B, S, 1]
                 allowed = ki[None] <= qi                  # [B, S, M]
             else:
-                ck = jax.lax.dynamic_update_slice(ck, k.astype(ck.dtype),
-                                                  (0, 0, idx, 0))
-                cv = jax.lax.dynamic_update_slice(cv, v.astype(cv.dtype),
-                                                  (0, 0, idx, 0))
                 qi = cache_len + jnp.arange(s)[:, None]
                 allowed = (ki <= qi)[None]  # [1, S, M]
-            new_cache = (ck, cv)
             # mask: key j visible to query i(abs = cache_len+i) iff j <= abs;
             # valid_from [B] additionally hides front-padding positions
             # (batched variable-length prompts; the reference instead loops
@@ -452,17 +489,11 @@ class GPT3Decoder(nn.Module):
             # decode cost, BENCHLOG round 2 decode table).
             def body(layer_mod, carry, idx):
                 x, ck, cv = carry
-                lc = (jax.lax.dynamic_index_in_dim(ck, idx, 0,
-                                                   keepdims=False),
-                      jax.lax.dynamic_index_in_dim(cv, idx, 0,
-                                                   keepdims=False))
-                x, nc = layer_mod(x, lc, cache_len, valid_from,
-                                  deterministic)
-                nk, nv = nc
-                ck = jax.lax.dynamic_update_index_in_dim(
-                    ck, nk.astype(ck.dtype), idx, 0)
-                cv = jax.lax.dynamic_update_index_in_dim(
-                    cv, nv.astype(cv.dtype), idx, 0)
+                # full-stack mode: the attention writes only the new
+                # token's K/V slice into the stacked carry and reads its
+                # layer slice for the dot — no [B,n,M,d] write-back
+                x, (ck, cv) = layer_mod(x, (ck, cv, idx), cache_len,
+                                        valid_from, deterministic)
                 return (x, ck, cv), None
 
             scanned = nn.scan(
