@@ -141,3 +141,26 @@ def test_engine_with_tensor_parallel_params(model_params):
         got = {f.rid: f.tokens for f in eng_sh.run_to_completion()}
     for r, rs in zip(rids, rids_sh):
         assert got[rs] == want[r]
+
+
+def test_engine_with_int8_decoder(model_params):
+    """Serving composes with int8 weight quantization (ops/quant.py):
+    the engine accepts {'params', 'qscales'} variable dicts and decodes
+    sanely (greedy argmax may differ from fp32 — assert structure, not
+    token equality, plus determinism across runs)."""
+    from youku_mplug_tpu.ops.quant import quantize_gpt3_decoder
+
+    model, params = model_params
+    qparams, scales = quantize_gpt3_decoder(params)
+    lm_vars = {"params": qparams, "qscales": scales}
+    prompts = [[1, 5, 9, 11], [4, 7]]
+    eng1 = _engine(model, lm_vars)
+    r1 = [eng1.submit(p) for p in prompts]
+    got1 = {f.rid: f.tokens for f in eng1.run_to_completion()}
+    eng2 = _engine(model, lm_vars)
+    r2 = [eng2.submit(p) for p in prompts]
+    got2 = {f.rid: f.tokens for f in eng2.run_to_completion()}
+    assert set(got1) == set(r1)
+    for a, b in zip(r1, r2):
+        assert got1[a] == got2[b]  # deterministic
+        assert all(0 <= t < V for t in got1[a])
