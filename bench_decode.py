@@ -61,7 +61,8 @@ def main():
     if use_int8:
         from youku_mplug_tpu.ops.quant import quantize_gpt3_decoder
 
-        qparams, scales = quantize_gpt3_decoder(lm_params)
+        qparams, scales = quantize_gpt3_decoder(lm_params,
+                                                include_embedding=True)
         lm_vars = {"params": qparams, "qscales": scales}
 
     def run(seed):

@@ -377,3 +377,40 @@ def test_quantize_gpt3_decoder_tree(rng):
     assert s2.shape == (3, 1, 1, 32)
     # int8 kernels shrink the tree
     assert decoder_bytes(q) < 0.45 * decoder_bytes(params)
+
+
+def test_quantize_embedding_roundtrip(rng):
+    """include_embedding: per-row int8 embedding; TiedEmbedding dequant on
+    lookup and output-channel scaling on the tied logits matmul."""
+    import jax
+
+    from youku_mplug_tpu.models.gpt3 import TiedEmbedding
+    from youku_mplug_tpu.ops.quant import quantize_gpt3_decoder
+
+    emb = jnp.asarray(rng.normal(size=(97, 32)).astype(np.float32)) * \
+        jnp.linspace(0.1, 3.0, 97)[:, None]  # row-varying magnitudes
+    params = {"word_embeddings": {"embedding": emb}}
+    q, s = quantize_gpt3_decoder(params, include_embedding=True)
+    qe = q["word_embeddings"]["embedding"]
+    se = s["word_embeddings"]["embedding"]
+    assert qe.dtype == jnp.int8 and se.shape == (97, 1)
+    # off by default
+    q0, _ = quantize_gpt3_decoder(params)
+    assert q0["word_embeddings"]["embedding"].dtype == jnp.float32
+
+    mod = TiedEmbedding(97, 32, name="word_embeddings")
+    tokens = jnp.asarray(rng.integers(0, 97, (2, 5)))
+    hidden = jnp.asarray(rng.normal(size=(2, 5, 32)).astype(np.float32))
+
+    fp_rows = mod.apply({"params": params["word_embeddings"]}, tokens,
+                        jnp.float32, method=TiedEmbedding.encode)
+    fp_logits = mod.apply({"params": params["word_embeddings"]}, hidden,
+                          method=TiedEmbedding.attend)
+    q_vars = {"params": {"embedding": qe}, "qscales": {"embedding": se}}
+    q_rows = mod.apply(q_vars, tokens, jnp.float32,
+                       method=TiedEmbedding.encode)
+    q_logits = mod.apply(q_vars, hidden, method=TiedEmbedding.attend)
+    np.testing.assert_allclose(np.asarray(q_rows), np.asarray(fp_rows),
+                               rtol=0.03, atol=0.03)
+    a, b = np.asarray(fp_logits), np.asarray(q_logits)
+    assert np.abs(a - b).max() < 0.02 * np.abs(a).max()

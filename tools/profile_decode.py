@@ -31,7 +31,8 @@ lm_vars = params["text_decoder"]
 if os.environ.get("BENCH_DECODE_INT8", "1") == "1":
     from youku_mplug_tpu.ops.quant import quantize_gpt3_decoder
 
-    qparams, scales = quantize_gpt3_decoder(lm_vars)
+    qparams, scales = quantize_gpt3_decoder(lm_vars,
+                                            include_embedding=True)
     lm_vars = {"params": qparams, "qscales": scales}
 
 prompt = jnp.full((batch, prompt_len), 5, jnp.int32)

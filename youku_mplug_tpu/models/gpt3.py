@@ -86,6 +86,11 @@ class GPT3Config:
     # attn_impl: "packed" | "xla" (einsum; XLA-batched matmuls)
     use_packed_flash: bool = True
     attn_impl: str = "packed"
+    # decode-step attention over the stacked KV cache:
+    # "pallas" — in-place read of the layer slice via scalar-prefetched
+    # layer index (ops/decode_attention.py; TPU only, cache width % 128);
+    # "gather" — dynamic_index_in_dim layer-slice copy + XLA einsum.
+    decode_attn_impl: str = "pallas"
     # pair-scan: scan over L/2 two-layer bodies, rematerializing only the
     # FIRST layer of each pair (skip-remat — the decoder analog of the
     # vision half/third policies: spend HBM headroom to halve backward
@@ -203,14 +208,14 @@ class GPT3Attention(nn.Module):
             return y, None
 
         b_, s_ = x.shape[:2]
-        q, k, v = [
-            jnp.moveaxis(
-                qkv[..., i * n * d:(i + 1) * n * d].reshape(b_, s_, n, d),
-                2, 1)
-            for i in range(3)]  # [B,n,S,d]
 
         new_cache = None
         if cache is None:
+            q, k, v = [
+                jnp.moveaxis(
+                    qkv[..., i * n * d:(i + 1) * n * d].reshape(
+                        b_, s_, n, d), 2, 1)
+                for i in range(3)]  # [B,n,S,d]
             # attention-probability dropout (reference partition-local attn
             # dropout, modeling_distributed_gpt3.py:778-780); active only on
             # an unfrozen training decoder
@@ -226,60 +231,87 @@ class GPT3Attention(nn.Module):
             out = checkpoint_name(out, "attn_out")
         else:
             # Decode: write this chunk into the static-size cache, attend to
-            # everything written so far.  cache k/v: [B, n, M, d].
-            # cache_len is a scalar (lock-step generate) or a [B] array
-            # (continuous batching: every slot sits at its own length —
-            # serving/engine.py).
+            # everything written so far.  The cache is PACKED: k/v
+            # [B, M, n*d] — a decode step's write is one contiguous row
+            # per sample and the TPU kernel streams full 128-lane strips
+            # (ops/decode_attention.py).  cache_len is a scalar (lock-step
+            # generate) or a [B] array (continuous batching: every slot
+            # sits at its own length — serving/engine.py).
             #
-            # Full-stack mode (cache = (ck_full [L,B,n,M,d], cv_full,
+            # Full-stack mode (cache = (ck_full [L,B,M,n*d], cv_full,
             # layer_idx), used by the decode scan): the new token's K/V
-            # slice is written DIRECTLY into the stacked carry — a
-            # [B,n,S,d]-sized write — instead of returning an updated
-            # [B,n,M,d] layer slice for the scan to copy back whole
-            # (~1 ms/token of pure write-back at 1.3B B=16, BENCHLOG).
+            # row is written DIRECTLY into the stacked carry instead of
+            # returning an updated layer slice for the scan to copy back
+            # whole (~1 ms/token of pure write-back at 1.3B B=16,
+            # BENCHLOG), and attention reads the layer's keys in place.
+            kp = qkv[..., n * d:2 * n * d]  # [B, S, n*d]
+            vp = qkv[..., 2 * n * d:]
             full_stack = len(cache) == 3
-            s = q.shape[2]
+            s = s_
             idx = cache_len
             if full_stack:
                 ckf, cvf, lidx = cache
-                m = ckf.shape[3]
+                m = ckf.shape[2]
                 if jnp.ndim(cache_len) == 1:
-                    def updf(c, new, i):  # c [L, n, M, d], new [n, S, d]
+                    def updf(c, new, i):  # c [L, M, nd], new [S, nd]
                         return jax.lax.dynamic_update_slice(
-                            c, new[None], (lidx, 0, i, 0))
+                            c, new[None], (lidx, i, 0))
                     ckf = jax.vmap(updf, in_axes=(1, 0, 0),
-                                   out_axes=1)(ckf, k.astype(ckf.dtype),
+                                   out_axes=1)(ckf, kp.astype(ckf.dtype),
                                                idx)
                     cvf = jax.vmap(updf, in_axes=(1, 0, 0),
-                                   out_axes=1)(cvf, v.astype(cvf.dtype),
+                                   out_axes=1)(cvf, vp.astype(cvf.dtype),
                                                idx)
                 else:
                     ckf = jax.lax.dynamic_update_slice(
-                        ckf, k.astype(ckf.dtype)[None],
-                        (lidx, 0, 0, idx, 0))
+                        ckf, kp.astype(ckf.dtype)[None],
+                        (lidx, 0, idx, 0))
                     cvf = jax.lax.dynamic_update_slice(
-                        cvf, v.astype(cvf.dtype)[None],
-                        (lidx, 0, 0, idx, 0))
+                        cvf, vp.astype(cvf.dtype)[None],
+                        (lidx, 0, idx, 0))
+                new_cache = (ckf, cvf)
+                from youku_mplug_tpu.ops.decode_attention import (
+                    decode_attention,
+                    decode_attention_supported,
+                )
+                if (s == 1 and cfg.decode_attn_impl == "pallas"
+                        and jax.default_backend() == "tpu"
+                        and decode_attention_supported(m)):
+                    # in-place stacked-cache read: no layer gather copy,
+                    # per-sample length-bounded key streaming
+                    out_p = decode_attention(
+                        qkv[:, 0, :n * d], ckf, cvf, n, lidx, idx,
+                        valid_from)[:, None]  # [B, 1, n*d]
+                    y = jnp.einsum("bsk,kh->bsh", out_p,
+                                   out_kernel.reshape(n * d, h).astype(
+                                       out_p.dtype))
+                    out_s = _qscale(self, "out_kernel")
+                    if out_s is not None:
+                        y = y * out_s.reshape(h).astype(y.dtype)
+                    y = y + out_bias.astype(y.dtype)
+                    return y, new_cache
                 ck = jax.lax.dynamic_index_in_dim(ckf, lidx, 0,
                                                   keepdims=False)
                 cv = jax.lax.dynamic_index_in_dim(cvf, lidx, 0,
                                                   keepdims=False)
-                new_cache = (ckf, cvf)
             else:
-                ck, cv = cache
-                m = ck.shape[2]
+                ck, cv = cache  # [B, M, n*d]
+                m = ck.shape[1]
                 if jnp.ndim(cache_len) == 1:
-                    def upd(c, new, i):  # c [n, M, d], new [n, S, d]
-                        return jax.lax.dynamic_update_slice(c, new,
-                                                            (0, i, 0))
-                    ck = jax.vmap(upd)(ck, k.astype(ck.dtype), idx)
-                    cv = jax.vmap(upd)(cv, v.astype(cv.dtype), idx)
+                    def upd(c, new, i):  # c [M, nd], new [S, nd]
+                        return jax.lax.dynamic_update_slice(c, new, (i, 0))
+                    ck = jax.vmap(upd)(ck, kp.astype(ck.dtype), idx)
+                    cv = jax.vmap(upd)(cv, vp.astype(cv.dtype), idx)
                 else:
                     ck = jax.lax.dynamic_update_slice(
-                        ck, k.astype(ck.dtype), (0, 0, idx, 0))
+                        ck, kp.astype(ck.dtype), (0, idx, 0))
                     cv = jax.lax.dynamic_update_slice(
-                        cv, v.astype(cv.dtype), (0, 0, idx, 0))
+                        cv, vp.astype(cv.dtype), (0, idx, 0))
                 new_cache = (ck, cv)
+            q = jnp.moveaxis(
+                qkv[..., :n * d].reshape(b_, s_, n, d), 2, 1)  # [B,n,S,d]
+            ckh = jnp.moveaxis(ck.reshape(b_, m, n, d), 2, 1)  # [B,n,M,d]
+            cvh = jnp.moveaxis(cv.reshape(b_, m, n, d), 2, 1)
             ki = jnp.arange(m)[None, :]  # [1, M]
             if jnp.ndim(cache_len) == 1:
                 qi = (cache_len[:, None, None]
@@ -296,7 +328,7 @@ class GPT3Attention(nn.Module):
                 allowed = allowed & (
                     ki[None] >= valid_from[:, None, None])
             bias = jnp.where(allowed, 0.0, jnp.finfo(jnp.float32).min)
-            out = mha_reference(q, ck, cv, bias=bias[:, None])
+            out = mha_reference(q, ckh, cvh, bias=bias[:, None])
 
         out = jnp.moveaxis(out, 1, 2)  # [B,S,n,d]
         y = jnp.einsum("bsnd,ndh->bsh", out, out_kernel.astype(out.dtype))
@@ -390,7 +422,7 @@ class GPT3LayerPair(nn.Module):
     (``GPT3Config.layer_pairing``): sublayer ``a`` runs under full
     rematerialization, sublayer ``b`` keeps its activations — skip-remat,
     halving backward recompute for ~75 MB/pair of residuals.  Cache
-    slices arrive stacked [2, B, n, M, d] per pair."""
+    slices arrive stacked [2, B, M, n*d] per pair."""
 
     config: GPT3Config
     policy: Policy = DEFAULT_POLICY
@@ -542,6 +574,52 @@ class GPT3Decoder(nn.Module):
         return x, new_cache
 
 
+class TiedEmbedding(nn.Module):
+    """Token embedding + tied logits head, int8-aware.
+
+    Keeps the flax param path ``word_embeddings/embedding`` (checkpoint-
+    and importer-compatible with the former ``nn.Embed``).  With the
+    ``qscales`` collection present (ops/quant.py, per-vocab-row scales),
+    lookups dequantize the gathered rows and the logits matmul runs the
+    int8->bf16 convert inside the dot with the scale applied to the
+    output channel — halving the ~V*H bytes every decode step streams
+    through the tied head.
+    """
+
+    num_embeddings: int
+    features: int
+    init_std: float = 0.02
+
+    def setup(self):
+        self.embedding = self.param(
+            "embedding", _dense_init(self.init_std),
+            (self.num_embeddings, self.features))
+
+    def encode(self, tokens, dtype):
+        rows = jnp.take(self.embedding, tokens, axis=0)
+        s = _qscale(self, "embedding")
+        if s is not None:  # [V, 1] per-row scales
+            rows = rows.astype(jnp.float32) * jnp.take(s, tokens, axis=0)
+        return rows.astype(dtype)
+
+    def attend(self, hidden):
+        emb = self.embedding
+        y = jnp.einsum("bsh,vh->bsv", hidden, emb.astype(hidden.dtype),
+                       preferred_element_type=jnp.float32)
+        s = _qscale(self, "embedding")
+        if s is not None:
+            y = y * s.reshape(1, 1, -1)
+        return y
+
+    def table(self, dtype):
+        """Dequantized [V, H] table (training CE path)."""
+        emb = self.embedding
+        s = _qscale(self, "embedding")
+        if s is not None:
+            emb = emb.astype(jnp.float32) * s
+        return emb.astype(dtype)
+
+
 class GPT3LM(nn.Module):
     """Tied-embedding LM head over the decoder.
 
@@ -557,19 +635,18 @@ class GPT3LM(nn.Module):
 
     def setup(self):
         cfg = self.config
-        self.word_embeddings = nn.Embed(
+        self.word_embeddings = TiedEmbedding(
             cfg.vocab_size, cfg.hidden_size,
-            embedding_init=_dense_init(cfg.init_method_std),
+            init_std=cfg.init_method_std,
             name="word_embeddings")
         self.decoder = GPT3Decoder(cfg, policy=self.policy, name="decoder")
 
     def embed(self, tokens):
-        return self.word_embeddings(tokens).astype(self.policy.compute_dtype)
+        return self.word_embeddings.encode(tokens,
+                                           self.policy.compute_dtype)
 
     def logits(self, hidden):
-        emb = self.word_embeddings.embedding
-        return jnp.einsum("bsh,vh->bsv", hidden, emb.astype(hidden.dtype),
-                          preferred_element_type=jnp.float32)
+        return self.word_embeddings.attend(hidden)
 
     def __call__(self, tokens=None, input_embeds=None, labels=None,
                  loss_mask=None, positions=None, deterministic=True,
@@ -588,7 +665,7 @@ class GPT3LM(nn.Module):
         out = {"last_hidden_state": hidden}
         if labels is not None:
             losses = lm_cross_entropy(
-                hidden, self.word_embeddings.embedding, labels,
+                hidden, self.word_embeddings.table(hidden.dtype), labels,
                 chunk=cfg.ce_chunk)
             out["losses"] = losses
             if loss_mask is not None:
@@ -604,10 +681,14 @@ class GPT3LM(nn.Module):
     # ------------------------------------------------------------------
 
     def init_cache(self, batch, max_len, dtype=None):
+        """Packed KV cache [L, B, M, n*d] (see GPT3Attention decode path:
+        contiguous per-token writes, full-lane kernel reads)."""
         cfg = self.config
         dtype = dtype or self.policy.compute_dtype
-        shape = (cfg.num_hidden_layers, batch, cfg.num_attention_heads,
-                 max_len, cfg.head_dim)
+        # round the cache width up to the pallas decode-attention block
+        # granule; extra slots are never written and always masked
+        max_len = -(-max_len // 128) * 128
+        shape = (cfg.num_hidden_layers, batch, max_len, cfg.hidden_size)
         return (jnp.zeros(shape, dtype), jnp.zeros(shape, dtype))
 
     def decode_step(self, input_embeds, cache, cache_len, valid_from=None,

@@ -47,19 +47,35 @@ _GPT3_REDUCE_AXES = {
 }
 
 
-def quantize_gpt3_decoder(params: Any) -> Tuple[Any, Any]:
+def quantize_gpt3_decoder(params: Any,
+                          include_embedding: bool = False) -> Tuple[Any, Any]:
     """Quantize a GPT3LM param tree's big kernels to int8.
 
     Returns (q_params, scales): q_params has the same structure with
-    int8 kernel leaves (embeddings / layernorms / biases stay as-is);
-    scales mirrors the quantized leaves only.  Works on both scanned
-    ([L, ...]) and unrolled layouts — the leading scan dim is never a
-    reduction axis, so axes shift by the rank difference.
+    int8 kernel leaves (layernorms / biases stay as-is); scales mirrors
+    the quantized leaves only.  Works on both scanned ([L, ...]) and
+    unrolled layouts — the leading scan dim is never a reduction axis,
+    so axes shift by the rank difference.
+
+    include_embedding additionally quantizes the tied embedding with
+    per-vocab-row scales (models/gpt3.py TiedEmbedding handles the
+    dequant on lookup and scales the logits' output channels): the [V,H]
+    table is streamed once per decode step by the tied logits matmul, so
+    this halves another ~V*H bytes of per-token HBM traffic.  Off by
+    default — unlike the matmul kernels the embedding feeds every layer,
+    so enable it for serving, not for frozen-decoder training.
     """
     import jax.tree_util as jtu
 
     flat = jtu.tree_flatten_with_path(params)[0]
     q_out, s_out = {}, {}
+
+    base_ranks = {"qkv_kernel": 4, "out_kernel": 3,
+                  "fc1_kernel": 2, "fc2_kernel": 2}
+    reduce_axes = dict(_GPT3_REDUCE_AXES)
+    if include_embedding:
+        reduce_axes["embedding"] = (1,)  # [V, H] contracts H in logits
+        base_ranks["embedding"] = 2
 
     def assign(tree, path, leaf):
         node = tree
@@ -71,11 +87,9 @@ def quantize_gpt3_decoder(params: Any) -> Tuple[Any, Any]:
 
     for path, leaf in flat:
         name = getattr(path[-1], "key", str(path[-1]))
-        axes = _GPT3_REDUCE_AXES.get(name)
+        axes = reduce_axes.get(name)
         if axes is not None and leaf.ndim >= len(axes) + 1:
-            base_rank = {"qkv_kernel": 4, "out_kernel": 3,
-                         "fc1_kernel": 2, "fc2_kernel": 2}[name]
-            shift = leaf.ndim - base_rank  # scan dim(s)
+            shift = leaf.ndim - base_ranks[name]  # scan dim(s)
             q, scale = quantize_int8(
                 leaf, tuple(a + shift for a in axes))
             assign(q_out, path, q)
