@@ -51,9 +51,10 @@ def main():
     lm = GPT3LM(cfg.text, policy=model.policy)
     lm_params = params["text_decoder"]
 
+    beam = int(os.environ.get("BENCH_DECODE_BEAM", "1"))
     prompt = jnp.full((batch, prompt_len), 5, jnp.int32)
     plen = jnp.full((batch,), prompt_len, jnp.int32)
-    gcfg = GenerationConfig(max_new_tokens=new_tokens, beam_size=1,
+    gcfg = GenerationConfig(max_new_tokens=new_tokens, beam_size=beam,
                             do_sample=False, eos_id=-1, pad_id=0)
 
     use_int8 = os.environ.get("BENCH_DECODE_INT8", "0") == "1"
@@ -78,7 +79,7 @@ def main():
     _ = jax.device_get(seqs)
     dt = time.time() - t0
 
-    toks = batch * new_tokens
+    toks = batch * new_tokens  # emitted tokens (beam compute is k-fold)
     rate = toks / dt
     # roofline: bf16 decoder params streamed once per decode step
     n_params = sum(x.size for x in jax.tree.leaves(lm_params))

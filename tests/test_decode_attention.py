@@ -1,5 +1,5 @@
-"""Pallas decode attention (in-place packed stacked-cache read) vs
-reference math.
+"""Pallas decode attention (in-place packed interleaved stacked-cache
+read) vs reference math.
 
 Runs the kernel in interpret mode on CPU; the oracle is mha_reference on
 the explicitly gathered + unpacked layer slice with the decode mask the
@@ -14,14 +14,14 @@ from youku_mplug_tpu.ops.attention import mha_reference
 from youku_mplug_tpu.ops.decode_attention import decode_attention
 
 
-def _oracle(q, ck, cv, n, lidx, cache_len, valid_from):
-    """q [B,nd]; ck/cv [L,B,M,nd]; masks as in GPT3Attention decode."""
+def _oracle(q, ckv, n, lidx, cache_len, valid_from):
+    """q [B,nd]; ckv [L,B,M,2nd] rows = [K|V]; masks as in decode."""
     b, nd = q.shape
-    m = ck.shape[2]
+    m = ckv.shape[2]
     d = nd // n
     qh = np.moveaxis(q.reshape(b, 1, n, d), 2, 1)        # [B,n,1,d]
-    kh = np.moveaxis(ck[lidx].reshape(b, m, n, d), 2, 1)  # [B,n,M,d]
-    vh = np.moveaxis(cv[lidx].reshape(b, m, n, d), 2, 1)
+    kh = np.moveaxis(ckv[lidx, :, :, :nd].reshape(b, m, n, d), 2, 1)
+    vh = np.moveaxis(ckv[lidx, :, :, nd:].reshape(b, m, n, d), 2, 1)
     cache_len = np.broadcast_to(np.asarray(cache_len).reshape(-1), (b,))
     ki = np.arange(m)[None, :]
     allowed = ki <= cache_len[:, None]
@@ -42,13 +42,12 @@ def test_matches_reference_scalar_len(lidx):
     rng = np.random.default_rng(0)
     L, B, n, M, d = 3, 2, 4, 256, 32
     q = _rand(rng, B, n * d)
-    ck = _rand(rng, L, B, M, n * d)
-    cv = _rand(rng, L, B, M, n * d)
+    ckv = _rand(rng, L, B, M, 2 * n * d)
     clen = 130  # second block, partially filled
-    got = decode_attention(jnp.asarray(q), jnp.asarray(ck), jnp.asarray(cv),
+    got = decode_attention(jnp.asarray(q), jnp.asarray(ckv),
                            n, jnp.int32(lidx), jnp.int32(clen), None,
                            interpret=True)
-    want = _oracle(q, ck, cv, n, lidx, clen, None)
+    want = _oracle(q, ckv, n, lidx, clen, None)
     np.testing.assert_allclose(np.asarray(got), want, rtol=2e-5, atol=2e-5)
 
 
@@ -56,14 +55,13 @@ def test_per_sample_len_and_valid_from():
     rng = np.random.default_rng(1)
     L, B, n, M, d = 2, 4, 3, 384, 16
     q = _rand(rng, B, n * d)
-    ck = _rand(rng, L, B, M, n * d)
-    cv = _rand(rng, L, B, M, n * d)
+    ckv = _rand(rng, L, B, M, 2 * n * d)
     clen = np.array([5, 120, 200, 383], np.int32)   # 1, 1, 2, 3 blocks live
     vfrom = np.array([0, 3, 130, 260], np.int32)    # incl. whole-block skips
-    got = decode_attention(jnp.asarray(q), jnp.asarray(ck), jnp.asarray(cv),
+    got = decode_attention(jnp.asarray(q), jnp.asarray(ckv),
                            n, jnp.int32(1), jnp.asarray(clen),
                            jnp.asarray(vfrom), interpret=True)
-    want = _oracle(q, ck, cv, n, 1, clen, vfrom)
+    want = _oracle(q, ckv, n, 1, clen, vfrom)
     np.testing.assert_allclose(np.asarray(got), want, rtol=2e-5, atol=2e-5)
 
 
@@ -72,13 +70,12 @@ def test_single_valid_position():
     rng = np.random.default_rng(2)
     L, B, n, M, d = 1, 2, 2, 128, 8
     q = _rand(rng, B, n * d)
-    ck = _rand(rng, L, B, M, n * d)
-    cv = _rand(rng, L, B, M, n * d)
+    ckv = _rand(rng, L, B, M, 2 * n * d)
     clen = np.array([7, 40], np.int32)
-    got = decode_attention(jnp.asarray(q), jnp.asarray(ck), jnp.asarray(cv),
+    got = decode_attention(jnp.asarray(q), jnp.asarray(ckv),
                            n, jnp.int32(0), jnp.asarray(clen),
                            jnp.asarray(clen), interpret=True)
-    want = np.stack([cv[0, b, clen[b]] for b in range(B)])
+    want = np.stack([ckv[0, b, clen[b], n * d:] for b in range(B)])
     np.testing.assert_allclose(np.asarray(got), want, rtol=2e-5, atol=2e-5)
 
 
@@ -88,13 +85,12 @@ def test_flagship_geometry_bf16():
     rng = np.random.default_rng(3)
     L, B, n, M, d = 2, 8, 32, 256, 64
     q = jnp.asarray(_rand(rng, B, n * d), jnp.bfloat16)
-    ck = jnp.asarray(_rand(rng, L, B, M, n * d), jnp.bfloat16)
-    cv = jnp.asarray(_rand(rng, L, B, M, n * d), jnp.bfloat16)
+    ckv = jnp.asarray(_rand(rng, L, B, M, 2 * n * d), jnp.bfloat16)
     clen = np.arange(8, dtype=np.int32) * 31 + 10  # spread across blocks
-    got = decode_attention(q, ck, cv, n, jnp.int32(1), jnp.asarray(clen),
+    got = decode_attention(q, ckv, n, jnp.int32(1), jnp.asarray(clen),
                            None, interpret=True)
-    want = _oracle(np.asarray(q, np.float32), np.asarray(ck, np.float32),
-                   np.asarray(cv, np.float32), n, 1, clen, None)
+    want = _oracle(np.asarray(q, np.float32), np.asarray(ckv, np.float32),
+                   n, 1, clen, None)
     assert got.dtype == jnp.bfloat16
     np.testing.assert_allclose(np.asarray(got, np.float32), want,
                                rtol=2e-2, atol=2e-2)

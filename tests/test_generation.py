@@ -192,3 +192,24 @@ def test_int8_quantized_decoder_matches_fp():
     # greedy decode agrees with full precision on this tiny model
     np.testing.assert_array_equal(np.asarray(out_q["sequences"]),
                                   np.asarray(out_fp["sequences"]))
+
+
+def test_gather_beams_prefix_slice_equivalence():
+    """Sliced beam gather (prefix rows untouched) == full gather, given
+    beam-invariant prefix rows (true by construction in _beam_search)."""
+    import jax.numpy as jnp
+
+    from youku_mplug_tpu.models.generation import _gather_beams
+
+    rng = np.random.default_rng(0)
+    L, B, K, M, X = 2, 3, 2, 16, 8
+    P = 10  # prefix rows
+    cache = rng.normal(size=(L, B * K, M, X)).astype(np.float32)
+    # make prefix rows identical across each sample's beams
+    cache[:, :, :P] = np.repeat(
+        cache[:, ::K, :P], K, axis=1)
+    beam_idx = jnp.asarray(rng.integers(0, K, (B, K)))
+    full = _gather_beams(jnp.asarray(cache), beam_idx, B, K)
+    sliced = _gather_beams(jnp.asarray(cache), beam_idx, B, K,
+                           prefix_len=P)
+    np.testing.assert_array_equal(np.asarray(full), np.asarray(sliced))

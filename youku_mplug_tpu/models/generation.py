@@ -188,13 +188,26 @@ def _sample(model, params, prompt_ids, prompt_len, query_embeds, config,
     return {"sequences": seqs, "scores": jnp.zeros((b,), jnp.float32)}
 
 
-def _gather_beams(tree, beam_idx, b, k):
+def _gather_beams(tree, beam_idx, b, k, prefix_len=0):
     """Gather the beam axis of every [.., B*K, ..] cache leaf and of
-    [B, K, ...] state arrays. beam_idx: [B, K] int."""
+    [B, K, ...] state arrays. beam_idx: [B, K] int.
+
+    prefix_len > 0: rows [0, prefix_len) of the cache (dim 2) hold the
+    prefill K/V, which is IDENTICAL across a sample's beams (beams only
+    diverge in generated tokens) — reordering it is a no-op, so only the
+    generated tail is gathered and written back.  At M=256 with 64 new
+    tokens this skips 3/4 of the reorder traffic every beam step (the
+    reference instead re-keys python dicts per layer,
+    modeling_distributed_gpt3.py swap_key_value_dict:1446-1473)."""
     flat_idx = (jnp.arange(b)[:, None] * k + beam_idx).reshape(-1)  # [B*K]
 
     def gather(x):
         if x.ndim >= 2 and x.shape[1] == b * k:  # cache leaves [L, B*K, ...]
+            if prefix_len and x.ndim >= 3 and x.shape[2] > prefix_len:
+                tail = jax.lax.slice_in_dim(x, prefix_len, x.shape[2],
+                                            axis=2)
+                return jax.lax.dynamic_update_slice_in_dim(
+                    x, tail[:, flat_idx], prefix_len, axis=2)
             return x[:, flat_idx]
         return x
 
@@ -300,7 +313,8 @@ def _beam_search(model, params, prompt_ids, prompt_len, query_embeds,
                                         axis=1)
         alive_seq = alive_seq.at[:, :, t].set(new_tok)
         alive_score = new_score
-        cache = _gather_beams(cache, new_beam, b, kbeam)
+        cache = _gather_beams(cache, new_beam, b, kbeam,
+                              prefix_len=prefix_len)
         return t + 1, alive_seq, cache, alive_score, fin_seq, fin_score
 
     t, alive_seq, cache, alive_score, fin_seq, fin_score = \

@@ -29,10 +29,13 @@ Numerics contract (matches the reference bf16 path):
 Layers run under ``nn.scan`` (single compiled layer body, stacked params)
 with optional ``jax.checkpoint`` rematerialization.
 
-Decode path: explicit KV-cache pytree (k/v stacked over layers) threaded
-through the scan — the jit-compatible replacement for the reference's
-InferenceParams buffer + swap_key_value_dict beam reorder
-(modeling_distributed_gpt3.py:1446-1473).
+Decode path: one explicit packed interleaved KV-cache array
+([L, B, M, 2*hidden], rows = [K | V] lanes, stacked over layers)
+threaded through the scan — the jit-compatible replacement for the
+reference's InferenceParams buffer + swap_key_value_dict beam reorder
+(modeling_distributed_gpt3.py:1446-1473), laid out so a decode step
+writes one contiguous row and the pallas decode kernel
+(ops/decode_attention.py) streams it back without unpacking heads.
 """
 
 from __future__ import annotations
@@ -169,9 +172,22 @@ class GPT3Attention(nn.Module):
 
         dtype = self.policy.compute_dtype if x.dtype != jnp.float32 else x.dtype
         # one flat [M,H]x[H,3nd] matmul; q/k/v are contiguous slices (the
-        # [b,3,s,n,d] layout costs a fused transpose on every qkv matmul)
-        qkv = jnp.einsum("bsh,hk->bsk", x,
-                         qkv_kernel.reshape(h, 3 * n * d).astype(dtype))
+        # [b,3,s,n,d] layout costs a fused transpose on every qkv matmul).
+        # Decode only: contract against the UNRESHAPED kernel and reshape
+        # the (tiny [B,1,3nd]) output instead — reshaping the kernel after
+        # the scan's per-layer dynamic-slice makes XLA materialize the
+        # slice, a 12.6 MB copy per layer per decode step in the trace;
+        # the raw operand fuses.  In training/prefill the flat reshape is
+        # free (params aren't sliced per step) and benches ~0.7pp MFU
+        # better, so each path keeps its own form.
+        b_, s_ = x.shape[:2]
+        if cache is None:
+            qkv = jnp.einsum("bsh,hk->bsk", x,
+                             qkv_kernel.reshape(h, 3 * n * d).astype(dtype))
+        else:
+            qkv = jnp.einsum("bsh,hynd->bsynd", x,
+                             qkv_kernel.astype(dtype)).reshape(
+                                 b_, s_, 3 * n * d)
         qkv_s = _qscale(self, "qkv_kernel")
         if qkv_s is not None:  # int8 kernel: scale the output channels
             qkv = qkv * qkv_s.reshape(3 * n * d).astype(dtype)
@@ -207,8 +223,6 @@ class GPT3Attention(nn.Module):
             y = y + out_bias.astype(y.dtype)
             return y, None
 
-        b_, s_ = x.shape[:2]
-
         new_cache = None
         if cache is None:
             q, k, v = [
@@ -231,45 +245,41 @@ class GPT3Attention(nn.Module):
             out = checkpoint_name(out, "attn_out")
         else:
             # Decode: write this chunk into the static-size cache, attend to
-            # everything written so far.  The cache is PACKED: k/v
-            # [B, M, n*d] — a decode step's write is one contiguous row
-            # per sample and the TPU kernel streams full 128-lane strips
+            # everything written so far.  The cache is PACKED and
+            # INTERLEAVED: kv [B, M, 2*n*d] with each row = [K | V] lanes
+            # — exactly the layout the fused qkv projection emits, so a
+            # decode step's write is ONE contiguous slice per sample and
+            # the TPU kernel streams K and V with a single DMA per block
             # (ops/decode_attention.py).  cache_len is a scalar (lock-step
             # generate) or a [B] array (continuous batching: every slot
             # sits at its own length — serving/engine.py).
             #
-            # Full-stack mode (cache = (ck_full [L,B,M,n*d], cv_full,
+            # Full-stack mode (cache = (ckv_full [L,B,M,2*n*d],
             # layer_idx), used by the decode scan): the new token's K/V
             # row is written DIRECTLY into the stacked carry instead of
             # returning an updated layer slice for the scan to copy back
             # whole (~1 ms/token of pure write-back at 1.3B B=16,
             # BENCHLOG), and attention reads the layer's keys in place.
-            kp = qkv[..., n * d:2 * n * d]  # [B, S, n*d]
-            vp = qkv[..., 2 * n * d:]
-            full_stack = len(cache) == 3
+            kvp = qkv[..., n * d:]  # [B, S, 2*n*d] — K|V, contiguous
+            full_stack = isinstance(cache, tuple)
             s = s_
             idx = cache_len
             if full_stack:
-                ckf, cvf, lidx = cache
-                m = ckf.shape[2]
+                ckvf, lidx = cache
+                m = ckvf.shape[2]
                 if jnp.ndim(cache_len) == 1:
-                    def updf(c, new, i):  # c [L, M, nd], new [S, nd]
+                    def updf(c, new, i):  # c [L, M, 2nd], new [S, 2nd]
                         return jax.lax.dynamic_update_slice(
                             c, new[None], (lidx, i, 0))
-                    ckf = jax.vmap(updf, in_axes=(1, 0, 0),
-                                   out_axes=1)(ckf, kp.astype(ckf.dtype),
-                                               idx)
-                    cvf = jax.vmap(updf, in_axes=(1, 0, 0),
-                                   out_axes=1)(cvf, vp.astype(cvf.dtype),
-                                               idx)
+                    ckvf = jax.vmap(updf, in_axes=(1, 0, 0),
+                                    out_axes=1)(ckvf,
+                                                kvp.astype(ckvf.dtype),
+                                                idx)
                 else:
-                    ckf = jax.lax.dynamic_update_slice(
-                        ckf, kp.astype(ckf.dtype)[None],
+                    ckvf = jax.lax.dynamic_update_slice(
+                        ckvf, kvp.astype(ckvf.dtype)[None],
                         (lidx, 0, idx, 0))
-                    cvf = jax.lax.dynamic_update_slice(
-                        cvf, vp.astype(cvf.dtype)[None],
-                        (lidx, 0, idx, 0))
-                new_cache = (ckf, cvf)
+                new_cache = ckvf
                 from youku_mplug_tpu.ops.decode_attention import (
                     decode_attention,
                     decode_attention_supported,
@@ -280,38 +290,35 @@ class GPT3Attention(nn.Module):
                     # in-place stacked-cache read: no layer gather copy,
                     # per-sample length-bounded key streaming
                     out_p = decode_attention(
-                        qkv[:, 0, :n * d], ckf, cvf, n, lidx, idx,
+                        qkv[:, 0, :n * d], ckvf, n, lidx, idx,
                         valid_from)[:, None]  # [B, 1, n*d]
-                    y = jnp.einsum("bsk,kh->bsh", out_p,
-                                   out_kernel.reshape(n * d, h).astype(
-                                       out_p.dtype))
+                    y = jnp.einsum("bsnd,ndh->bsh",
+                                   out_p.reshape(b_, 1, n, d),
+                                   out_kernel.astype(out_p.dtype))
                     out_s = _qscale(self, "out_kernel")
                     if out_s is not None:
                         y = y * out_s.reshape(h).astype(y.dtype)
                     y = y + out_bias.astype(y.dtype)
                     return y, new_cache
-                ck = jax.lax.dynamic_index_in_dim(ckf, lidx, 0,
-                                                  keepdims=False)
-                cv = jax.lax.dynamic_index_in_dim(cvf, lidx, 0,
-                                                  keepdims=False)
+                ckv = jax.lax.dynamic_index_in_dim(ckvf, lidx, 0,
+                                                   keepdims=False)
             else:
-                ck, cv = cache  # [B, M, n*d]
-                m = ck.shape[1]
+                ckv = cache  # [B, M, 2*n*d]
+                m = ckv.shape[1]
                 if jnp.ndim(cache_len) == 1:
-                    def upd(c, new, i):  # c [M, nd], new [S, nd]
+                    def upd(c, new, i):  # c [M, 2nd], new [S, 2nd]
                         return jax.lax.dynamic_update_slice(c, new, (i, 0))
-                    ck = jax.vmap(upd)(ck, kp.astype(ck.dtype), idx)
-                    cv = jax.vmap(upd)(cv, vp.astype(cv.dtype), idx)
+                    ckv = jax.vmap(upd)(ckv, kvp.astype(ckv.dtype), idx)
                 else:
-                    ck = jax.lax.dynamic_update_slice(
-                        ck, kp.astype(ck.dtype), (0, idx, 0))
-                    cv = jax.lax.dynamic_update_slice(
-                        cv, vp.astype(cv.dtype), (0, idx, 0))
-                new_cache = (ck, cv)
+                    ckv = jax.lax.dynamic_update_slice(
+                        ckv, kvp.astype(ckv.dtype), (0, idx, 0))
+                new_cache = ckv
             q = jnp.moveaxis(
                 qkv[..., :n * d].reshape(b_, s_, n, d), 2, 1)  # [B,n,S,d]
-            ckh = jnp.moveaxis(ck.reshape(b_, m, n, d), 2, 1)  # [B,n,M,d]
-            cvh = jnp.moveaxis(cv.reshape(b_, m, n, d), 2, 1)
+            ckh = jnp.moveaxis(
+                ckv[..., :n * d].reshape(b_, m, n, d), 2, 1)  # [B,n,M,d]
+            cvh = jnp.moveaxis(
+                ckv[..., n * d:].reshape(b_, m, n, d), 2, 1)
             ki = jnp.arange(m)[None, :]  # [1, M]
             if jnp.ndim(cache_len) == 1:
                 qi = (cache_len[:, None, None]
@@ -422,7 +429,7 @@ class GPT3LayerPair(nn.Module):
     (``GPT3Config.layer_pairing``): sublayer ``a`` runs under full
     rematerialization, sublayer ``b`` keeps its activations — skip-remat,
     halving backward recompute for ~75 MB/pair of residuals.  Cache
-    slices arrive stacked [2, B, M, n*d] per pair."""
+    slices arrive stacked [2, B, M, 2*n*d] per pair."""
 
     config: GPT3Config
     policy: Policy = DEFAULT_POLICY
@@ -517,16 +524,16 @@ class GPT3Decoder(nn.Module):
             # XLA keeps the carry aliased in the surrounding while loop,
             # so a decode step writes only the new token's K/V — the
             # xs/ys scan form instead re-slices and re-stacks the whole
-            # [L, B, n, M, d] cache every step (measured linear-in-B
+            # [L, B, M, 2*n*d] cache every step (measured linear-in-B
             # decode cost, BENCHLOG round 2 decode table).
             def body(layer_mod, carry, idx):
-                x, ck, cv = carry
+                x, ckv = carry
                 # full-stack mode: the attention writes only the new
-                # token's K/V slice into the stacked carry and reads its
-                # layer slice for the dot — no [B,n,M,d] write-back
-                x, (ck, cv) = layer_mod(x, (ck, cv, idx), cache_len,
-                                        valid_from, deterministic)
-                return (x, ck, cv), None
+                # token's K/V row into the stacked carry and reads its
+                # layer slice in place — no [B,M,2nd] write-back
+                x, ckv = layer_mod(x, (ckv, idx), cache_len,
+                                   valid_from, deterministic)
+                return (x, ckv), None
 
             scanned = nn.scan(
                 body,
@@ -537,11 +544,10 @@ class GPT3Decoder(nn.Module):
                 length=cfg.num_hidden_layers,
                 metadata_params={nn.meta.PARTITION_NAME: "layers"},
             )
-            (x, new_k, new_v), _ = scanned(
+            (x, new_cache), _ = scanned(
                 GPT3Layer(cfg, policy=self.policy, name="layers"),
-                (x, cache[0], cache[1]),
+                (x, cache),
                 jnp.arange(cfg.num_hidden_layers))
-            new_cache = (new_k, new_v)
         elif cfg.scan_layers:
             scanned = nn.scan(
                 layer,
@@ -681,15 +687,16 @@ class GPT3LM(nn.Module):
     # ------------------------------------------------------------------
 
     def init_cache(self, batch, max_len, dtype=None):
-        """Packed KV cache [L, B, M, n*d] (see GPT3Attention decode path:
-        contiguous per-token writes, full-lane kernel reads)."""
+        """Packed interleaved KV cache [L, B, M, 2*n*d], each row =
+        [K | V] lanes (see GPT3Attention decode path: one contiguous
+        write per token, single-DMA kernel reads)."""
         cfg = self.config
         dtype = dtype or self.policy.compute_dtype
         # round the cache width up to the pallas decode-attention block
         # granule; extra slots are never written and always masked
         max_len = -(-max_len // 128) * 128
-        shape = (cfg.num_hidden_layers, batch, max_len, cfg.hidden_size)
-        return (jnp.zeros(shape, dtype), jnp.zeros(shape, dtype))
+        return jnp.zeros((cfg.num_hidden_layers, batch, max_len,
+                          2 * cfg.hidden_size), dtype)
 
     def decode_step(self, input_embeds, cache, cache_len, valid_from=None,
                     position_offset=None):

@@ -1,13 +1,15 @@
 """Pallas TPU decode attention over the stacked packed KV cache, in place.
 
 The decode hot loop (models/gpt3.py decode scan) threads the FULL stacked
-cache through the layer scan as a carry, in the *packed* layout
-``[L, B, M, n*d]`` — the same no-head-transpose layout the packed flash
-kernel uses for training (ops/flash_attention.py).  Packed, because a
-decode step then writes the new token's K/V as ONE contiguous [B, 1, n*d]
-row, and this kernel streams the keys as full-lane [block, n*d] strips
-(a [B, n, M, d] cache would waste half of each 128-lane VMEM tile at
-d=64 and need a scatter per write).
+cache through the layer scan as a carry, in the *packed interleaved*
+layout ``[L, B, M, 2*n*d]`` with each row = [K | V] lanes — the
+no-head-transpose layout of the packed flash kernel
+(ops/flash_attention.py), with K and V fused into one row because the
+qkv projection already emits them adjacently: a decode step writes the
+new token's K AND V as ONE contiguous [B, 1, 2*n*d] slice of the qkv
+output, and this kernel streams both with a single DMA per block
+(a [B, n, M, d] cache would waste half of every 128-lane VMEM tile at
+d=64, need a scatter per write, and issue twice the DMAs).
 
 Before this kernel, every layer had to materialize its cache slice with
 ``dynamic_index_in_dim(cache, layer_idx)`` — a [B, M, n*d] gather copy
@@ -50,7 +52,7 @@ from jax.experimental.pallas import tpu as pltpu
 NEG_INF = float(jnp.finfo(jnp.float32).min)
 
 
-def _kernel(meta_ref, q_ref, k_ref, v_ref, o_ref, acc_ref, m_ref, l_ref,
+def _kernel(meta_ref, q_ref, kv_ref, o_ref, acc_ref, m_ref, l_ref,
             *, block_k, scale, n, bb, nb):
     bi = pl.program_id(0)
     j = pl.program_id(1)
@@ -85,7 +87,7 @@ def _kernel(meta_ref, q_ref, k_ref, v_ref, o_ref, acc_ref, m_ref, l_ref,
         @pl.when(live)
         def _compute(t=t, clen=clen, vfrom=vfrom):
             q2 = q_ref[pl.ds(t, 1), :].astype(jnp.float32)   # [1, nd]
-            kk = k_ref[0, t].astype(jnp.float32)             # [bk, nd]
+            kk = kv_ref[0, t, :, :nd].astype(jnp.float32)    # [bk, nd]
             # per-head scores for all heads in one segment-reduce matmul:
             # (kk * q) @ seg -> s[r, h] = q_h . k_h(row r)
             s = jax.lax.dot_general(
@@ -105,7 +107,7 @@ def _kernel(meta_ref, q_ref, k_ref, v_ref, o_ref, acc_ref, m_ref, l_ref,
             p_exp = jax.lax.dot_general(                     # [bk, nd]
                 p, seg_n_nd, (((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32)
-            vv = v_ref[0, t].astype(jnp.float32)             # [bk, nd]
+            vv = kv_ref[0, t, :, nd:].astype(jnp.float32)    # [bk, nd]
             pv = jax.lax.dot_general(                        # [1, nd]
                 ones_row, p_exp * vv, (((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32)
@@ -144,21 +146,23 @@ def decode_attention_supported(m: int) -> bool:
     return m % 64 == 0
 
 
-def decode_attention(q, ck, cv, n_heads, layer_idx, cache_len,
+def decode_attention(q, ckv, n_heads, layer_idx, cache_len,
                      valid_from=None, *, scale=None,
                      interpret: bool = False):
     """Single-token attention against layer ``layer_idx`` of the stacked
-    packed cache, read in place.
+    packed interleaved cache, read in place.
 
-    q: [B, n*d] packed; ck/cv: [L, B, M, n*d] with M % 64 == 0;
-    n_heads: head count n; layer_idx: scalar int; cache_len: scalar or
-    [B] (query position — keys at <= cache_len attend); valid_from:
-    optional [B] (front-padding mask, generation._build_prefix).
-    Returns [B, n*d] in q.dtype.
+    q: [B, n*d] packed; ckv: [L, B, M, 2*n*d] with each row = [K | V]
+    lanes (written as one contiguous slice of the qkv projection),
+    M % 64 == 0; n_heads: head count n; layer_idx: scalar int;
+    cache_len: scalar or [B] (query position — keys at <= cache_len
+    attend); valid_from: optional [B] (front-padding mask,
+    generation._build_prefix).  Returns [B, n*d] in q.dtype.
     """
-    _, bsz, m, nd = ck.shape
+    _, bsz, m, nd2 = ckv.shape
+    nd = nd2 // 2
     n = n_heads
-    assert q.shape == (bsz, nd), (q.shape, ck.shape)
+    assert q.shape == (bsz, nd), (q.shape, ckv.shape)
     assert m % 64 == 0, f"cache width {m} must be a multiple of 64"
     assert nd % n == 0
     if scale is None:
@@ -174,7 +178,7 @@ def decode_attention(q, ck, cv, n_heads, layer_idx, cache_len,
         valid_from.astype(jnp.int32),
     ])
 
-    bb, block_k = _pick_geometry(bsz, m, nd, ck.dtype.itemsize)
+    bb, block_k = _pick_geometry(bsz, m, nd, ckv.dtype.itemsize)
     nj = m // block_k
 
     def kv_index(bi, j, meta_ref):
@@ -193,8 +197,7 @@ def decode_attention(q, ck, cv, n_heads, layer_idx, cache_len,
         grid=(bsz // bb, nj),
         in_specs=[
             pl.BlockSpec((bb, nd), lambda bi, j, meta_ref: (bi, 0)),
-            pl.BlockSpec((1, bb, block_k, nd), kv_index),
-            pl.BlockSpec((1, bb, block_k, nd), kv_index),
+            pl.BlockSpec((1, bb, block_k, nd2), kv_index),
         ],
         out_specs=pl.BlockSpec((bb, nd), lambda bi, j, meta_ref: (bi, 0)),
         scratch_shapes=[
@@ -210,8 +213,8 @@ def decode_attention(q, ck, cv, n_heads, layer_idx, cache_len,
         out_shape=jax.ShapeDtypeStruct((bsz, nd), q.dtype),
         cost_estimate=pl.CostEstimate(
             flops=int(4 * bsz * m * nd),
-            bytes_accessed=int(2 * bsz * m * nd * ck.dtype.itemsize),
+            bytes_accessed=int(bsz * m * nd2 * ckv.dtype.itemsize),
             transcendentals=int(bsz * m * n),
         ),
         interpret=interpret,
-    )(meta, q, ck, cv)
+    )(meta, q, ckv)
