@@ -79,6 +79,15 @@ class VisionConfig:
     # (_cell_geometry) the flash kernel wins on v5e: 41.8 -> 43.2% MFU
     # (it lost only to per-cell overhead before; BENCHLOG round 2).
     temporal_flash: bool = True
+    # GELU flavor in the MLP.  The reference uses torch nn.GELU (exact
+    # erf) — but XLA expands exact erf into a ~25-op fp32 polynomial
+    # that fuses serially into every fc2 matmul (and its grads): on v5e
+    # the fc2 fusion drops from ~185 to ~68 TF/s.  The tanh approx
+    # (identical to the decoder's megatron bias_gelu contract) differs
+    # from erf-GELU by <1e-3 absolute — below bf16 resolution — so
+    # "tanh" is the production default; set "erf" for strict fp32
+    # reference parity.
+    gelu: str = "tanh"
     stop_grad_conv1: bool = False
     use_abs_pos_emb: bool = True
     clip_model: bool = False
@@ -248,6 +257,7 @@ class Mlp(nn.Module):
     hidden: int
     init_std: float = 0.015
     fc2_scale: float = 1.0
+    gelu: str = "tanh"  # "tanh" (fast, default) | "erf" (strict parity)
 
     @nn.compact
     def __call__(self, x):
@@ -260,8 +270,10 @@ class Mlp(nn.Module):
             (self.hidden, self.dim))
         fc2_bias = self.param("fc2_bias", nn.initializers.zeros, (self.dim,))
         y = jnp.einsum("...h,hf->...f", x, fc1_kernel.astype(x.dtype))
-        # vision MLP uses exact (erf) GELU — torch nn.GELU default
-        y = jax.nn.gelu(y + fc1_bias.astype(y.dtype), approximate=False)
+        # reference is torch nn.GELU (exact erf); see VisionConfig.gelu
+        # for why tanh is the TPU production default
+        y = jax.nn.gelu(y + fc1_bias.astype(y.dtype),
+                        approximate=self.gelu == "tanh")
         from jax.ad_checkpoint import checkpoint_name
         y = checkpoint_name(y, "vis_fc1h")
         y = jnp.einsum("...f,fh->...h", y, fc2_kernel.astype(y.dtype))
@@ -375,7 +387,8 @@ class SpaceTimeBlock(nn.Module):
 
         mlp_in = LayerNormFP32(c, cfg.ln_eps, name="norm2")(y)
         mlp_out = Mlp(c, int(c * cfg.mlp_ratio), init_std=cfg.init_std,
-                      fc2_scale=proj_scale, name="mlp")(mlp_in)
+                      fc2_scale=proj_scale, gelu=cfg.gelu,
+                      name="mlp")(mlp_in)
         if self.drop_path > 0 and not deterministic:
             mlp_out = _drop_path(mlp_out, self.drop_path, deterministic,
                                  self.make_rng("dropout"))
@@ -508,7 +521,7 @@ class PlainBlock(nn.Module):
         x = x + h
         h = LayerNormFP32(c, cfg.ln_eps, name="norm2")(x)
         h = Mlp(c, int(c * cfg.mlp_ratio), init_std=cfg.init_std,
-                fc2_scale=proj_scale, name="mlp")(h)
+                fc2_scale=proj_scale, gelu=cfg.gelu, name="mlp")(h)
         if self.drop_path > 0 and not deterministic:
             h = _drop_path(h, self.drop_path, deterministic,
                            self.make_rng("dropout"))
