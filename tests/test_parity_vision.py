@@ -190,3 +190,25 @@ def test_vit_parity(ref_mod):
     pooled, tokens = ours.apply({"params": params}, jnp.asarray(images))
     np.testing.assert_allclose(np.asarray(tokens), ref_tokens.numpy(),
                                rtol=5e-4, atol=5e-4)
+
+
+def test_mlp_gelu_flavors():
+    """VisionConfig.gelu: "erf" matches torch nn.GELU exactly; the
+    production "tanh" default stays within bf16 resolution of it across
+    the full activation range (the TPU default trades a <1e-3 abs
+    approximation for ~2.7x faster fc2 fusions — BENCHLOG session 5)."""
+    import torch.nn.functional as F
+
+    from youku_mplug_tpu.models.vision import Mlp
+
+    rng = np.random.default_rng(1)
+    x = rng.normal(size=(4, 64), scale=3.0).astype(np.float32)
+    kp = {"fc1_kernel": jnp.eye(64), "fc1_bias": jnp.zeros(64),
+          "fc2_kernel": jnp.eye(64), "fc2_bias": jnp.zeros(64)}
+
+    exact = Mlp(64, 64, gelu="erf").apply({"params": kp}, jnp.asarray(x))
+    approx = Mlp(64, 64, gelu="tanh").apply({"params": kp}, jnp.asarray(x))
+    ref = F.gelu(torch.tensor(x), approximate="none").numpy()
+
+    np.testing.assert_allclose(np.asarray(exact), ref, rtol=1e-6, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(approx), ref, atol=2e-3)
