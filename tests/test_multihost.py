@@ -155,6 +155,75 @@ def test_gather_eval_rows_single_process_dedup():
     np.testing.assert_array_equal(merged[2], rows[0])
 
 
+def test_collect_records_single_process_dedup():
+    from youku_mplug_tpu.cli.common import collect_records, sum_across_hosts
+
+    recs = [{"video_id": "a", "pred": "x"}, {"video_id": "b", "pred": "y"},
+            {"video_id": "a", "pred": "z"}]  # wrap-padded duplicate
+    merged = collect_records(recs, dedup_key="video_id")
+    assert [r["video_id"] for r in merged] == ["a", "b"]
+    assert merged[0]["pred"] == "x"  # first occurrence kept
+    np.testing.assert_array_equal(sum_across_hosts(np.array([1.0, 2.0])),
+                                  [1.0, 2.0])
+
+
+def test_collect_records_two_processes(tmp_path):
+    """String eval records (captions/QA answers) merge across hosts via
+    the padded-uint8 allgather — the analog of the reference's
+    collect_result per-rank JSON files (dataset/utils.py:80-160); and
+    sum_across_hosts reduces eval counters (run_cls:250-263)."""
+    import socket
+
+    with socket.socket() as s:
+        s.bind(("127.0.0.1", 0))
+        port = s.getsockname()[1]
+
+    worker = tmp_path / "worker.py"
+    worker.write_text(f"""
+import os, sys
+os.environ["JAX_PLATFORMS"] = "cpu"
+os.environ["XLA_FLAGS"] = ""
+import jax
+jax.config.update("jax_platforms", "cpu")
+sys.path.insert(0, {repr(os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))))})
+import numpy as np
+from youku_mplug_tpu.runtime.mesh import distributed_init
+pid = int(sys.argv[1])
+distributed_init("127.0.0.1:{port}", num_processes=2, process_id=pid)
+from youku_mplug_tpu.cli.common import collect_records, sum_across_hosts
+# host 0 scored items 0,2 (+wrap dup of 0); host 1 scored 1,3 — with
+# CJK text to exercise the utf-8 payload path
+recs = ([{{"video_id": "v0", "cap": "你好"}}, {{"video_id": "v2", "cap": "c2"}},
+         {{"video_id": "v0", "cap": "dup"}}] if pid == 0 else
+        [{{"video_id": "v1", "cap": "c1"}}, {{"video_id": "v3", "cap": "世界"}}])
+merged = collect_records(recs, dedup_key="video_id")
+ids = sorted(r["video_id"] for r in merged)
+assert ids == ["v0", "v1", "v2", "v3"], ids
+caps = {{r["video_id"]: r["cap"] for r in merged}}
+assert caps["v0"] == "你好" and caps["v3"] == "世界", caps
+tot = sum_across_hosts(np.array([1.0 + pid, 10.0]))
+np.testing.assert_allclose(tot, [3.0, 20.0])
+print("OK", pid, flush=True)
+""")
+    procs = [subprocess.Popen([sys.executable, str(worker), str(i)],
+                              stdout=subprocess.PIPE,
+                              stderr=subprocess.STDOUT, text=True)
+             for i in range(2)]
+    outs = []
+    try:
+        for p in procs:
+            out, _ = p.communicate(timeout=180)
+            outs.append((p.returncode, out))
+    except subprocess.TimeoutExpired:
+        for p in procs:
+            p.kill()
+        pytest.skip("jax.distributed CPU rendezvous timed out")
+    for rc, out in outs:
+        assert rc == 0, out
+        assert "OK" in out
+
+
 def test_gather_eval_rows_two_processes(tmp_path):
     """Each host scores its loader shard; gather_eval_rows must merge the
     shards into the full, ordered matrix on BOTH hosts (the reference's

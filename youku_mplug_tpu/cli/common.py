@@ -247,6 +247,55 @@ def gather_eval_rows(rows: np.ndarray, order: np.ndarray):
     return rows[perm], order[perm]
 
 
+def sum_across_hosts(vec: np.ndarray) -> np.ndarray:
+    """Sum a small metric vector over processes (the reference's
+    ``dist.all_reduce`` on eval counters, run_cls:250-263).  Identity in
+    single-process runs."""
+    vec = np.asarray(vec)
+    if jax.process_count() > 1:
+        from jax.experimental import multihost_utils
+
+        gathered = np.asarray(multihost_utils.process_allgather(
+            jnp.asarray(vec)))
+        vec = gathered.reshape(jax.process_count(), *vec.shape).sum(axis=0)
+    return vec
+
+
+def collect_records(records, dedup_key=None):
+    """Merge per-host lists of JSON-serializable eval records (captions,
+    QA answers) — the analog of the reference's ``collect_result``
+    (dataset/utils.py:80-160), which writes per-rank JSON files and merges
+    on rank 0.  Here the shards ride the ICI instead of a shared
+    filesystem: each process all-gathers its UTF-8-encoded JSON payload as
+    a padded uint8 array, so every host returns the SAME merged list (no
+    rank-0 special case).  ``dedup_key`` drops wrap-padding duplicates
+    from ShardedLoader, keeping the first occurrence."""
+    if jax.process_count() > 1:
+        from jax.experimental import multihost_utils
+
+        payload = np.frombuffer(
+            json.dumps(records, ensure_ascii=False).encode("utf-8"),
+            dtype=np.uint8)
+        lens = np.asarray(multihost_utils.process_allgather(
+            jnp.asarray(np.array([payload.size], np.int32)))).reshape(-1)
+        buf = np.zeros(int(lens.max()), np.uint8)
+        buf[:payload.size] = payload
+        bufs = np.asarray(multihost_utils.process_allgather(
+            jnp.asarray(buf))).reshape(jax.process_count(), -1)
+        records = []
+        for row, n in zip(bufs, lens):
+            records += json.loads(bytes(row[:int(n)]).decode("utf-8"))
+    if dedup_key is not None:
+        seen, out = set(), []
+        for r in records:
+            k = r[dedup_key]
+            if k not in seen:
+                seen.add(k)
+                out.append(r)
+        records = out
+    return records
+
+
 def put_batch(mesh, batch: Dict[str, Any]) -> Dict[str, Any]:
     """device_put array fields with batch sharding over the data axis."""
     out = {}

@@ -112,6 +112,9 @@ def evaluation(runner, loader):
                 ans = ans.split(cfg.prompt)[-1].strip()
             results.append({"video_id": vid, "pred_caption": ans,
                             "gold_caption": list(golden)})
+    # merge per-host shards so metrics cover the FULL eval set on every
+    # host (reference collect_result, run_caption:210-300)
+    results = common.collect_records(results, dedup_key="video_id")
     metrics = caption_eval(results)
     print("* Caption metrics:", json.dumps(metrics, ensure_ascii=False),
           flush=True)

@@ -145,6 +145,13 @@ def evaluation(runner, loader, classnames):
             cls_hits += np.array([c1, c5]) * len(labels)
         n_total += len(labels)
 
+    # sum hit counters over hosts (each host scored its loader shard) —
+    # the reference's dist.all_reduce on eval counters (run_cls:250-263);
+    # like the reference's DistributedSampler, wrap-padding duplicates
+    # count in both numerator and denominator.
+    gen_hits, cls_hits, nrow = common.sum_across_hosts(
+        np.stack([gen_hits, cls_hits, [n_total, n_total]]))
+    n_total = nrow[0]
     res = {"gen_top1_accuracy": gen_hits[0] / max(n_total, 1),
            "gen_top5_accuracy": gen_hits[1] / max(n_total, 1)}
     if runner.cfg.model.use_cls:

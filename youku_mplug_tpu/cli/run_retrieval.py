@@ -107,18 +107,21 @@ def evaluation(runner, dataset, batch_size=None):
         tfeats.append(np.asarray(f, np.float32)[:len(chunk)])
     tfeats = np.concatenate(tfeats)
 
-    # all vision features (middle-frame sampling via the dataset)
+    # all vision features; decode is sharded per host (text above is
+    # cheap and stays replicated) and the shards are all-gathered +
+    # dedup-merged — the reference partitions the same loop with a
+    # DistributedSampler and merges on rank 0 (run_retrieval:245-295).
     vfeats = []
     loader = ShardedLoader(dataset, bs, shuffle=False, drop_last=False,
-                           num_workers=cfg.num_workers,
-                           process_index=0, process_count=1)
+                           num_workers=cfg.num_workers)
     order = []
     for raw in loader:
         with jax.set_mesh(runner.mesh):
             f = vis_feat(params, jnp.asarray(raw["video"]))
         vfeats.append(np.asarray(f, np.float32))
         order += list(raw["index"])
-    vfeats = np.concatenate(vfeats)[np.argsort(np.asarray(order))]
+    vfeats, _ = common.gather_eval_rows(np.concatenate(vfeats),
+                                        np.asarray(order))
 
     sims = vfeats @ tfeats.T
     res = itm_eval(sims, sims.T, dataset.txt2vid, dataset.vid2txt)
