@@ -76,6 +76,33 @@ def test_staggered_requests_match_solo_decodes(model_params):
     assert got[r2] == _strip(greedy_oracle(model, params, p2, None, 8, EOS))
 
 
+def test_multi_step_dispatch_matches_oracle(model_params):
+    """steps_per_dispatch>1 (k decode steps fused into one lax.scan
+    dispatch) must be invisible to results: same tokens as the per-token
+    loop / the uncached oracle, including slots that hit EOS or max_new
+    mid-scan and late-admitted requests joining between dispatches."""
+    model, params = model_params
+    prompts = [[1, 5, 9, 11], [4, 7], [3, 6, 2 + 3, 8, 10, 12]]
+    want = {i: _strip(greedy_oracle(model, params, p, None, 8, EOS))
+            for i, p in enumerate(prompts)}
+
+    eng = _engine(model, params, num_slots=2)  # third request is queued
+    rids = [eng.submit(p) for p in prompts]
+    fin = []
+    while not eng.idle:
+        fin.extend(eng.step_many(4))
+    got = {f.rid: f.tokens for f in fin}
+    assert set(got) == set(rids)
+    for i, rid in enumerate(rids):
+        assert got[rid] == want[i], (i, got[rid], want[i])
+
+    # run_to_completion(steps_per_dispatch=...) takes the same path
+    eng2 = _engine(model, params)
+    r = eng2.submit(prompts[0])
+    fin2 = eng2.run_to_completion(steps_per_dispatch=8)
+    assert {f.rid: f.tokens for f in fin2} == {r: want[0]}
+
+
 def test_slot_reuse_queue_overflow(model_params):
     """More requests than slots: the queue drains as slots free up, and a
     reused slot (stale cache contents) still decodes correctly."""

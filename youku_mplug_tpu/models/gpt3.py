@@ -490,6 +490,16 @@ class GPT3Decoder(nn.Module):
             elif cfg.remat_policy == "names":
                 policy = jax.checkpoint_policies.save_only_these_names(
                     "attn_out", "dec_qkv", "dec_fc1h", "flash_lse")
+            elif cfg.remat_policy == "offload":
+                # keep HBM pressure at nothing_saveable levels but park the
+                # big per-layer intermediates in pinned host RAM instead of
+                # recomputing them: backward streams them back over PCIe.
+                policy = jax.checkpoint_policies.\
+                    save_and_offload_only_these_names(
+                        names_which_can_be_saved=["flash_lse"],
+                        names_which_can_be_offloaded=[
+                            "attn_out", "dec_qkv", "dec_fc1h"],
+                        offload_src="device", offload_dst="pinned_host")
             else:
                 policy = jax.checkpoint_policies.nothing_saveable
             # __call__(self, x, cache, cache_len, valid_from, deterministic)

@@ -94,6 +94,18 @@ class ServingEngine:
 
         self._prefill = jax.jit(self._prefill_impl, donate_argnums=(0,))
         self._decode = jax.jit(self._decode_impl, donate_argnums=(0,))
+        self._decode_many: Dict[int, Any] = {}
+
+    def _decode_many_fn(self, k: int):
+        """One compiled multi-step program per k (bounded by the caller's
+        steps_per_dispatch choice, like prefill buckets)."""
+        if k not in self._decode_many:
+            import functools
+
+            self._decode_many[k] = jax.jit(
+                functools.partial(self._decode_many_impl, k),
+                donate_argnums=(0,))
+        return self._decode_many[k]
 
     # ------------------------------------------------------------------
     # device programs
@@ -143,6 +155,32 @@ class ServingEngine:
             _variables(params), emb, cache, cache_len, valid_from,
             pos_offset, method=GPT3LM.decode_step)
         return cache, self._pick(logits, rng)
+
+    def _decode_many_impl(self, k, cache, cache_len, valid_from,
+                          pos_offset, last_token, rng):
+        """``k`` decode steps in ONE dispatch via lax.scan (multi-step
+        scheduling): the host syncs once per k tokens instead of per
+        token.  Slots that hit EOS mid-scan keep computing dead tokens —
+        static shapes — which the host trims; admission only happens
+        between dispatches, so k trades a little batch-join latency for
+        k× fewer host round-trips.  The reference's per-sample,
+        per-token ``generate`` loop has no analog
+        (modeling_distributed_gpt3.py:1620-1741)."""
+        model, params = self.model, self.params
+
+        def body(carry, rng_step):
+            cache, cache_len, last = carry
+            emb = model.apply(_variables(params), last[:, None],
+                              method=GPT3LM.embed)
+            logits, cache = model.apply(
+                _variables(params), emb, cache, cache_len, valid_from,
+                pos_offset, method=GPT3LM.decode_step)
+            nxt = self._pick(logits, rng_step)
+            return (cache, cache_len + 1, nxt), nxt
+
+        (cache, _, _), toks = jax.lax.scan(
+            body, (cache, cache_len, last_token), jax.random.split(rng, k))
+        return cache, toks  # toks: [k, num_slots]
 
     # ------------------------------------------------------------------
     # host scheduler
@@ -223,6 +261,44 @@ class ServingEngine:
                 finished.append(self._finish(slot))
         return finished
 
+    def step_many(self, k: int) -> List[FinishedRequest]:
+        """Like :meth:`step`, but advances all slots up to ``k`` tokens in
+        ONE device dispatch (multi-step scheduling).  k is clamped so no
+        slot can overrun the static cache; tokens past a slot's EOS /
+        max_new are trimmed host-side."""
+        if k <= 1:
+            return self.step()
+        self._admit()
+        finished: List[FinishedRequest] = []
+        for slot, st in enumerate(self._slots):
+            if st is not None and st.done:
+                finished.append(self._finish(slot))
+        if all(s is None for s in self._slots):
+            return finished
+
+        longest = max(int(self.cache_len[s])
+                      for s, st in enumerate(self._slots) if st is not None)
+        k_eff = max(1, min(k, self.max_len - 1 - longest))
+        self.cache, toks = self._decode_many_fn(k_eff)(
+            self.cache, jnp.asarray(self.cache_len),
+            jnp.asarray(self.valid_from), jnp.asarray(self.pos_offset),
+            jnp.asarray(self.last_token), self._next_rng())
+        toks = np.asarray(toks)
+        for slot, st in enumerate(self._slots):
+            if st is None:
+                continue
+            for j in range(k_eff):
+                tok = int(toks[j, slot])
+                st.tokens.append(tok)
+                self.cache_len[slot] += 1
+                self.last_token[slot] = tok
+                if (tok == self.config.eos_id
+                        or len(st.tokens) >= st.max_new
+                        or int(self.cache_len[slot]) >= self.max_len - 1):
+                    finished.append(self._finish(slot))
+                    break
+        return finished
+
     def _finish(self, slot: int) -> FinishedRequest:
         st = self._slots[slot]
         self._slots[slot] = None
@@ -235,11 +311,12 @@ class ServingEngine:
     def idle(self) -> bool:
         return not self._queue and all(s is None for s in self._slots)
 
-    def run_to_completion(self, max_steps: int = 100000
+    def run_to_completion(self, max_steps: int = 100000,
+                          steps_per_dispatch: int = 1
                           ) -> List[FinishedRequest]:
         out: List[FinishedRequest] = []
         for _ in range(max_steps):
             if self.idle:
                 break
-            out.extend(self.step())
+            out.extend(self.step_many(steps_per_dispatch))
         return out
