@@ -1,0 +1,104 @@
+"""Serving-engine benchmark: continuous-batching throughput (tokens/s).
+
+Drives the slot-pool engine (serving/engine.py) on the flagship 1.3B
+decoder: R requests with a visual-query prefix stream through S slots,
+decoding with ``steps_per_dispatch`` tokens fused per device dispatch
+(multi-step scheduling).  Prints one JSON line:
+
+    {"metric": "engine_tokens_per_sec", "value": ..., "unit": "tok/s",
+     "vs_baseline": ...}
+
+vs_baseline is measured/roofline against the same memory-bound
+weight-stream roofline as bench_decode.py (batch = num_slots).  On the
+tunneled dev chip each dispatch pays seconds of relay RPC, so K=1 is
+RPC-bound by construction; sweep BENCH_ENGINE_K (e.g. 1/32/128) to see
+the multi-step amortization.  The reference has no serving engine at
+all — its generate loop is per-sample, per-token
+(modeling_distributed_gpt3.py:1620-1741).
+
+Knobs: BENCH_ENGINE_SLOTS(16) / _REQUESTS(2*slots) / _TOKENS(64) /
+_K(64) / _INT8(1).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def main():
+    from youku_mplug_tpu.runtime.cache import enable_compilation_cache
+
+    enable_compilation_cache()
+    import __graft_entry__ as ge
+    from youku_mplug_tpu.models.generation import GenerationConfig
+    from youku_mplug_tpu.models.gpt3 import GPT3LM
+    from youku_mplug_tpu.models.tasks import MPLUGVideo
+    from youku_mplug_tpu.serving.engine import ServingEngine
+
+    slots = int(os.environ.get("BENCH_ENGINE_SLOTS", "16"))
+    n_req = int(os.environ.get("BENCH_ENGINE_REQUESTS", str(2 * slots)))
+    new_tokens = int(os.environ.get("BENCH_ENGINE_TOKENS", "64"))
+    k = int(os.environ.get("BENCH_ENGINE_K", "64"))
+    use_int8 = os.environ.get("BENCH_ENGINE_INT8", "1") == "1"
+    prompt_len = 16
+
+    tiny = os.environ.get("BENCH_ENGINE_TINY", "0") == "1"  # CPU smoke
+    cfg = ge._flagship_cfg(tiny=tiny)
+    model, params, video, _, _ = ge._build(cfg, batch=1,
+                                           max_length=prompt_len)
+    video = jax.random.normal(jax.random.key(1), video.shape, video.dtype)
+    query_embeds = np.asarray(model.apply(
+        {"params": params}, video, method=MPLUGVideo.encode_video)[1][0])
+
+    lm = GPT3LM(cfg.text, policy=model.policy)
+    lm_vars = params["text_decoder"]
+    if use_int8:
+        from youku_mplug_tpu.ops.quant import quantize_gpt3_decoder
+
+        qp, scales = quantize_gpt3_decoder(lm_vars, include_embedding=True)
+        lm_vars = {"params": qp, "qscales": scales}
+
+    nq = query_embeds.shape[0]
+    max_len = int(np.ceil((nq + prompt_len + new_tokens + 2) / 64) * 64)
+    gcfg = GenerationConfig(max_new_tokens=new_tokens, do_sample=False,
+                            eos_id=-1, pad_id=0)
+    rng = np.random.default_rng(7)
+
+    def drive(seed):
+        eng = ServingEngine(lm, lm_vars, num_slots=slots, max_len=max_len,
+                            prefill_buckets=(prompt_len,), config=gcfg,
+                            rng=jax.random.key(seed))
+        for _ in range(n_req):
+            eng.submit(list(rng.integers(5, 1000, prompt_len)),
+                       query_embeds=jnp.asarray(query_embeds))
+        fin = eng.run_to_completion(steps_per_dispatch=k)
+        return sum(len(f.tokens) for f in fin)
+
+    drive(0)  # compile both programs + warm every bucket
+    t0 = time.time()
+    total = drive(1)
+    dt = time.time() - t0
+    tok_s = total / dt
+
+    # weight-stream roofline at batch=slots (same convention as
+    # bench_decode.py): every decode step streams the resident decoder
+    # bytes once, shared across all slots
+    stream_bytes = sum(x.size * x.dtype.itemsize
+                       for x in jax.tree.leaves(lm_vars))
+    roof = slots * 819e9 / stream_bytes  # v5e HBM BW
+    print(json.dumps({
+        "metric": "engine_tokens_per_sec", "value": round(tok_s, 1),
+        "unit": "tok/s", "vs_baseline": round(tok_s / roof, 4)}),
+        flush=True)
+    print(f"# {total} tokens in {dt:.2f}s, slots={slots} req={n_req} "
+          f"k={k} int8={int(use_int8)} max_len={max_len}", flush=True)
+
+
+if __name__ == "__main__":
+    main()
