@@ -90,7 +90,7 @@ def main():
         scan_layers=os.environ.get("BENCH_SCAN", "1") == "1",
         remat=remat_env != "0",
         remat_policy=(remat_env
-                      if remat_env in ("dots", "attn", "names", "offload")
+                      if remat_env in ("dots", "attn", "names", "offload", "nofc1")
                       else "nothing"),
         ce_chunk=int(os.environ.get("BENCH_CE_CHUNK", "32")),
         grad_ckpt=os.environ.get("BENCH_VIS_CKPT", "1") == "1",
@@ -109,10 +109,14 @@ def main():
     mesh = make_mesh(MeshConfig(data=n_dev, model=1))
 
     with jax.set_mesh(mesh):
+        # frozen decoder in bf16, as the production CLI does (cli/common.py):
+        # fp32 storage would re-convert 5.2 GB of sliced stacked params
+        # every step inside the decoder scan and double its HBM footprint
         state, tx, _ = create_train_state(
             params,
             OptimizerConfig(lr=1e-4, epochs=1, niter_per_ep=1000,
-                            warmup_steps=0, freeze_text_decoder=True))
+                            warmup_steps=0, freeze_text_decoder=True),
+            frozen_dtype=jnp.bfloat16)
 
         def loss_fn(p, batch_, rng, step):
             return model.apply({"params": p}, batch_["video"],

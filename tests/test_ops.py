@@ -35,6 +35,36 @@ def test_layer_norm_bf16_fp32_island(rng):
     assert np.abs(np.asarray(got, np.float32)).max() < 10
 
 
+def test_layer_norm_custom_vjp_matches_autodiff(rng):
+    # layer_norm carries a hand-written VJP (residuals: x, mean, rstd)
+    # so save-everything remat doesn't keep fp32 copies of the widened
+    # input; its grads must match autodiff of the plain formula.
+    def plain_ln(x, s, b, eps=1e-5):
+        x32 = x.astype(jnp.float32)
+        m = jnp.mean(x32, -1, keepdims=True)
+        v = jnp.mean(jnp.square(x32 - m), -1, keepdims=True)
+        y = (x32 - m) * jax.lax.rsqrt(v + eps)
+        return (y * s + b).astype(x.dtype)
+
+    x = jnp.asarray(rng.normal(size=(4, 7, 64)) * 3, jnp.float32)
+    s = jnp.asarray(rng.normal(size=(64,)), jnp.float32)
+    b = jnp.asarray(rng.normal(size=(64,)), jnp.float32)
+
+    def loss(fn):
+        return lambda *a: jnp.sum(jnp.sin(fn(*a).astype(jnp.float32)))
+
+    got = jax.grad(loss(layer_norm), (0, 1, 2))(x, s, b)
+    want = jax.grad(loss(plain_ln), (0, 1, 2))(x, s, b)
+    for g, w in zip(got, want):
+        np.testing.assert_allclose(np.asarray(g), np.asarray(w),
+                                   rtol=1e-5, atol=1e-5)
+    # bf16 input: fwd values bitwise-match the plain formula
+    xb = x.astype(jnp.bfloat16)
+    np.testing.assert_array_equal(
+        np.asarray(layer_norm(xb, s, b), np.float32),
+        np.asarray(plain_ln(xb, s, b), np.float32))
+
+
 def test_mha_reference_causal(rng):
     b, h, s, d = 2, 3, 16, 8
     q = rng.normal(size=(b, h, s, d)).astype(np.float32)

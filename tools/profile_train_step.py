@@ -22,7 +22,7 @@ cfg = ge._flagship_cfg(
     scan_layers=os.environ.get("BENCH_SCAN", "1") == "1",
     remat=remat_env != "0",
     remat_policy=(remat_env
-                  if remat_env in ("dots", "attn", "names", "offload")
+                  if remat_env in ("dots", "attn", "names", "offload", "nofc1")
                   else "nothing"),
     ce_chunk=int(os.environ.get("BENCH_CE_CHUNK", "32")),
     grad_ckpt=os.environ.get("BENCH_VIS_CKPT", "1") == "1",
@@ -35,9 +35,11 @@ cfg = ge._flagship_cfg(
 model, params, video, ids, mask = ge._build(cfg, batch=batch, max_length=80)
 video = jax.random.normal(jax.random.key(2), video.shape, video.dtype)
 
+import jax.numpy as jnp
 state, tx, _ = create_train_state(
     params, OptimizerConfig(lr=1e-4, epochs=1, niter_per_ep=1000,
-                            warmup_steps=0, freeze_text_decoder=True))
+                            warmup_steps=0, freeze_text_decoder=True),
+    frozen_dtype=jnp.bfloat16)
 
 
 def loss_fn(p, batch_, rng, step):

@@ -365,6 +365,8 @@ class GPT3MLP(nn.Module):
         s1 = _qscale(self, "fc1_kernel")
         if s1 is not None:
             y = y * s1.reshape(f).astype(y.dtype)
+        from jax.ad_checkpoint import checkpoint_name as _name_pre
+        y = _name_pre(y, "dec_fc1pre")
         # fused bias + tanh-approx gelu (megatron bias_gelu_impl contract,
         # reference: modeling_distributed_gpt3.py:586-588)
         y = jax.nn.gelu(y + fc1_bias.astype(y.dtype), approximate=True)
@@ -490,6 +492,14 @@ class GPT3Decoder(nn.Module):
             elif cfg.remat_policy == "names":
                 policy = jax.checkpoint_policies.save_only_these_names(
                     "attn_out", "dec_qkv", "dec_fc1h", "flash_lse")
+            elif cfg.remat_policy == "nofc1":
+                # save-everything EXCEPT the wide projections (4x MLP
+                # hiddens + 3x qkv): backward recompute is fc1+gelu+qkv
+                # (~25 ms on the flagship) for ~7 GB less residual HBM
+                # than full save-everything, which does not fit on a
+                # 16 GB chip at B=16
+                policy = jax.checkpoint_policies.save_anything_except_these_names(
+                    "dec_fc1pre", "dec_fc1h", "dec_qkv")
             elif cfg.remat_policy == "offload":
                 # keep HBM pressure at nothing_saveable levels but park the
                 # big per-layer intermediates in pinned host RAM instead of

@@ -134,6 +134,20 @@ class LayerNormFP32(nn.Module):
         return layer_norm(x, scale, bias, eps=self.eps)
 
 
+def _mm(x, w):
+    """Token-flattened projection: ``[..., K] @ [K, N]`` as a rank-2 dot.
+
+    Rank-3 dots (free batch dim on the lhs) lower to TPU convolutions
+    whose weight-gradients become window-over-the-token-axis conv-grads
+    (e.g. ``window={size=197x1}``) that run far below MXU dot throughput.
+    Flattening the leading dims keeps the forward and BOTH gradients as
+    plain 2-D matmuls; the reshapes are contiguous (free).
+    """
+    lead = x.shape[:-1]
+    y = x.reshape(-1, x.shape[-1]) @ w
+    return y.reshape(lead + (w.shape[-1],))
+
+
 class VisionAttention(nn.Module):
     """qk-fp32 attention with the reference's split q/v-bias convention."""
 
@@ -175,9 +189,8 @@ class VisionAttention(nn.Module):
         # one flat [M,H]x[H,3nd] matmul; q/k/v are contiguous slices of the
         # output (no [b,3,s,n,d] intermediate, whose layout costs a
         # transpose fused into every qkv matmul)
-        qkv_flat = jnp.einsum(
-            "bsh,hk->bsk", xf,
-            qkv_kernel.reshape(self.dim, 3 * n * d).astype(x.dtype))
+        qkv_flat = _mm(
+            xf, qkv_kernel.reshape(self.dim, 3 * n * d).astype(x.dtype))
         from jax.ad_checkpoint import checkpoint_name as _ckpt_name
         qkv_flat = _ckpt_name(qkv_flat, "vis_qkv")
         drop = self.attn_drop if not deterministic else 0.0
@@ -205,9 +218,8 @@ class VisionAttention(nn.Module):
                                            period=self.block_period)
             from jax.ad_checkpoint import checkpoint_name
             out_p = checkpoint_name(out_p, "vis_attn_out")
-            y = jnp.einsum("bsk,kh->bsh", out_p,
-                           proj_kernel.reshape(n * d, self.dim).astype(
-                               out_p.dtype))
+            y = _mm(out_p, proj_kernel.reshape(n * d, self.dim).astype(
+                out_p.dtype))
             y = y + proj_bias.astype(y.dtype)
             return y.reshape(lead + (s, self.dim))
 
@@ -234,8 +246,8 @@ class VisionAttention(nn.Module):
             p = jax.nn.softmax(scores, axis=-1)
             out = jnp.einsum("bnqk,bknd->bqnd", p.astype(q.dtype), v)
             out = checkpoint_name(out, "vis_attn_out")
-            y = jnp.einsum("bsnd,ndh->bsh", out,
-                           proj_kernel.astype(out.dtype))
+            y = _mm(out.reshape(bf, s, n * d),
+                    proj_kernel.reshape(n * d, self.dim).astype(out.dtype))
             y = y + proj_bias.astype(y.dtype)
             return y.reshape(lead + (s, self.dim))
         # [B, S, n, d] -> [B, n, S, d]
@@ -247,7 +259,8 @@ class VisionAttention(nn.Module):
             use_flash=False if self.attn_impl == "xla" else None)
         out = checkpoint_name(out, "vis_attn_out")
         out = jnp.moveaxis(out, 1, 2)
-        y = jnp.einsum("bsnd,ndh->bsh", out, proj_kernel.astype(out.dtype))
+        y = _mm(out.reshape(bf, s, n * d),
+                proj_kernel.reshape(n * d, self.dim).astype(out.dtype))
         y = y + proj_bias.astype(y.dtype)
         return y.reshape(lead + (s, self.dim))
 
@@ -269,14 +282,14 @@ class Mlp(nn.Module):
             "fc2_kernel", _scaled_trunc_normal(self.init_std, self.fc2_scale),
             (self.hidden, self.dim))
         fc2_bias = self.param("fc2_bias", nn.initializers.zeros, (self.dim,))
-        y = jnp.einsum("...h,hf->...f", x, fc1_kernel.astype(x.dtype))
+        y = _mm(x, fc1_kernel.astype(x.dtype))
         # reference is torch nn.GELU (exact erf); see VisionConfig.gelu
         # for why tanh is the TPU production default
         y = jax.nn.gelu(y + fc1_bias.astype(y.dtype),
                         approximate=self.gelu == "tanh")
         from jax.ad_checkpoint import checkpoint_name
         y = checkpoint_name(y, "vis_fc1h")
-        y = jnp.einsum("...f,fh->...h", y, fc2_kernel.astype(y.dtype))
+        y = _mm(y, fc2_kernel.astype(y.dtype))
         return y + fc2_bias.astype(y.dtype)
 
 
@@ -358,8 +371,7 @@ class SpaceTimeBlock(nn.Module):
              else _trunc_normal(cfg.init_std)), (c, c))
         temporal_fc_bias = self.param(
             "temporal_fc_bias", nn.initializers.zeros, (c,))
-        xt = jnp.einsum("bntc,cd->bntd", xt,
-                        temporal_fc_kernel.astype(xt.dtype))
+        xt = _mm(xt, temporal_fc_kernel.astype(xt.dtype))
         xt = xt + temporal_fc_bias.astype(xt.dtype)
         xt = x + xt  # residual, [B, N, T, C]
 
@@ -417,7 +429,7 @@ class PatchEmbed(nn.Module):
         gh, gw = hh // p, ww // p
         x = x.reshape(b, c, gh, p, gw, p)
         x = x.transpose(0, 2, 4, 1, 3, 5).reshape(b, gh * gw, c * p * p)
-        y = jnp.einsum("bnk,kd->bnd", x, kernel.astype(x.dtype))
+        y = _mm(x, kernel.astype(x.dtype))
         if bias is not None:
             y = y + bias.astype(y.dtype)
         return y  # [B, N, D]
