@@ -90,7 +90,7 @@ def main():
         scan_layers=os.environ.get("BENCH_SCAN", "1") == "1",
         remat=remat_env != "0",
         remat_policy=(remat_env
-                      if remat_env in ("dots", "attn", "names", "offload", "nofc1")
+                      if remat_env in ("dots", "attn", "names", "offload", "nofc1", "narrow")
                       else "nothing"),
         ce_chunk=int(os.environ.get("BENCH_CE_CHUNK", "32")),
         grad_ckpt=os.environ.get("BENCH_VIS_CKPT", "1") == "1",

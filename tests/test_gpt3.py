@@ -71,6 +71,37 @@ def test_scan_matches_unrolled():
                                rtol=2e-5, atol=2e-5)
 
 
+@pytest.mark.parametrize(
+    "policy", ["nothing", "dots", "attn", "names", "narrow", "nofc1"])
+def test_remat_policies_same_loss_and_grad(policy):
+    # every remat policy is a pure recompute/memory tradeoff: loss and
+    # grads must match the no-remat forward bit-for-bit-ish (fp32)
+    tokens = jnp.arange(12).reshape(2, 6) % CFG.vocab_size
+
+    def loss_with(cfg):
+        model = GPT3LM(cfg, policy=FP32_POLICY)
+        params = model.init(jax.random.key(0), tokens)["params"]
+
+        def f(p):
+            out = model.apply({"params": p}, tokens, return_logits=True)
+            return jnp.mean(out["logits"].astype(jnp.float32) ** 2)
+
+        return jax.value_and_grad(f)(params)
+
+    base_cfg = GPT3Config(**{**CFG.__dict__, "remat": False})
+    want_loss, want_grad = loss_with(base_cfg)
+    cfg = GPT3Config(**{**CFG.__dict__, "remat": True,
+                        "remat_policy": policy})
+    got_loss, got_grad = loss_with(cfg)
+    np.testing.assert_allclose(float(got_loss), float(want_loss),
+                               rtol=1e-6)
+    flat_w = jax.tree_util.tree_leaves(want_grad)
+    flat_g = jax.tree_util.tree_leaves(got_grad)
+    for w, g in zip(flat_w, flat_g):
+        np.testing.assert_allclose(np.asarray(g), np.asarray(w),
+                                   rtol=1e-4, atol=1e-5)
+
+
 def test_decode_matches_full_forward(model_and_params):
     """Prefill + incremental decode must reproduce full-forward logits."""
     model, params = model_and_params

@@ -403,8 +403,10 @@ class GPT3Layer(nn.Module):
         ln2_bias = self.param("ln2_bias", nn.initializers.zeros,
                               (cfg.hidden_size,))
 
+        from jax.ad_checkpoint import checkpoint_name as _ckpt_name
         attn_in = layer_norm(x, ln1_scale, ln1_bias,
                              eps=cfg.layernorm_epsilon)
+        attn_in = _ckpt_name(attn_in, "dec_ln1")
         attn_out, new_cache = GPT3Attention(
             cfg, layer_scale_std=scaled_std, policy=self.policy,
             name="attn")(attn_in, cache=cache, cache_len=cache_len,
@@ -416,6 +418,7 @@ class GPT3Layer(nn.Module):
         x = x + attn_out
 
         mlp_in = layer_norm(x, ln2_scale, ln2_bias, eps=cfg.layernorm_epsilon)
+        mlp_in = _ckpt_name(mlp_in, "dec_ln2")
         mlp_out = GPT3MLP(cfg, layer_scale_std=scaled_std,
                           policy=self.policy, name="mlp")(
             mlp_in, deterministic=deterministic)
@@ -492,6 +495,15 @@ class GPT3Decoder(nn.Module):
             elif cfg.remat_policy == "names":
                 policy = jax.checkpoint_policies.save_only_these_names(
                     "attn_out", "dec_qkv", "dec_fc1h", "flash_lse")
+            elif cfg.remat_policy == "narrow":
+                # allowlist of the NARROW (hidden_size-wide) per-layer
+                # tensors: backward recompute is only the wide
+                # projections (qkv + fc1 + gelu, ~26 ms on the flagship)
+                # for ~1 GB of residuals — exclusion-based policies
+                # (see "nofc1") cannot bound width because XLA saves
+                # unnamed wide intermediates instead
+                policy = jax.checkpoint_policies.save_only_these_names(
+                    "dec_ln1", "dec_ln2", "attn_out", "flash_lse")
             elif cfg.remat_policy == "nofc1":
                 # save-everything EXCEPT the wide projections (4x MLP
                 # hiddens + 3x qkv): backward recompute is fc1+gelu+qkv
