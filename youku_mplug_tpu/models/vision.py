@@ -293,24 +293,34 @@ class Mlp(nn.Module):
         return y + fc2_bias.astype(y.dtype)
 
 
+def _split_remat_policy(remat_policy: str):
+    """'sixth:names' -> ('sixth', 'names'): stride selection and the
+    inner checkpoint policy for the blocks that DO remat compose."""
+    if ":" in remat_policy:
+        stride_key, policy_key = remat_policy.split(":", 1)
+        return stride_key, policy_key
+    return remat_policy, remat_policy
+
+
 def _remat_policy(cfg):
     import jax
 
-    if cfg.remat_policy == "attn":
+    _, key = _split_remat_policy(cfg.remat_policy)
+    if key == "attn":
         return jax.checkpoint_policies.save_only_these_names(
             "vis_attn_out", "flash_lse")
-    if cfg.remat_policy == "names":
+    if key == "names":
         # save attention outputs + MLP hiddens: backward recompute runs
         # only the qkv projections and layernorms (~45% of block flops
         # instead of 100%), for ~230 MB/block of extra residuals
         return jax.checkpoint_policies.save_only_these_names(
             "vis_attn_out", "vis_fc1h", "flash_lse")
-    if cfg.remat_policy == "namesq":
+    if key == "namesq":
         # additionally save the qkv projections — recompute is layernorms
         # only, but the residual footprint roughly doubles vs "names"
         return jax.checkpoint_policies.save_only_these_names(
             "vis_attn_out", "vis_fc1h", "vis_qkv", "flash_lse")
-    if cfg.remat_policy == "dots":
+    if key == "dots":
         return jax.checkpoint_policies.dots_with_no_batch_dims_saveable
     return None
 
@@ -492,9 +502,9 @@ class TimeSformer(nn.Module):
                                policy=_remat_policy(cfg))
         for i in range(cfg.depth):
             block_cls = SpaceTimeBlock
+            stride_key, _ = _split_remat_policy(cfg.remat_policy)
             stride = {"half": 2, "third": 3, "sixth": 6,
-                      "twelfth": 12}.get(
-                cfg.remat_policy, 1)
+                      "twelfth": 12}.get(stride_key, 1)
             skip_remat = stride > 1 and i % stride != 0
             if cfg.grad_ckpt and not skip_remat:
                 block_cls = remat_block

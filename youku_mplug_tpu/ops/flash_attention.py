@@ -687,6 +687,11 @@ def flash_attention_packed(q, k, v, n_heads: int, *, causal: bool = False,
     softmaxes inside one grid cell (d=64: two heads per strip — the hot
     decoder/vision geometry)."""
     b, sq, nd = q.shape
+    # NOTE (measured negative result): folding period-aligned chunks into
+    # the batch dim ([16,1568,w] -> [112,224,w], 7x fewer score flops and
+    # 7x less KV traffic) REGRESSED the flagship step 382.9 -> 483.7 ms.
+    # The masked whole-sequence cell wins despite its wasted flops —
+    # don't re-add the fold without a trace explaining why.
     d = nd // n_heads
     g, _ = _strip_geometry(n_heads, d)
     if g is None:
