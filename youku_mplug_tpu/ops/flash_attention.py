@@ -31,6 +31,11 @@ from jax.experimental.pallas import tpu as pltpu
 
 NEG_INF = float(jnp.finfo(jnp.float32).min)
 
+# batch-blocked cells need more than the 16 MB default scoped-vmem
+# budget once Mosaic double-buffers their refs; v5e has 128 MB physical
+_PACKED_COMPILER_PARAMS = pltpu.CompilerParams(
+    vmem_limit_bytes=64 * 1024 * 1024)
+
 
 def _pick_block(s: int, preferred: int = 512) -> int:
     """Largest multiple-of-128 block <= preferred that tiles s (s % 128 == 0)."""
@@ -119,6 +124,7 @@ def _fwd(q, k, v, *, scale, causal, kv_len, block_q, block_k):
             jax.ShapeDtypeStruct((b, h, sq, d), q.dtype),
             jax.ShapeDtypeStruct((b, h, sq, 1), jnp.float32),
         ],
+        compiler_params=_PACKED_COMPILER_PARAMS,
         cost_estimate=pl.CostEstimate(
             flops=int(4 * b * h * sq * sk * d * (0.5 if causal else 1.0)),
             bytes_accessed=int((q.size + k.size + v.size + q.size)
@@ -401,61 +407,84 @@ def packed_supported(n_heads: int, head_dim: int) -> bool:
 
 def _fwd_kernel_packed(q_ref, k_ref, v_ref, o_ref, lse_ref, *, scale,
                        causal, period, block_k, g):
-    bq, w = q_ref.shape[1], q_ref.shape[2]
+    # refs carry block_b samples per grid cell (batch-blocked cells: at
+    # short S one sample is ~1-2 us of MXU work against ~2-3 us of fixed
+    # cell overhead — same lesson as the decode kernel)
+    block_b, bq, w = q_ref.shape
     d = w // g
     sk = k_ref.shape[1]
     i = pl.program_id(2)
     n_kv = sk // block_k
-    q = q_ref[0].astype(jnp.float32)
     if causal:
         hi = jnp.minimum(jax.lax.div((i + 1) * bq + block_k - 1, block_k),
                          n_kv)
     else:
         hi = n_kv
 
-    def body(j, carry):
-        accs, ms, ls = carry
-        kk = k_ref[0, pl.ds(j * block_k, block_k), :].astype(jnp.float32)
-        vv = v_ref[0, pl.ds(j * block_k, block_k), :]
-        if causal or period:
-            qi = i * bq + jax.lax.broadcasted_iota(jnp.int32,
-                                                   (bq, block_k), 0)
-            ki = j * block_k + jax.lax.broadcasted_iota(jnp.int32,
-                                                        (bq, block_k), 1)
-            mask = qi >= ki if causal else (qi // period) == (ki // period)
-        accs_n, ms_n, ls_n = [], [], []
-        for h in range(g):
-            sl = slice(h * d, (h + 1) * d)
-            s = jax.lax.dot_general(
-                q[:, sl], kk[:, sl], (((1,), (1,)), ((), ())),
-                preferred_element_type=jnp.float32) * scale
-            if causal or period:
-                s = jnp.where(mask, s, NEG_INF)
-            m_new = jnp.maximum(ms[h], jnp.max(s, axis=1, keepdims=True))
-            alpha = jnp.exp(ms[h] - m_new)
-            p = jnp.exp(s - m_new)
-            l_new = ls[h] * alpha + jnp.sum(p, axis=1, keepdims=True)
-            pv = jax.lax.dot_general(
-                p.astype(vv.dtype), vv[:, sl], (((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32)
-            accs_n.append(accs[h] * alpha + pv)
-            ms_n.append(m_new)
-            ls_n.append(l_new)
-        return tuple(accs_n), tuple(ms_n), tuple(ls_n)
+    for s_idx in range(block_b):
+        q = q_ref[s_idx].astype(jnp.float32)
 
-    init = (tuple(jnp.zeros((bq, d), jnp.float32) for _ in range(g)),
-            tuple(jnp.full((bq, 1), NEG_INF, jnp.float32) for _ in range(g)),
-            tuple(jnp.zeros((bq, 1), jnp.float32) for _ in range(g)))
-    accs, ms, ls = jax.lax.fori_loop(0, hi, body, init)
-    outs, lses = [], []
-    for h in range(g):
-        l = jnp.maximum(ls[h], 1e-30)
-        outs.append(accs[h] / l)
-        lses.append(ms[h] + jnp.log(l))
-    o_ref[0] = jnp.concatenate(outs, axis=1).astype(o_ref.dtype) \
-        if g > 1 else outs[0].astype(o_ref.dtype)
-    lse_ref[0, 0] = (jnp.concatenate(lses, axis=1)
-                     if g > 1 else lses[0])
+        def body(j, carry, q=q):
+            accs, ms, ls = carry
+            kk = k_ref[s_idx, pl.ds(j * block_k, block_k), :].astype(
+                jnp.float32)
+            vv = v_ref[s_idx, pl.ds(j * block_k, block_k), :]
+            if causal or period:
+                qi = i * bq + jax.lax.broadcasted_iota(jnp.int32,
+                                                       (bq, block_k), 0)
+                ki = j * block_k + jax.lax.broadcasted_iota(jnp.int32,
+                                                            (bq, block_k), 1)
+                mask = (qi >= ki if causal
+                        else (qi // period) == (ki // period))
+            accs_n, ms_n, ls_n = [], [], []
+            for h in range(g):
+                sl = slice(h * d, (h + 1) * d)
+                s = jax.lax.dot_general(
+                    q[:, sl], kk[:, sl], (((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32) * scale
+                if causal or period:
+                    s = jnp.where(mask, s, NEG_INF)
+                m_new = jnp.maximum(ms[h], jnp.max(s, axis=1, keepdims=True))
+                alpha = jnp.exp(ms[h] - m_new)
+                p = jnp.exp(s - m_new)
+                l_new = ls[h] * alpha + jnp.sum(p, axis=1, keepdims=True)
+                pv = jax.lax.dot_general(
+                    p.astype(vv.dtype), vv[:, sl], (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32)
+                accs_n.append(accs[h] * alpha + pv)
+                ms_n.append(m_new)
+                ls_n.append(l_new)
+            return tuple(accs_n), tuple(ms_n), tuple(ls_n)
+
+        init = (tuple(jnp.zeros((bq, d), jnp.float32) for _ in range(g)),
+                tuple(jnp.full((bq, 1), NEG_INF, jnp.float32)
+                      for _ in range(g)),
+                tuple(jnp.zeros((bq, 1), jnp.float32) for _ in range(g)))
+        accs, ms, ls = jax.lax.fori_loop(0, hi, body, init)
+        outs, lses = [], []
+        for h in range(g):
+            l = jnp.maximum(ls[h], 1e-30)
+            outs.append(accs[h] / l)
+            lses.append(ms[h] + jnp.log(l))
+        o_ref[s_idx] = jnp.concatenate(outs, axis=1).astype(o_ref.dtype) \
+            if g > 1 else outs[0].astype(o_ref.dtype)
+        lse_ref[s_idx, 0] = (jnp.concatenate(lses, axis=1)
+                             if g > 1 else lses[0])
+
+
+def _pick_block_b(b: int, sk: int, w: int, arrays: int) -> int:
+    """Samples per grid cell: largest power-of-two divisor of b whose
+    estimated VMEM residency stays under the ~16 MB scoped limit.
+
+    ``arrays`` approximates how many [S, w]-sized values are live per
+    sample (bf16 refs + fp32 casts/accumulators): ~8 for the forward
+    kernel, ~12 for the backward kernels (measured: the dq kernel at
+    bb=8, S=197, w=768 allocates 33 MB -> ~4.1 MB/sample)."""
+    per_sample = sk * w * 2 * arrays
+    for cand in (8, 4, 2):
+        if b % cand == 0 and cand * per_sample <= 24 * 1024 * 1024:
+            return cand
+    return 1
 
 
 def _fwd_packed(q, k, v, n, *, scale, causal, period, block_q, block_k):
@@ -463,25 +492,27 @@ def _fwd_packed(q, k, v, n, *, scale, causal, period, block_q, block_k):
     d = nd // n
     g, w = _cell_geometry(n, d)
     sk = k.shape[1]
-    grid = (b, n // g, sq // block_q)
+    bb = _pick_block_b(b, sk, w, arrays=8)
+    grid = (b // bb, n // g, sq // block_q)
     return pl.pallas_call(
         functools.partial(_fwd_kernel_packed, scale=scale, causal=causal,
                           period=period, block_k=block_k, g=g),
         grid=grid,
         in_specs=[
-            pl.BlockSpec((1, block_q, w), lambda b_, h_, i: (b_, i, h_)),
-            pl.BlockSpec((1, sk, w), lambda b_, h_, i: (b_, 0, h_)),
-            pl.BlockSpec((1, sk, w), lambda b_, h_, i: (b_, 0, h_)),
+            pl.BlockSpec((bb, block_q, w), lambda b_, h_, i: (b_, i, h_)),
+            pl.BlockSpec((bb, sk, w), lambda b_, h_, i: (b_, 0, h_)),
+            pl.BlockSpec((bb, sk, w), lambda b_, h_, i: (b_, 0, h_)),
         ],
         out_specs=[
-            pl.BlockSpec((1, block_q, w), lambda b_, h_, i: (b_, i, h_)),
-            pl.BlockSpec((1, 1, block_q, g),
+            pl.BlockSpec((bb, block_q, w), lambda b_, h_, i: (b_, i, h_)),
+            pl.BlockSpec((bb, 1, block_q, g),
                          lambda b_, h_, i: (b_, h_, i, 0)),
         ],
         out_shape=[
             jax.ShapeDtypeStruct((b, sq, nd), q.dtype),
             jax.ShapeDtypeStruct((b, n // g, sq, g), jnp.float32),
         ],
+        compiler_params=_PACKED_COMPILER_PARAMS,
         cost_estimate=pl.CostEstimate(
             flops=int(4 * b * n * sq * sk * d * (0.5 if causal else 1.0)
                       * ((period / sk) if period else 1.0)),
@@ -494,106 +525,116 @@ def _fwd_packed(q, k, v, n, *, scale, causal, period, block_q, block_k):
 
 def _bwd_dq_kernel_packed(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
                           dq_ref, *, scale, causal, period, block_k, g):
-    bq, w = q_ref.shape[1], q_ref.shape[2]
+    block_b, bq, w = q_ref.shape
     d = w // g
     sk = k_ref.shape[1]
     i = pl.program_id(2)
     n_kv = sk // block_k
-    q = q_ref[0].astype(jnp.float32)
-    do = do_ref[0].astype(jnp.float32)
-    lse = lse_ref[0, 0]      # [bq, g]
-    delta = delta_ref[0, 0]  # [bq, g]
     if causal:
         hi = jnp.minimum(jax.lax.div((i + 1) * bq + block_k - 1, block_k),
                          n_kv)
     else:
         hi = n_kv
 
-    def body(j, dqs):
-        kk = k_ref[0, pl.ds(j * block_k, block_k), :].astype(jnp.float32)
-        vv = v_ref[0, pl.ds(j * block_k, block_k), :].astype(jnp.float32)
-        if causal or period:
-            qi = i * bq + jax.lax.broadcasted_iota(jnp.int32,
-                                                   (bq, block_k), 0)
-            ki = j * block_k + jax.lax.broadcasted_iota(jnp.int32,
-                                                        (bq, block_k), 1)
-            mask = qi >= ki if causal else (qi // period) == (ki // period)
-        out = []
-        for h in range(g):
-            sl = slice(h * d, (h + 1) * d)
-            s = jax.lax.dot_general(
-                q[:, sl], kk[:, sl], (((1,), (1,)), ((), ())),
-                preferred_element_type=jnp.float32) * scale
-            if causal or period:
-                s = jnp.where(mask, s, NEG_INF)
-            p = jnp.exp(s - lse[:, h:h + 1])
-            dp = jax.lax.dot_general(
-                do[:, sl], vv[:, sl], (((1,), (1,)), ((), ())),
-                preferred_element_type=jnp.float32)
-            ds = p * (dp - delta[:, h:h + 1]) * scale
-            out.append(dqs[h] + jax.lax.dot_general(
-                ds, kk[:, sl], (((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32))
-        return tuple(out)
+    for s_idx in range(block_b):
+        q = q_ref[s_idx].astype(jnp.float32)
+        do = do_ref[s_idx].astype(jnp.float32)
+        lse = lse_ref[s_idx, 0]      # [bq, g]
+        delta = delta_ref[s_idx, 0]  # [bq, g]
 
-    dqs = jax.lax.fori_loop(
-        0, hi, body,
-        tuple(jnp.zeros((bq, d), jnp.float32) for _ in range(g)))
-    dq = jnp.concatenate(dqs, axis=1) if g > 1 else dqs[0]
-    dq_ref[0] = dq.astype(dq_ref.dtype)
+        def body(j, dqs, q=q, do=do, lse=lse, delta=delta):
+            kk = k_ref[s_idx, pl.ds(j * block_k, block_k), :].astype(
+                jnp.float32)
+            vv = v_ref[s_idx, pl.ds(j * block_k, block_k), :].astype(
+                jnp.float32)
+            if causal or period:
+                qi = i * bq + jax.lax.broadcasted_iota(jnp.int32,
+                                                       (bq, block_k), 0)
+                ki = j * block_k + jax.lax.broadcasted_iota(jnp.int32,
+                                                            (bq, block_k), 1)
+                mask = (qi >= ki if causal
+                        else (qi // period) == (ki // period))
+            out = []
+            for h in range(g):
+                sl = slice(h * d, (h + 1) * d)
+                s = jax.lax.dot_general(
+                    q[:, sl], kk[:, sl], (((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32) * scale
+                if causal or period:
+                    s = jnp.where(mask, s, NEG_INF)
+                p = jnp.exp(s - lse[:, h:h + 1])
+                dp = jax.lax.dot_general(
+                    do[:, sl], vv[:, sl], (((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32)
+                ds = p * (dp - delta[:, h:h + 1]) * scale
+                out.append(dqs[h] + jax.lax.dot_general(
+                    ds, kk[:, sl], (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32))
+            return tuple(out)
+
+        dqs = jax.lax.fori_loop(
+            0, hi, body,
+            tuple(jnp.zeros((bq, d), jnp.float32) for _ in range(g)))
+        dq = jnp.concatenate(dqs, axis=1) if g > 1 else dqs[0]
+        dq_ref[s_idx] = dq.astype(dq_ref.dtype)
 
 
 def _bwd_dkv_kernel_packed(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
                            dk_ref, dv_ref, *, scale, causal, period, block_q,
                            g):
-    bk, w = k_ref.shape[1], k_ref.shape[2]
+    block_b, bk, w = k_ref.shape
     d = w // g
     sq = q_ref.shape[1]
     j = pl.program_id(2)
     n_q = sq // block_q
-    k = k_ref[0].astype(jnp.float32)
-    v = v_ref[0].astype(jnp.float32)
     lo = jax.lax.div(j * bk, block_q) if causal else 0
 
-    def body(i, carry):
-        dks, dvs = carry
-        q = q_ref[0, pl.ds(i * block_q, block_q), :].astype(jnp.float32)
-        do = do_ref[0, pl.ds(i * block_q, block_q), :].astype(jnp.float32)
-        lse = lse_ref[0, 0, pl.ds(i * block_q, block_q), :]    # [bq, g]
-        delta = delta_ref[0, 0, pl.ds(i * block_q, block_q), :]
-        if causal or period:
-            qi = i * block_q + jax.lax.broadcasted_iota(jnp.int32,
-                                                        (block_q, bk), 0)
-            ki = j * bk + jax.lax.broadcasted_iota(jnp.int32,
-                                                   (block_q, bk), 1)
-            mask = qi >= ki if causal else (qi // period) == (ki // period)
-        dks_n, dvs_n = [], []
-        for h in range(g):
-            sl = slice(h * d, (h + 1) * d)
-            s = jax.lax.dot_general(
-                q[:, sl], k[:, sl], (((1,), (1,)), ((), ())),
-                preferred_element_type=jnp.float32) * scale
-            if causal or period:
-                s = jnp.where(mask, s, NEG_INF)
-            p = jnp.exp(s - lse[:, h:h + 1])
-            dvs_n.append(dvs[h] + jax.lax.dot_general(
-                p, do[:, sl], (((0,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32))
-            dp = jax.lax.dot_general(
-                do[:, sl], v[:, sl], (((1,), (1,)), ((), ())),
-                preferred_element_type=jnp.float32)
-            ds = p * (dp - delta[:, h:h + 1]) * scale
-            dks_n.append(dks[h] + jax.lax.dot_general(
-                ds, q[:, sl], (((0,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32))
-        return tuple(dks_n), tuple(dvs_n)
+    for s_idx in range(block_b):
+        k = k_ref[s_idx].astype(jnp.float32)
+        v = v_ref[s_idx].astype(jnp.float32)
 
-    zeros = tuple(jnp.zeros((bk, d), jnp.float32) for _ in range(g))
-    dks, dvs = jax.lax.fori_loop(lo, n_q, body, (zeros, zeros))
-    dk = jnp.concatenate(dks, axis=1) if g > 1 else dks[0]
-    dv = jnp.concatenate(dvs, axis=1) if g > 1 else dvs[0]
-    dk_ref[0] = dk.astype(dk_ref.dtype)
-    dv_ref[0] = dv.astype(dv_ref.dtype)
+        def body(i, carry, k=k, v=v):
+            dks, dvs = carry
+            q = q_ref[s_idx, pl.ds(i * block_q, block_q), :].astype(
+                jnp.float32)
+            do = do_ref[s_idx, pl.ds(i * block_q, block_q), :].astype(
+                jnp.float32)
+            lse = lse_ref[s_idx, 0, pl.ds(i * block_q, block_q), :]  # [bq,g]
+            delta = delta_ref[s_idx, 0, pl.ds(i * block_q, block_q), :]
+            if causal or period:
+                qi = i * block_q + jax.lax.broadcasted_iota(jnp.int32,
+                                                            (block_q, bk), 0)
+                ki = j * bk + jax.lax.broadcasted_iota(jnp.int32,
+                                                       (block_q, bk), 1)
+                mask = (qi >= ki if causal
+                        else (qi // period) == (ki // period))
+            dks_n, dvs_n = [], []
+            for h in range(g):
+                sl = slice(h * d, (h + 1) * d)
+                s = jax.lax.dot_general(
+                    q[:, sl], k[:, sl], (((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32) * scale
+                if causal or period:
+                    s = jnp.where(mask, s, NEG_INF)
+                p = jnp.exp(s - lse[:, h:h + 1])
+                dvs_n.append(dvs[h] + jax.lax.dot_general(
+                    p, do[:, sl], (((0,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32))
+                dp = jax.lax.dot_general(
+                    do[:, sl], v[:, sl], (((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32)
+                ds = p * (dp - delta[:, h:h + 1]) * scale
+                dks_n.append(dks[h] + jax.lax.dot_general(
+                    ds, q[:, sl], (((0,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32))
+            return tuple(dks_n), tuple(dvs_n)
+
+        zeros = tuple(jnp.zeros((bk, d), jnp.float32) for _ in range(g))
+        dks, dvs = jax.lax.fori_loop(lo, n_q, body, (zeros, zeros))
+        dk = jnp.concatenate(dks, axis=1) if g > 1 else dks[0]
+        dv = jnp.concatenate(dvs, axis=1) if g > 1 else dvs[0]
+        dk_ref[s_idx] = dk.astype(dk_ref.dtype)
+        dv_ref[s_idx] = dv.astype(dv_ref.dtype)
 
 
 def _bwd_packed(n, scale, causal, period, block_q, block_k, res, grad):
@@ -608,45 +649,48 @@ def _bwd_packed(n, scale, causal, period, block_q, block_k, res, grad):
         b, sq, n // g, g, d).sum(-1)          # [B, Sq, n/g, g]
     delta = prod.transpose(0, 2, 1, 3)         # [B, n/g, Sq, g]
 
+    bb = _pick_block_b(b, max(sk, sq), w, arrays=12)
     dq = pl.pallas_call(
         functools.partial(_bwd_dq_kernel_packed, scale=scale, causal=causal,
                           period=period, block_k=block_k, g=g),
-        grid=(b, n // g, sq // block_q),
+        grid=(b // bb, n // g, sq // block_q),
         in_specs=[
-            pl.BlockSpec((1, block_q, w), lambda b_, h_, i: (b_, i, h_)),
-            pl.BlockSpec((1, sk, w), lambda b_, h_, i: (b_, 0, h_)),
-            pl.BlockSpec((1, sk, w), lambda b_, h_, i: (b_, 0, h_)),
-            pl.BlockSpec((1, block_q, w), lambda b_, h_, i: (b_, i, h_)),
-            pl.BlockSpec((1, 1, block_q, g),
+            pl.BlockSpec((bb, block_q, w), lambda b_, h_, i: (b_, i, h_)),
+            pl.BlockSpec((bb, sk, w), lambda b_, h_, i: (b_, 0, h_)),
+            pl.BlockSpec((bb, sk, w), lambda b_, h_, i: (b_, 0, h_)),
+            pl.BlockSpec((bb, block_q, w), lambda b_, h_, i: (b_, i, h_)),
+            pl.BlockSpec((bb, 1, block_q, g),
                          lambda b_, h_, i: (b_, h_, i, 0)),
-            pl.BlockSpec((1, 1, block_q, g),
+            pl.BlockSpec((bb, 1, block_q, g),
                          lambda b_, h_, i: (b_, h_, i, 0)),
         ],
-        out_specs=pl.BlockSpec((1, block_q, w),
+        out_specs=pl.BlockSpec((bb, block_q, w),
                                lambda b_, h_, i: (b_, i, h_)),
         out_shape=jax.ShapeDtypeStruct((b, sq, nd), q.dtype),
+        compiler_params=_PACKED_COMPILER_PARAMS,
     )(q, k, v, do, lse, delta)
 
     dk, dv = pl.pallas_call(
         functools.partial(_bwd_dkv_kernel_packed, scale=scale,
                           causal=causal, period=period, block_q=block_q, g=g),
-        grid=(b, n // g, sk // block_k),
+        grid=(b // bb, n // g, sk // block_k),
         in_specs=[
-            pl.BlockSpec((1, sq, w), lambda b_, h_, j: (b_, 0, h_)),
-            pl.BlockSpec((1, block_k, w), lambda b_, h_, j: (b_, j, h_)),
-            pl.BlockSpec((1, block_k, w), lambda b_, h_, j: (b_, j, h_)),
-            pl.BlockSpec((1, sq, w), lambda b_, h_, j: (b_, 0, h_)),
-            pl.BlockSpec((1, 1, sq, g), lambda b_, h_, j: (b_, h_, 0, 0)),
-            pl.BlockSpec((1, 1, sq, g), lambda b_, h_, j: (b_, h_, 0, 0)),
+            pl.BlockSpec((bb, sq, w), lambda b_, h_, j: (b_, 0, h_)),
+            pl.BlockSpec((bb, block_k, w), lambda b_, h_, j: (b_, j, h_)),
+            pl.BlockSpec((bb, block_k, w), lambda b_, h_, j: (b_, j, h_)),
+            pl.BlockSpec((bb, sq, w), lambda b_, h_, j: (b_, 0, h_)),
+            pl.BlockSpec((bb, 1, sq, g), lambda b_, h_, j: (b_, h_, 0, 0)),
+            pl.BlockSpec((bb, 1, sq, g), lambda b_, h_, j: (b_, h_, 0, 0)),
         ],
         out_specs=[
-            pl.BlockSpec((1, block_k, w), lambda b_, h_, j: (b_, j, h_)),
-            pl.BlockSpec((1, block_k, w), lambda b_, h_, j: (b_, j, h_)),
+            pl.BlockSpec((bb, block_k, w), lambda b_, h_, j: (b_, j, h_)),
+            pl.BlockSpec((bb, block_k, w), lambda b_, h_, j: (b_, j, h_)),
         ],
         out_shape=[
             jax.ShapeDtypeStruct((b, sk, nd), k.dtype),
             jax.ShapeDtypeStruct((b, sk, nd), v.dtype),
         ],
+        compiler_params=_PACKED_COMPILER_PARAMS,
     )(q, k, v, do, lse, delta)
     return dq, dk, dv
 
