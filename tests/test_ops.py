@@ -298,20 +298,20 @@ def test_flash_attention_packed_period(rng):
                                rtol=2e-3, atol=2e-3)
 
 
-@pytest.mark.parametrize("n,s,d", [(4, 208, 64), (2, 197, 64)],
-                         ids=["decoder-geom", "vision-geom"])
-def test_flash_attention_packed_subhead_strips(rng, n, s, d):
+@pytest.mark.parametrize("b,n,s,d", [(2, 4, 208, 64), (2, 2, 197, 64),
+                                     (8, 2, 197, 64)],
+                         ids=["decoder-geom", "vision-geom",
+                              "vision-geom-batchblocked"])
+def test_flash_attention_packed_subhead_strips(rng, b, n, s, d):
     """d=64 packs two heads per 128-lane strip (the hot geometry of both
     production loops); outputs and all three grads must match plain
-    attention."""
+    attention.  b=8 exercises multi-sample (batch-blocked) grid cells."""
     import functools
     import unittest.mock as mock
 
     from jax.experimental import pallas as pl
 
     from youku_mplug_tpu.ops.flash_attention import flash_attention_packed
-
-    b = 2
     q = jnp.asarray(rng.normal(size=(b, s, n * d)), jnp.float32)
     k = jnp.asarray(rng.normal(size=(b, s, n * d)), jnp.float32)
     v = jnp.asarray(rng.normal(size=(b, s, n * d)), jnp.float32)
