@@ -1,0 +1,114 @@
+"""LoRA adapters on the (frozen) GPT-3 decoder.
+
+Ours, not the reference's: the reference can only fully freeze or fully
+train its decoder (distributed_gpt3.py:88-95); lora_rank>0 adds rank-r
+trainable deltas on qkv/out/fc1/fc2 while the 1.3B base stays frozen
+(and optionally int8).
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from youku_mplug_tpu.models.gpt3 import GPT3Config, GPT3LM
+from youku_mplug_tpu.optim.factory import freeze_mask
+from youku_mplug_tpu.runtime.precision import FP32_POLICY
+
+BASE = dict(vocab_size=97, hidden_size=32, num_hidden_layers=2,
+            num_attention_heads=4, max_position_embeddings=64,
+            hidden_dropout=0.0, attention_dropout=0.0,
+            layernorm_epsilon=1e-5)
+
+
+def _logits(cfg, params, tokens):
+    model = GPT3LM(cfg, policy=FP32_POLICY)
+    return model.apply({"params": params}, tokens,
+                       return_logits=True)["logits"]
+
+
+def test_zero_init_lora_is_identity():
+    tokens = jnp.arange(12).reshape(2, 6) % 97
+    cfg0 = GPT3Config(**BASE)
+    cfg4 = GPT3Config(**BASE, lora_rank=4)
+    p4 = GPT3LM(cfg4, policy=FP32_POLICY).init(jax.random.key(0),
+                                               tokens)["params"]
+    lora_names = [k for k in jax.tree_util.tree_leaves_with_path(p4)
+                  if "lora_" in jax.tree_util.keystr(k[0])]
+    # scanned layers stack per-name: 4 targets x (a, b), leading dim = L
+    assert len(lora_names) == 8
+    assert all(leaf.shape[0] == 2 for _, leaf in lora_names)
+
+    # rank-0 model applied to the SAME base weights must match exactly
+    # (b zero-init => the adapters are a no-op until trained)
+    def strip(tree):
+        if not isinstance(tree, dict):
+            return tree
+        return {k: strip(v) for k, v in tree.items()
+                if not k.startswith("lora_")}
+
+    p_base = strip(p4)
+    np.testing.assert_array_equal(np.asarray(_logits(cfg4, p4, tokens)),
+                                  np.asarray(_logits(cfg0, p_base, tokens)))
+
+
+def test_lora_trainable_under_frozen_decoder():
+    tokens = jnp.ones((1, 4), jnp.int32)
+    cfg = GPT3Config(**BASE, lora_rank=2)
+    params = GPT3LM(cfg, policy=FP32_POLICY).init(jax.random.key(0),
+                                                  tokens)["params"]
+    mask = freeze_mask({"text_decoder": params}, True, False)
+    leaves = jax.tree_util.tree_leaves_with_path(mask)
+    lora = [(jax.tree_util.keystr(p), v) for p, v in leaves
+            if "lora_" in jax.tree_util.keystr(p)]
+    base = [(jax.tree_util.keystr(p), v) for p, v in leaves
+            if "lora_" not in jax.tree_util.keystr(p)]
+    assert lora and all(v is False for _, v in lora)
+    assert base and all(v is True for _, v in base)
+
+
+def test_lora_b_grads_flow_a_grads_zero_at_init():
+    tokens = jnp.arange(12).reshape(2, 6) % 97
+    cfg = GPT3Config(**BASE, lora_rank=4)
+    model = GPT3LM(cfg, policy=FP32_POLICY)
+    params = model.init(jax.random.key(0), tokens)["params"]
+
+    def loss(p):
+        out = model.apply({"params": p}, tokens, return_logits=True)
+        return jnp.mean(out["logits"].astype(jnp.float32) ** 2)
+
+    g = jax.grad(loss)(params)
+    for path, leaf in jax.tree_util.tree_leaves_with_path(g):
+        name = jax.tree_util.keystr(path)
+        if "lora_" in name and name.endswith("_b']"):
+            assert float(jnp.abs(leaf).max()) > 0, name
+        if "lora_" in name and name.endswith("_a']"):
+            # dL/da = x^T (g b^T); b == 0 at init => exactly zero
+            assert float(jnp.abs(leaf).max()) == 0, name
+
+
+def test_lora_decode_matches_full_forward():
+    cfg = GPT3Config(**BASE, lora_rank=4)
+    model = GPT3LM(cfg, policy=FP32_POLICY)
+    tokens = (jnp.arange(16).reshape(2, 8) * 5) % 97
+    params = model.init(jax.random.key(0), tokens)["params"]
+    # make the adapters non-trivial so the decode path actually exercises
+    # the LoRA deltas
+    params = jax.tree_util.tree_map_with_path(
+        lambda p, x: (jax.random.normal(jax.random.key(1), x.shape,
+                                        x.dtype) * 0.05
+                      if "lora_" in jax.tree_util.keystr(p) else x), params)
+
+    full = model.apply({"params": params}, tokens, return_logits=True)
+    want = np.asarray(full["logits"])
+
+    # incremental decode over the same tokens (embed -> decode_step)
+    cache = model.apply({"params": params}, 2, 16, jnp.float32,
+                        method=GPT3LM.init_cache)
+    for t in range(tokens.shape[1]):
+        emb = model.apply({"params": params}, tokens[:, t:t + 1],
+                          method=GPT3LM.embed)
+        logits, cache = model.apply({"params": params}, emb, cache,
+                                    jnp.int32(t), method=GPT3LM.decode_step)
+        np.testing.assert_allclose(np.asarray(logits), want[:, t],
+                                   rtol=2e-4, atol=2e-4)

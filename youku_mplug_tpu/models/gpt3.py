@@ -101,6 +101,16 @@ class GPT3Config:
     # [L/2, ...]; requires even L + scan_layers.  Checkpoints are NOT
     # layout-compatible across this flag.
     layer_pairing: bool = False
+    # LoRA adapters (ours — the reference can only fully freeze or fully
+    # train the decoder): rank-r additive deltas on the projection
+    # matmuls.  LoRA params are named lora_* and are ALWAYS trainable,
+    # even under freeze_text_decoder (optim/factory.py:freeze_mask), so
+    # rank>0 + frozen decoder = parameter-efficient finetuning with no
+    # Adam state on the 1.3B base.  b-matrices are zero-init: rank>0
+    # leaves the forward bit-identical until training moves them.
+    lora_rank: int = 0
+    lora_alpha: float = 16.0
+    lora_targets: tuple = ("qkv", "out", "fc1", "fc2")
 
     @property
     def pairing_active(self) -> bool:
@@ -141,6 +151,30 @@ def _dense_init(std):
     return nn.initializers.normal(stddev=std)
 
 
+def _lora_pair(mod: nn.Module, cfg: GPT3Config, name: str,
+               in_dim: int, out_dim: int):
+    """Create (a, b) adapter params for projection `name`, or None when
+    LoRA is off for it.  Created unconditionally at module top so the
+    param tree is identical across the train/decode branches."""
+    if cfg.lora_rank <= 0 or name not in cfg.lora_targets:
+        return None
+    a = mod.param(f"lora_{name}_a", _dense_init(cfg.init_method_std),
+                  (in_dim, cfg.lora_rank))
+    b = mod.param(f"lora_{name}_b", nn.initializers.zeros,
+                  (cfg.lora_rank, out_dim))
+    return a, b
+
+
+def _lora_delta(pair, x, cfg: GPT3Config, dtype):
+    """alpha/r-scaled low-rank delta: (x @ a) @ b, [..., out_dim]."""
+    if pair is None:
+        return None
+    a, b = pair
+    xa = jnp.einsum("...h,hr->...r", x, a.astype(dtype))
+    return jnp.einsum("...r,rk->...k", xa, b.astype(dtype)) * jnp.asarray(
+        cfg.lora_alpha / cfg.lora_rank, dtype)
+
+
 def _qscale(mod: nn.Module, name: str):
     """Optional int8 dequant scale from the 'qscales' collection (see
     ops/quant.py): present only when the caller passed quantized params —
@@ -171,6 +205,8 @@ class GPT3Attention(nn.Module):
         out_bias = self.param("out_bias", nn.initializers.zeros, (h,))
 
         dtype = self.policy.compute_dtype if x.dtype != jnp.float32 else x.dtype
+        lora_qkv = _lora_pair(self, cfg, "qkv", h, 3 * n * d)
+        lora_out = _lora_pair(self, cfg, "out", n * d, h)
         # one flat [M,H]x[H,3nd] matmul; q/k/v are contiguous slices (the
         # [b,3,s,n,d] layout costs a fused transpose on every qkv matmul).
         # Decode only: contract against the UNRESHAPED kernel and reshape
@@ -192,6 +228,9 @@ class GPT3Attention(nn.Module):
         if qkv_s is not None:  # int8 kernel: scale the output channels
             qkv = qkv * qkv_s.reshape(3 * n * d).astype(dtype)
         qkv = qkv + qkv_bias.reshape(3 * n * d).astype(dtype)
+        ld = _lora_delta(lora_qkv, x, cfg, dtype)
+        if ld is not None:
+            qkv = qkv + ld
         from jax.ad_checkpoint import checkpoint_name as _ckpt_name
         qkv = _ckpt_name(qkv, "dec_qkv")
 
@@ -220,6 +259,9 @@ class GPT3Attention(nn.Module):
             out_s = _qscale(self, "out_kernel")
             if out_s is not None:
                 y = y * out_s.reshape(h).astype(y.dtype)
+            ld = _lora_delta(lora_out, out_p, cfg, dtype)
+            if ld is not None:
+                y = y + ld
             y = y + out_bias.astype(y.dtype)
             return y, None
 
@@ -298,6 +340,9 @@ class GPT3Attention(nn.Module):
                     out_s = _qscale(self, "out_kernel")
                     if out_s is not None:
                         y = y * out_s.reshape(h).astype(y.dtype)
+                    ld = _lora_delta(lora_out, out_p, cfg, dtype)
+                    if ld is not None:
+                        y = y + ld
                     y = y + out_bias.astype(y.dtype)
                     return y, new_cache
                 ckv = jax.lax.dynamic_index_in_dim(ckvf, lidx, 0,
@@ -342,6 +387,9 @@ class GPT3Attention(nn.Module):
         out_s = _qscale(self, "out_kernel")
         if out_s is not None:
             y = y * out_s.reshape(h).astype(y.dtype)
+        ld = _lora_delta(lora_out, out.reshape(b_, -1, n * d), cfg, dtype)
+        if ld is not None:
+            y = y + ld
         y = y + out_bias.astype(y.dtype)
         return y, new_cache
 
@@ -361,10 +409,15 @@ class GPT3MLP(nn.Module):
         fc2_kernel = self.param(
             "fc2_kernel", _dense_init(self.layer_scale_std), (f, h))
         fc2_bias = self.param("fc2_bias", nn.initializers.zeros, (h,))
+        lora_fc1 = _lora_pair(self, cfg, "fc1", h, f)
+        lora_fc2 = _lora_pair(self, cfg, "fc2", f, h)
         y = jnp.einsum("bsh,hf->bsf", x, fc1_kernel.astype(x.dtype))
         s1 = _qscale(self, "fc1_kernel")
         if s1 is not None:
             y = y * s1.reshape(f).astype(y.dtype)
+        ld = _lora_delta(lora_fc1, x, cfg, x.dtype)
+        if ld is not None:
+            y = y + ld
         from jax.ad_checkpoint import checkpoint_name as _name_pre
         y = _name_pre(y, "dec_fc1pre")
         # fused bias + tanh-approx gelu (megatron bias_gelu_impl contract,
@@ -372,10 +425,14 @@ class GPT3MLP(nn.Module):
         y = jax.nn.gelu(y + fc1_bias.astype(y.dtype), approximate=True)
         from jax.ad_checkpoint import checkpoint_name as _ckpt_name
         y = _ckpt_name(y, "dec_fc1h")
+        hidden = y
         y = jnp.einsum("bsf,fh->bsh", y, fc2_kernel.astype(y.dtype))
         s2 = _qscale(self, "fc2_kernel")
         if s2 is not None:
             y = y * s2.reshape(h).astype(y.dtype)
+        ld = _lora_delta(lora_fc2, hidden, cfg, hidden.dtype)
+        if ld is not None:
+            y = y + ld
         y = y + fc2_bias.astype(y.dtype)
         return y
 

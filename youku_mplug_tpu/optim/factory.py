@@ -89,6 +89,10 @@ def freeze_mask(params, freeze_text_decoder=True, freeze_vit=False):
     """True where the param is FROZEN (reference distributed_gpt3.py:88-95:
     freeze_vit spares temporal/time params)."""
     def rule(path, leaf):
+        if "lora_" in path:
+            # LoRA adapters train even inside a frozen subtree — the whole
+            # point of rank>0 + freeze_text_decoder (models/gpt3.py)
+            return False
         if freeze_text_decoder and "text_decoder" in path:
             return True
         if freeze_vit and "visual_encoder" in path and \
