@@ -114,3 +114,16 @@ def test_scripts_reference_existing_configs():
             rel = m.group(1).rstrip("\\").strip()
             assert os.path.exists(os.path.join(REPO, rel)), \
                 f"{os.path.basename(s)} references missing config {rel}"
+
+
+def test_lora_yaml_plumbing(tmp_path):
+    import yaml
+
+    from youku_mplug_tpu.config import load_config
+
+    p = tmp_path / "lora.yaml"
+    p.write_text(yaml.safe_dump(
+        {"lora_rank": 4, "text_overrides": {"lora_targets": ["qkv", "fc1"]}}))
+    rc = load_config(str(p))
+    assert rc.model.text.lora_rank == 4
+    assert rc.model.text.lora_targets == ("qkv", "fc1")

@@ -71,7 +71,14 @@ def load_config(yaml_path: str, overrides: Optional[Dict[str, Any]] = None,
             if text_cfg_path and os.path.exists(text_cfg_path)
             else GPT3Config())
     if raw.get("text_overrides"):
-        text = dataclasses.replace(text, **raw["text_overrides"])
+        over = dict(raw["text_overrides"])
+        if "lora_targets" in over:  # YAML lists -> tuple
+            over["lora_targets"] = tuple(over["lora_targets"])
+        text = dataclasses.replace(text, **over)
+    if raw.get("lora_rank"):  # top-level convenience for adapter tuning
+        text = dataclasses.replace(
+            text, lora_rank=int(raw["lora_rank"]),
+            lora_alpha=float(raw.get("lora_alpha", text.lora_alpha)))
     vision = (VisionConfig.from_json_file(visual_cfg_path)
               if visual_cfg_path and os.path.exists(visual_cfg_path)
               else VisionConfig())
