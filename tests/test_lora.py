@@ -87,6 +87,38 @@ def test_lora_b_grads_flow_a_grads_zero_at_init():
             assert float(jnp.abs(leaf).max()) == 0, name
 
 
+def test_qlora_int8_base_lora_grads_flow():
+    """QLoRA composition: int8 frozen base + trainable LoRA adapters —
+    the forward consumes the qscales collection, grads reach lora_b."""
+    from youku_mplug_tpu.ops.quant import quantize_gpt3_decoder
+
+    tokens = jnp.arange(12).reshape(2, 6) % 97
+    cfg = GPT3Config(**BASE, lora_rank=4)
+    model = GPT3LM(cfg, policy=FP32_POLICY)
+    params = model.init(jax.random.key(0), tokens)["params"]
+    qparams, scales = quantize_gpt3_decoder(params)
+
+    # differentiate only the (float) LoRA leaves; the int8 base is data
+    keystr = jax.tree_util.keystr
+    lora = {keystr(p): x
+            for p, x in jax.tree_util.tree_leaves_with_path(qparams)
+            if "lora_" in keystr(p)}
+
+    def loss(lora_leaves):
+        p = jax.tree_util.tree_map_with_path(
+            lambda pth, x: lora_leaves.get(keystr(pth), x), qparams)
+        out = model.apply({"params": p, "qscales": scales}, tokens,
+                          return_logits=True)
+        return jnp.mean(out["logits"].astype(jnp.float32) ** 2)
+
+    val, g = jax.value_and_grad(loss)(lora)
+    assert np.isfinite(float(val))
+    b_names = [k for k in g if k.endswith("_b']")]
+    assert len(b_names) == 4
+    for k in b_names:
+        assert float(jnp.abs(g[k]).max()) > 0, k
+
+
 def test_lora_decode_matches_full_forward():
     cfg = GPT3Config(**BASE, lora_rank=4)
     model = GPT3LM(cfg, policy=FP32_POLICY)
