@@ -122,3 +122,38 @@ def test_resume_interpolates_vision_embeds(tiny_config, tmp_path):
     pos = np.asarray(
         runner2.params["visual_encoder"]["pos_embed"], np.float32)
     assert pos.shape[1] == 1 + (48 // 16) ** 2
+
+
+def test_pretrain_with_lora_adapters(tiny_config, tmp_path):
+    """lora_rank in YAML: frozen decoder, trainable adapters — the
+    adapters live in the trainable subtree, get optimizer state, and
+    move during training."""
+    import jax
+    import yaml
+
+    from youku_mplug_tpu.cli import common, run_pretrain
+
+    cfg = yaml.safe_load(open(tiny_config))
+    cfg["lora_rank"] = 2
+    lcfg = str(tmp_path / "lora.yaml")
+    yaml.safe_dump(cfg, open(lcfg, "w"))
+
+    out = str(tmp_path / "out_lora")
+    args = common.base_parser("t").parse_args([
+        "--config", lcfg, "--output_dir", out, "--fp32",
+        "--synthetic_data", "--max_steps", "3", "--seed", "0"])
+    runner = run_pretrain.main(args)
+
+    keystr = jax.tree_util.keystr
+    train_lora = {keystr(p): x for p, x in
+                  jax.tree_util.tree_leaves_with_path(runner.state.trainable)
+                  if "lora_" in keystr(p)}
+    assert len(train_lora) == 8  # 4 targets x (a, b), stacked layers
+    frozen_lora = [p for p, _ in
+                   jax.tree_util.tree_leaves_with_path(runner.state.frozen)
+                   if "lora_" in keystr(p)]
+    assert not frozen_lora
+    # b starts at zero and must have moved after 3 steps of training
+    b_moved = [float(abs(x).max()) for k, x in train_lora.items()
+               if k.endswith("_b']")]
+    assert all(v > 0 for v in b_moved)
