@@ -87,6 +87,31 @@ def test_lora_b_grads_flow_a_grads_zero_at_init():
             assert float(jnp.abs(leaf).max()) == 0, name
 
 
+def test_merge_lora_matches_adapter_forward():
+    """merge_lora folds trained adapters into base kernels: the rank-0
+    model on merged weights == the rank-r model with live adapters."""
+    from youku_mplug_tpu.ops.lora import merge_lora
+
+    tokens = jnp.arange(12).reshape(2, 6) % 97
+    cfg4 = GPT3Config(**BASE, lora_rank=4, lora_alpha=8.0)
+    cfg0 = GPT3Config(**BASE)
+    p4 = GPT3LM(cfg4, policy=FP32_POLICY).init(jax.random.key(0),
+                                               tokens)["params"]
+    # non-trivial adapters
+    p4 = jax.tree_util.tree_map_with_path(
+        lambda p, x: (jax.random.normal(jax.random.key(7), x.shape,
+                                        x.dtype) * 0.1
+                      if "lora_" in jax.tree_util.keystr(p) else x), p4)
+    want = _logits(cfg4, p4, tokens)
+
+    merged = merge_lora(p4, cfg4.lora_rank, cfg4.lora_alpha)
+    for path, _ in jax.tree_util.tree_leaves_with_path(merged):
+        assert "lora_" not in jax.tree_util.keystr(path)
+    got = _logits(cfg0, merged, tokens)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=2e-5, atol=2e-5)
+
+
 def test_qlora_int8_base_lora_grads_flow():
     """QLoRA composition: int8 frozen base + trainable LoRA adapters —
     the forward consumes the qscales collection, grads reach lora_b."""

@@ -1,0 +1,62 @@
+"""LoRA adapter utilities: merge trained adapters into the base kernels.
+
+Deployment closure for ``GPT3Config.lora_rank`` (models/gpt3.py): after
+finetuning, ``merge_lora(params, cfg)`` folds every ``lora_<name>_{a,b}``
+pair into its base kernel (``W' = W + (alpha/r) * a @ b`` reshaped to the
+kernel's layout) and drops the adapter params, so serving runs the plain
+rank-0 model — no extra matmuls per step, and the merged tree can then go
+through ``quantize_gpt3_decoder`` like any base checkpoint.
+
+Reference has no analog (its decoder is all-frozen or all-trained,
+distributed_gpt3.py:88-95).
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+
+# adapter name -> base kernel param name
+_TARGET_KERNEL = {
+    "qkv": "qkv_kernel",
+    "out": "out_kernel",
+    "fc1": "fc1_kernel",
+    "fc2": "fc2_kernel",
+}
+
+
+def _merge_module(mod: dict, scale: float) -> dict:
+    out = {}
+    for k, v in mod.items():
+        if isinstance(v, dict):
+            out[k] = _merge_module(v, scale)
+            continue
+        if k.startswith("lora_"):
+            continue  # folded below / dropped
+        out[k] = v
+    for name, kernel_name in _TARGET_KERNEL.items():
+        a = mod.get(f"lora_{name}_a")
+        b = mod.get(f"lora_{name}_b")
+        if a is None or b is None:
+            continue
+        kernel = out[kernel_name]
+        # handle the scan-stacked leading layer dim: a [..., in, r],
+        # b [..., r, out_flat]; kernel may be higher-rank (qkv [h,3,n,d],
+        # out [n,d,h]) — fold through a flat 2-D view of its trailing dims
+        delta = jnp.einsum("...ir,...ro->...io", a, b) * scale
+        lead = kernel.shape[:a.ndim - 2]  # scan dims ([] or [L])
+        flat = kernel.reshape(lead + (a.shape[-2], b.shape[-1]))
+        merged = (flat.astype(jnp.float32)
+                  + delta.astype(jnp.float32)).astype(kernel.dtype)
+        out[kernel_name] = merged.reshape(kernel.shape)
+    return out
+
+
+def merge_lora(params: Any, lora_rank: int, lora_alpha: float = 16.0):
+    """Fold lora_* adapters into base kernels; returns a rank-0 tree."""
+    if lora_rank <= 0:
+        return params
+    scale = float(lora_alpha) / float(lora_rank)
+    return _merge_module(dict(params), scale)
