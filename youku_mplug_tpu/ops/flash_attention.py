@@ -27,14 +27,8 @@ from typing import Optional
 import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
-from jax.experimental.pallas import tpu as pltpu
 
 NEG_INF = float(jnp.finfo(jnp.float32).min)
-
-# batch-blocked cells need more than the 16 MB default scoped-vmem
-# budget once Mosaic double-buffers their refs; v5e has 128 MB physical
-_PACKED_COMPILER_PARAMS = pltpu.CompilerParams(
-    vmem_limit_bytes=64 * 1024 * 1024)
 
 
 def _pick_block(s: int, preferred: int = 512) -> int:
@@ -124,7 +118,6 @@ def _fwd(q, k, v, *, scale, causal, kv_len, block_q, block_k):
             jax.ShapeDtypeStruct((b, h, sq, d), q.dtype),
             jax.ShapeDtypeStruct((b, h, sq, 1), jnp.float32),
         ],
-        compiler_params=_PACKED_COMPILER_PARAMS,
         cost_estimate=pl.CostEstimate(
             flops=int(4 * b * h * sq * sk * d * (0.5 if causal else 1.0)),
             bytes_accessed=int((q.size + k.size + v.size + q.size)
@@ -474,15 +467,17 @@ def _fwd_kernel_packed(q_ref, k_ref, v_ref, o_ref, lse_ref, *, scale,
 
 def _pick_block_b(b: int, sk: int, w: int, arrays: int) -> int:
     """Samples per grid cell: largest power-of-two divisor of b whose
-    estimated VMEM residency stays under the ~16 MB scoped limit.
+    estimated VMEM residency stays under the ~16 MB scoped limit
+    (VMEM is ~16 MB/core; Mosaic double-buffers the refs).
 
-    ``arrays`` approximates how many [S, w]-sized values are live per
-    sample (bf16 refs + fp32 casts/accumulators): ~8 for the forward
-    kernel, ~12 for the backward kernels (measured: the dq kernel at
-    bb=8, S=197, w=768 allocates 33 MB -> ~4.1 MB/sample)."""
+    ``arrays`` approximates how many [S, w]-sized bf16 values are live
+    per sample including double-buffering and fp32 casts/accumulators:
+    ~8 for the forward kernel, ~16 for the backward kernels (measured:
+    the dq kernel at bb=8, S=197, w=768 allocates 33 MB ->
+    ~4.1 MB/sample, i.e. ~14 bf16 arrays; 16 adds margin)."""
     per_sample = sk * w * 2 * arrays
     for cand in (8, 4, 2):
-        if b % cand == 0 and cand * per_sample <= 24 * 1024 * 1024:
+        if b % cand == 0 and cand * per_sample <= 12 * 1024 * 1024:
             return cand
     return 1
 
@@ -512,7 +507,6 @@ def _fwd_packed(q, k, v, n, *, scale, causal, period, block_q, block_k):
             jax.ShapeDtypeStruct((b, sq, nd), q.dtype),
             jax.ShapeDtypeStruct((b, n // g, sq, g), jnp.float32),
         ],
-        compiler_params=_PACKED_COMPILER_PARAMS,
         cost_estimate=pl.CostEstimate(
             flops=int(4 * b * n * sq * sk * d * (0.5 if causal else 1.0)
                       * ((period / sk) if period else 1.0)),
@@ -649,7 +643,7 @@ def _bwd_packed(n, scale, causal, period, block_q, block_k, res, grad):
         b, sq, n // g, g, d).sum(-1)          # [B, Sq, n/g, g]
     delta = prod.transpose(0, 2, 1, 3)         # [B, n/g, Sq, g]
 
-    bb = _pick_block_b(b, max(sk, sq), w, arrays=12)
+    bb = _pick_block_b(b, max(sk, sq), w, arrays=16)
     dq = pl.pallas_call(
         functools.partial(_bwd_dq_kernel_packed, scale=scale, causal=causal,
                           period=period, block_k=block_k, g=g),
@@ -667,7 +661,6 @@ def _bwd_packed(n, scale, causal, period, block_q, block_k, res, grad):
         out_specs=pl.BlockSpec((bb, block_q, w),
                                lambda b_, h_, i: (b_, i, h_)),
         out_shape=jax.ShapeDtypeStruct((b, sq, nd), q.dtype),
-        compiler_params=_PACKED_COMPILER_PARAMS,
     )(q, k, v, do, lse, delta)
 
     dk, dv = pl.pallas_call(
@@ -690,7 +683,6 @@ def _bwd_packed(n, scale, causal, period, block_q, block_k, res, grad):
             jax.ShapeDtypeStruct((b, sk, nd), k.dtype),
             jax.ShapeDtypeStruct((b, sk, nd), v.dtype),
         ],
-        compiler_params=_PACKED_COMPILER_PARAMS,
     )(q, k, v, do, lse, delta)
     return dq, dk, dv
 
