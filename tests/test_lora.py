@@ -87,6 +87,39 @@ def test_lora_b_grads_flow_a_grads_zero_at_init():
             assert float(jnp.abs(leaf).max()) == 0, name
 
 
+def test_vision_lora_identity_and_freeze():
+    """Vision-tower adapters: zero-init no-op + trainable under
+    freeze_vit (temporal params and lora_* both stay trainable)."""
+    from youku_mplug_tpu.models.vision import TimeSformer, VisionConfig
+
+    base = dict(img_size=32, patch_size=16, embed_dim=32, depth=2,
+                num_heads=2, num_frames=2, mlp_ratio=2.0)
+    x = jnp.ones((2, 3, 2, 32, 32), jnp.float32)
+    m4 = TimeSformer(VisionConfig(**base, lora_rank=4))
+    p4 = m4.init(jax.random.key(0), x)["params"]
+
+    def strip(tree):
+        if not isinstance(tree, dict):
+            return tree
+        return {k: strip(v) for k, v in tree.items()
+                if not k.startswith("lora_")}
+
+    m0 = TimeSformer(VisionConfig(**base))
+    got = m4.apply({"params": p4}, x)[1]
+    want = m0.apply({"params": strip(p4)}, x)[1]
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+
+    mask = freeze_mask({"visual_encoder": p4}, False, True)
+    leaves = jax.tree_util.tree_leaves_with_path(mask)
+    lora = [v for p, v in leaves if "lora_" in jax.tree_util.keystr(p)]
+    assert lora and not any(lora)
+    frozen_spatial = [v for p, v in leaves
+                      if "lora_" not in jax.tree_util.keystr(p)
+                      and "temporal" not in jax.tree_util.keystr(p)
+                      and "time" not in jax.tree_util.keystr(p)]
+    assert frozen_spatial and all(frozen_spatial)
+
+
 def test_merge_lora_matches_adapter_forward():
     """merge_lora folds trained adapters into base kernels: the rank-0
     model on merged weights == the rank-r model with live adapters."""

@@ -156,23 +156,19 @@ def _lora_pair(mod: nn.Module, cfg: GPT3Config, name: str,
     """Create (a, b) adapter params for projection `name`, or None when
     LoRA is off for it.  Created unconditionally at module top so the
     param tree is identical across the train/decode branches."""
-    if cfg.lora_rank <= 0 or name not in cfg.lora_targets:
+    from youku_mplug_tpu.ops.lora import lora_pair
+
+    if name not in cfg.lora_targets:
         return None
-    a = mod.param(f"lora_{name}_a", _dense_init(cfg.init_method_std),
-                  (in_dim, cfg.lora_rank))
-    b = mod.param(f"lora_{name}_b", nn.initializers.zeros,
-                  (cfg.lora_rank, out_dim))
-    return a, b
+    return lora_pair(mod, name, cfg.lora_rank, in_dim, out_dim,
+                     init_std=cfg.init_method_std)
 
 
 def _lora_delta(pair, x, cfg: GPT3Config, dtype):
     """alpha/r-scaled low-rank delta: (x @ a) @ b, [..., out_dim]."""
-    if pair is None:
-        return None
-    a, b = pair
-    xa = jnp.einsum("...h,hr->...r", x, a.astype(dtype))
-    return jnp.einsum("...r,rk->...k", xa, b.astype(dtype)) * jnp.asarray(
-        cfg.lora_alpha / cfg.lora_rank, dtype)
+    from youku_mplug_tpu.ops.lora import lora_delta
+
+    return lora_delta(pair, x, cfg.lora_rank, cfg.lora_alpha, dtype)
 
 
 def _qscale(mod: nn.Module, name: str):

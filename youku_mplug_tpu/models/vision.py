@@ -94,6 +94,12 @@ class VisionConfig:
     init_std: float = 0.015
     ln_eps: float = 1e-6
     pretrained_ckpt: Optional[str] = None
+    # LoRA adapters on the block projections (qkv/proj/fc1/fc2) — the
+    # vision analog of GPT3Config.lora_rank: rank-r zero-init deltas,
+    # always trainable (even under freeze_vit), so a frozen CLIP/EVA
+    # backbone can be adapter-finetuned with no optimizer state on it
+    lora_rank: int = 0
+    lora_alpha: float = 16.0
 
     @property
     def num_patches(self) -> int:
@@ -166,9 +172,13 @@ class VisionAttention(nn.Module):
     # use the periodic flash kernel for block_period > 0 (see
     # VisionConfig.temporal_flash)
     period_flash: bool = False
+    lora_rank: int = 0
+    lora_alpha: float = 16.0
 
     @nn.compact
     def __call__(self, x, deterministic=True):
+        from youku_mplug_tpu.ops.lora import lora_delta, lora_pair
+
         d = self.dim // self.num_heads
         n = self.num_heads
         qkv_kernel = self.param(
@@ -181,6 +191,10 @@ class VisionAttention(nn.Module):
             (n, d, self.dim))
         proj_bias = self.param("proj_bias", nn.initializers.zeros,
                                (self.dim,))
+        lora_qkv = lora_pair(self, "qkv", self.lora_rank, self.dim,
+                             3 * n * d, init_std=self.init_std)
+        lora_proj = lora_pair(self, "proj", self.lora_rank, n * d,
+                              self.dim, init_std=self.init_std)
 
         lead = x.shape[:-2]
         s = x.shape[-2]
@@ -191,6 +205,10 @@ class VisionAttention(nn.Module):
         # transpose fused into every qkv matmul)
         qkv_flat = _mm(
             xf, qkv_kernel.reshape(self.dim, 3 * n * d).astype(x.dtype))
+        ld = lora_delta(lora_qkv, xf, self.lora_rank, self.lora_alpha,
+                        x.dtype)
+        if ld is not None:
+            qkv_flat = qkv_flat + ld
         from jax.ad_checkpoint import checkpoint_name as _ckpt_name
         qkv_flat = _ckpt_name(qkv_flat, "vis_qkv")
         drop = self.attn_drop if not deterministic else 0.0
@@ -220,6 +238,10 @@ class VisionAttention(nn.Module):
             out_p = checkpoint_name(out_p, "vis_attn_out")
             y = _mm(out_p, proj_kernel.reshape(n * d, self.dim).astype(
                 out_p.dtype))
+            ld = lora_delta(lora_proj, out_p, self.lora_rank,
+                            self.lora_alpha, y.dtype)
+            if ld is not None:
+                y = y + ld
             y = y + proj_bias.astype(y.dtype)
             return y.reshape(lead + (s, self.dim))
 
@@ -246,8 +268,13 @@ class VisionAttention(nn.Module):
             p = jax.nn.softmax(scores, axis=-1)
             out = jnp.einsum("bnqk,bknd->bqnd", p.astype(q.dtype), v)
             out = checkpoint_name(out, "vis_attn_out")
-            y = _mm(out.reshape(bf, s, n * d),
+            out_flat = out.reshape(bf, s, n * d)
+            y = _mm(out_flat,
                     proj_kernel.reshape(n * d, self.dim).astype(out.dtype))
+            ld = lora_delta(lora_proj, out_flat, self.lora_rank,
+                            self.lora_alpha, y.dtype)
+            if ld is not None:
+                y = y + ld
             y = y + proj_bias.astype(y.dtype)
             return y.reshape(lead + (s, self.dim))
         # [B, S, n, d] -> [B, n, S, d]
@@ -259,8 +286,13 @@ class VisionAttention(nn.Module):
             use_flash=False if self.attn_impl == "xla" else None)
         out = checkpoint_name(out, "vis_attn_out")
         out = jnp.moveaxis(out, 1, 2)
-        y = _mm(out.reshape(bf, s, n * d),
+        out_flat = out.reshape(bf, s, n * d)
+        y = _mm(out_flat,
                 proj_kernel.reshape(n * d, self.dim).astype(out.dtype))
+        ld = lora_delta(lora_proj, out_flat, self.lora_rank,
+                        self.lora_alpha, y.dtype)
+        if ld is not None:
+            y = y + ld
         y = y + proj_bias.astype(y.dtype)
         return y.reshape(lead + (s, self.dim))
 
@@ -271,9 +303,13 @@ class Mlp(nn.Module):
     init_std: float = 0.015
     fc2_scale: float = 1.0
     gelu: str = "tanh"  # "tanh" (fast, default) | "erf" (strict parity)
+    lora_rank: int = 0
+    lora_alpha: float = 16.0
 
     @nn.compact
     def __call__(self, x):
+        from youku_mplug_tpu.ops.lora import lora_delta, lora_pair
+
         fc1_kernel = self.param("fc1_kernel", _trunc_normal(self.init_std),
                                 (self.dim, self.hidden))
         fc1_bias = self.param("fc1_bias", nn.initializers.zeros,
@@ -282,14 +318,27 @@ class Mlp(nn.Module):
             "fc2_kernel", _scaled_trunc_normal(self.init_std, self.fc2_scale),
             (self.hidden, self.dim))
         fc2_bias = self.param("fc2_bias", nn.initializers.zeros, (self.dim,))
+        lora_fc1 = lora_pair(self, "fc1", self.lora_rank, self.dim,
+                             self.hidden, init_std=self.init_std)
+        lora_fc2 = lora_pair(self, "fc2", self.lora_rank, self.hidden,
+                             self.dim, init_std=self.init_std)
         y = _mm(x, fc1_kernel.astype(x.dtype))
+        ld = lora_delta(lora_fc1, x, self.lora_rank, self.lora_alpha,
+                        y.dtype)
+        if ld is not None:
+            y = y + ld
         # reference is torch nn.GELU (exact erf); see VisionConfig.gelu
         # for why tanh is the TPU production default
         y = jax.nn.gelu(y + fc1_bias.astype(y.dtype),
                         approximate=self.gelu == "tanh")
         from jax.ad_checkpoint import checkpoint_name
         y = checkpoint_name(y, "vis_fc1h")
+        hidden = y
         y = _mm(y, fc2_kernel.astype(y.dtype))
+        ld = lora_delta(lora_fc2, hidden, self.lora_rank, self.lora_alpha,
+                        y.dtype)
+        if ld is not None:
+            y = y + ld
         return y + fc2_bias.astype(y.dtype)
 
 
@@ -373,6 +422,7 @@ class SpaceTimeBlock(nn.Module):
             attn_drop=cfg.attn_drop_rate, attn_impl=cfg.attn_impl,
             block_period=t if g > 1 else 0,
             period_flash=cfg.temporal_flash,
+            lora_rank=cfg.lora_rank, lora_alpha=cfg.lora_alpha,
             name="temporal_attn")(xt, deterministic)
         xt = xt.reshape(b, n_p, t, c)
         temporal_fc_kernel = self.param(
@@ -393,6 +443,7 @@ class SpaceTimeBlock(nn.Module):
         xs = VisionAttention(
             c, cfg.num_heads, init_std=cfg.init_std, proj_scale=proj_scale,
             attn_drop=cfg.attn_drop_rate, attn_impl=cfg.attn_impl,
+            lora_rank=cfg.lora_rank, lora_alpha=cfg.lora_alpha,
             name="attn")(xs, deterministic)
         cls_new = jnp.mean(xs[:, :, 0, :], axis=1)  # mean over frames
         xs = xs[:, :, 1:, :].transpose(0, 2, 1, 3)  # [B, N, T, C]
@@ -410,6 +461,7 @@ class SpaceTimeBlock(nn.Module):
         mlp_in = LayerNormFP32(c, cfg.ln_eps, name="norm2")(y)
         mlp_out = Mlp(c, int(c * cfg.mlp_ratio), init_std=cfg.init_std,
                       fc2_scale=proj_scale, gelu=cfg.gelu,
+                      lora_rank=cfg.lora_rank, lora_alpha=cfg.lora_alpha,
                       name="mlp")(mlp_in)
         if self.drop_path > 0 and not deterministic:
             mlp_out = _drop_path(mlp_out, self.drop_path, deterministic,
@@ -535,7 +587,9 @@ class PlainBlock(nn.Module):
         h = VisionAttention(c, cfg.num_heads, init_std=cfg.init_std,
                             proj_scale=proj_scale,
                             attn_drop=cfg.attn_drop_rate,
-                            attn_impl=cfg.attn_impl, name="attn")(
+                            attn_impl=cfg.attn_impl,
+                            lora_rank=cfg.lora_rank,
+                            lora_alpha=cfg.lora_alpha, name="attn")(
             h, deterministic)
         if self.drop_path > 0 and not deterministic:
             h = _drop_path(h, self.drop_path, deterministic,
@@ -543,7 +597,9 @@ class PlainBlock(nn.Module):
         x = x + h
         h = LayerNormFP32(c, cfg.ln_eps, name="norm2")(x)
         h = Mlp(c, int(c * cfg.mlp_ratio), init_std=cfg.init_std,
-                fc2_scale=proj_scale, gelu=cfg.gelu, name="mlp")(h)
+                fc2_scale=proj_scale, gelu=cfg.gelu,
+                lora_rank=cfg.lora_rank, lora_alpha=cfg.lora_alpha,
+                name="mlp")(h)
         if self.drop_path > 0 and not deterministic:
             h = _drop_path(h, self.drop_path, deterministic,
                            self.make_rng("dropout"))

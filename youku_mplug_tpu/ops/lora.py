@@ -18,7 +18,31 @@ from typing import Any
 import jax
 import jax.numpy as jnp
 
-# adapter name -> base kernel param name
+def lora_pair(mod, name: str, rank: int, in_dim: int, out_dim: int,
+              init_std: float = 0.02):
+    """Create (a, b) adapter params on `mod` for projection `name`, or
+    None when rank <= 0.  b is zero-init so rank>0 starts as a no-op."""
+    if rank <= 0:
+        return None
+    import flax.linen as nn
+
+    a = mod.param(f"lora_{name}_a",
+                  nn.initializers.normal(stddev=init_std), (in_dim, rank))
+    b = mod.param(f"lora_{name}_b", nn.initializers.zeros, (rank, out_dim))
+    return a, b
+
+
+def lora_delta(pair, x, rank: int, alpha: float, dtype):
+    """alpha/r-scaled low-rank delta (x @ a) @ b, or None."""
+    if pair is None:
+        return None
+    a, b = pair
+    xa = jnp.einsum("...h,hr->...r", x, a.astype(dtype))
+    return jnp.einsum("...r,rk->...k", xa, b.astype(dtype)) * jnp.asarray(
+        alpha / rank, dtype)
+
+
+# adapter name -> base kernel param name (decoder merge map)
 _TARGET_KERNEL = {
     "qkv": "qkv_kernel",
     "out": "out_kernel",
