@@ -202,3 +202,25 @@ def test_lora_decode_matches_full_forward():
                                     jnp.int32(t), method=GPT3LM.decode_step)
         np.testing.assert_allclose(np.asarray(logits), want[:, t],
                                    rtol=2e-4, atol=2e-4)
+
+
+def test_extract_inject_adapters_roundtrip():
+    from youku_mplug_tpu.ops.lora import extract_adapters, inject_adapters
+
+    tokens = jnp.ones((1, 4), jnp.int32)
+    cfg = GPT3Config(**BASE, lora_rank=2)
+    p = GPT3LM(cfg, policy=FP32_POLICY).init(jax.random.key(0),
+                                             tokens)["params"]
+    trained = jax.tree_util.tree_map_with_path(
+        lambda pt, x: (x + 1.0 if "lora_" in jax.tree_util.keystr(pt)
+                       else x), p)
+    adapters = extract_adapters(trained)
+    assert len(adapters) == 8 and all("lora_" in k for k in adapters)
+    back = inject_adapters(p, adapters)
+    for pt, x in jax.tree_util.tree_leaves_with_path(back):
+        k = jax.tree_util.keystr(pt)
+        if "lora_" in k:
+            np.testing.assert_array_equal(np.asarray(x),
+                                          np.asarray(adapters[k]))
+    with pytest.raises(ValueError):
+        inject_adapters(p, {**adapters, "bogus": np.zeros(2)})

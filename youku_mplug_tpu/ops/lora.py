@@ -84,3 +84,39 @@ def merge_lora(params: Any, lora_rank: int, lora_alpha: float = 16.0):
         return params
     scale = float(lora_alpha) / float(lora_rank)
     return _merge_module(dict(params), scale)
+
+
+def extract_adapters(params: Any) -> dict:
+    """Pull every lora_* leaf out of a param tree into a flat
+    {path: array} dict — a portable adapter file is a few MB instead of
+    the multi-GB base checkpoint (np.savez(**extract_adapters(p)))."""
+    keystr = jax.tree_util.keystr
+    return {keystr(p): x
+            for p, x in jax.tree_util.tree_leaves_with_path(params)
+            if "lora_" in keystr(p)}
+
+
+def inject_adapters(params: Any, adapters: dict) -> Any:
+    """Inverse of extract_adapters: write the flat adapter dict back onto
+    a (freshly initialized or base) param tree; raises on any adapter
+    path missing from the tree or shape mismatch."""
+    keystr = jax.tree_util.keystr
+    seen = set()
+
+    def put(path, x):
+        k = keystr(path)
+        if k in adapters:
+            seen.add(k)
+            a = jnp.asarray(adapters[k])
+            if a.shape != x.shape:
+                raise ValueError(f"adapter {k}: shape {a.shape} != "
+                                 f"param {x.shape}")
+            return a.astype(x.dtype)
+        return x
+
+    out = jax.tree_util.tree_map_with_path(put, params)
+    missing = set(adapters) - seen
+    if missing:
+        raise ValueError(f"adapter paths not in the param tree: "
+                         f"{sorted(missing)[:5]}")
+    return out
