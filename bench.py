@@ -141,8 +141,20 @@ def main():
             st = jax.lax.fori_loop(0, steps - 1, body, state)
             return step_fn(st, batch, rng)
 
-        _, m = multi_step(state, batch_dev, jax.random.key(0))
-        _ = float(m["loss"])  # compile + warmup
+        try:
+            _, m = multi_step(state, batch_dev, jax.random.key(0))
+            _ = float(m["loss"])  # compile + warmup
+        except jax.errors.JaxRuntimeError as e:
+            # compile-failure fallback: retry once with single-sample
+            # flash grid cells (a fresh chip/toolchain may reject the
+            # batch-blocked VMEM geometry; a slower bench beats none)
+            print(f"# retrying with single-sample flash cells: "
+                  f"{str(e).splitlines()[0][:120]}", file=sys.stderr)
+            from youku_mplug_tpu.ops import flash_attention as _fa
+            _fa.FORCE_SINGLE_SAMPLE_CELLS = True
+            jax.clear_caches()
+            _, m = multi_step(state, batch_dev, jax.random.key(0))
+            _ = float(m["loss"])
         t0 = time.time()
         _, m = multi_step(state, batch_dev, jax.random.key(1))
         _ = float(m["loss"])

@@ -465,6 +465,12 @@ def _fwd_kernel_packed(q_ref, k_ref, v_ref, o_ref, lse_ref, *, scale,
                              if g > 1 else lses[0])
 
 
+# escape hatch: force single-sample grid cells (set by bench.py's
+# compile-failure fallback; flip permanently if a geometry ever fails
+# to schedule on new hardware)
+FORCE_SINGLE_SAMPLE_CELLS = False
+
+
 def _pick_block_b(b: int, sk: int, w: int, arrays: int) -> int:
     """Samples per grid cell: largest power-of-two divisor of b whose
     estimated VMEM residency stays under the ~16 MB scoped limit
@@ -475,6 +481,8 @@ def _pick_block_b(b: int, sk: int, w: int, arrays: int) -> int:
     ~8 for the forward kernel, ~16 for the backward kernels (measured:
     the dq kernel at bb=8, S=197, w=768 allocates 33 MB ->
     ~4.1 MB/sample, i.e. ~14 bf16 arrays; 16 adds margin)."""
+    if FORCE_SINGLE_SAMPLE_CELLS:
+        return 1
     per_sample = sk * w * 2 * arrays
     for cand in (8, 4, 2):
         if b % cand == 0 and cand * per_sample <= 12 * 1024 * 1024:
