@@ -145,6 +145,36 @@ def test_merge_lora_matches_adapter_forward():
                                rtol=2e-5, atol=2e-5)
 
 
+def test_merge_lora_vision_tower():
+    """merge_lora also folds the vision adapters (qkv/proj/fc1/fc2)."""
+    from youku_mplug_tpu.models.vision import TimeSformer, VisionConfig
+    from youku_mplug_tpu.ops.lora import merge_lora
+
+    base = dict(img_size=32, patch_size=16, embed_dim=32, depth=2,
+                num_heads=2, num_frames=2, mlp_ratio=2.0)
+    x = jnp.linspace(-1, 1, 2 * 3 * 2 * 32 * 32,
+                     dtype=jnp.float32).reshape(2, 3, 2, 32, 32)
+    # FP32 policy: under the default bf16 compute policy the two
+    # formulations (W@x + (a@b)@x vs (W+a@b)@x) legitimately differ by
+    # bf16 rounding; fp32 pins the algebraic identity tightly
+    m4 = TimeSformer(VisionConfig(**base, lora_rank=4, lora_alpha=8.0),
+                     policy=FP32_POLICY)
+    p4 = m4.init(jax.random.key(0), x)["params"]
+    p4 = jax.tree_util.tree_map_with_path(
+        lambda p, v: (jax.random.normal(jax.random.key(5), v.shape,
+                                        v.dtype) * 0.1
+                      if "lora_" in jax.tree_util.keystr(p) else v), p4)
+    want = m4.apply({"params": p4}, x)[1]
+
+    merged = merge_lora(p4, 4, 8.0)
+    for path, _ in jax.tree_util.tree_leaves_with_path(merged):
+        assert "lora_" not in jax.tree_util.keystr(path)
+    m0 = TimeSformer(VisionConfig(**base), policy=FP32_POLICY)
+    got = m0.apply({"params": merged}, x)[1]
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=2e-4, atol=2e-4)
+
+
 def test_qlora_int8_base_lora_grads_flow():
     """QLoRA composition: int8 frozen base + trainable LoRA adapters —
     the forward consumes the qscales collection, grads reach lora_b."""

@@ -45,7 +45,8 @@ def lora_delta(pair, x, rank: int, alpha: float, dtype):
 # adapter name -> base kernel param name (decoder merge map)
 _TARGET_KERNEL = {
     "qkv": "qkv_kernel",
-    "out": "out_kernel",
+    "out": "out_kernel",       # decoder attention out projection
+    "proj": "proj_kernel",     # vision attention out projection
     "fc1": "fc1_kernel",
     "fc2": "fc2_kernel",
 }
@@ -58,7 +59,11 @@ def _merge_module(mod: dict, scale: float) -> dict:
             out[k] = _merge_module(v, scale)
             continue
         if k.startswith("lora_"):
-            continue  # folded below / dropped
+            # every adapter must have a fold target — never drop one
+            name = k[len("lora_"):].rsplit("_", 1)[0]
+            if name not in _TARGET_KERNEL:
+                raise ValueError(f"no merge target for adapter {k!r}")
+            continue  # folded below
         out[k] = v
     for name, kernel_name in _TARGET_KERNEL.items():
         a = mod.get(f"lora_{name}_a")
