@@ -784,9 +784,11 @@ class GPT3LM(nn.Module):
                           2 * cfg.hidden_size), dtype)
 
     def decode_step(self, input_embeds, cache, cache_len, valid_from=None,
-                    position_offset=None):
+                    position_offset=None, return_all=False):
         """Run a chunk (prefill: S>1; decode: S=1) through the decoder with
-        the KV cache. Returns (vocab logits of the last position, new cache).
+        the KV cache. Returns (vocab logits of the last position — or of
+        every position when return_all, for speculative verification —
+        and the new cache).
 
         valid_from [B]: first valid cache position per sample (hides
         front-padding of variable-length prompts).
@@ -806,5 +808,7 @@ class GPT3LM(nn.Module):
             input_embeds.astype(self.policy.compute_dtype), positions,
             cache=cache, cache_len=cache_len, valid_from=valid_from,
             deterministic=True)
+        if return_all:
+            return self.logits(hidden), new_cache
         logits = self.logits(hidden[:, -1:])[:, 0]
         return logits, new_cache

@@ -1,0 +1,202 @@
+"""Speculative greedy decoding: a small draft model proposes k tokens,
+the target verifies them in ONE chunked decode_step.
+
+TPU-native serving accelerator (no reference analog — the reference
+decodes one python-loop token at a time, distributed_gpt3.py:1398-1480):
+the target model's per-step cost is dominated by streaming its weights,
+which is the same for a 1-token and a (k+1)-token chunk, so every
+accepted draft token is nearly free.  Greedy speculative decoding is
+EXACT: the committed sequence equals target-only greedy decoding for
+any draft (tests pin this equality).
+
+Mechanics per round (all inside one ``lax.while_loop``):
+
+1. the draft autoregressively proposes ``d_0..d_{k-1}`` (k tiny steps);
+2. the target runs one decode_step on ``[last, d_0..d_{k-1}]`` (k+1
+   tokens), yielding its greedy choice ``g_i`` for every position;
+3. the longest prefix with ``d_i == g_i`` (length ``a``) is committed,
+   plus the target's own ``g_a`` — a+1 >= 1 tokens of progress;
+4. both KV caches keep their entries for committed tokens and simply
+   do not advance past them — rows written for rejected proposals sit
+   beyond ``cache_len``, are masked by the attention length rule, and
+   are overwritten by later rounds (the same partial-write contract the
+   continuous-batching engine relies on).
+
+Per-sample accepted counts differ, so lengths/positions are [B] arrays
+throughout — exactly the decode_step contract the serving engine uses.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+from youku_mplug_tpu.models.generation import (
+    GenerationConfig,
+    _build_prefix,
+    _variables,
+)
+from youku_mplug_tpu.models.gpt3 import GPT3LM
+
+
+@functools.partial(jax.jit, static_argnums=(0, 2, 6, 7))
+def speculative_generate(model: GPT3LM, params, draft_model: GPT3LM,
+                         draft_params, prompt_ids, prompt_len,
+                         config: GenerationConfig = GenerationConfig(),
+                         speculate_len: int = 4,
+                         query_embeds=None):
+    """Greedy speculative decoding.  Returns the same structure as
+    ``generation.generate`` with do_sample=False, beam_size=1 — and the
+    same token-for-token output.
+
+    query_embeds (the visual prefix) feed the TARGET only; the draft
+    conditions on the text prompt alone (a worse draft only lowers the
+    acceptance rate, never correctness).
+    """
+    k = speculate_len
+    b, p = prompt_ids.shape
+    nq = 0 if query_embeds is None else query_embeds.shape[1]
+    prefix_len = nq + p
+    d_prefix_len = p
+    max_new = config.max_new_tokens
+    cache_len_cap = prefix_len + max_new + k + 1
+
+    # ---- target prefill ---------------------------------------------
+    embeds, valid_from, pos_offset = _build_prefix(
+        model, params, prompt_ids, prompt_len, query_embeds, config.pad_id)
+    t_cache = model.apply(_variables(params), b, cache_len_cap,
+                          method=GPT3LM.init_cache)
+    t_logits, t_cache = model.apply(
+        _variables(params), embeds, t_cache, jnp.int32(0),
+        valid_from, pos_offset, method=GPT3LM.decode_step)
+
+    # ---- draft prefill (text prompt only) ---------------------------
+    d_embeds, d_valid_from, d_pos_offset = _build_prefix(
+        draft_model, draft_params, prompt_ids, prompt_len, None,
+        config.pad_id)
+    d_cache = draft_model.apply(_variables(draft_params), b,
+                                d_prefix_len + max_new + k + 1,
+                                method=GPT3LM.init_cache)
+    _, d_cache = draft_model.apply(
+        _variables(draft_params), d_embeds, d_cache, jnp.int32(0),
+        d_valid_from, d_pos_offset, method=GPT3LM.decode_step)
+
+    first = jnp.argmax(t_logits.astype(jnp.float32), -1).astype(jnp.int32)
+    seqs = jnp.full((b, max_new), config.pad_id, jnp.int32)
+    seqs = seqs.at[:, 0].set(first)
+    done = first == config.eos_id
+
+    # invariant at the top of every round: `last[i]` is committed but
+    # NOT yet written into either cache; cache rows < len are written
+    state = dict(
+        t=jnp.ones((b,), jnp.int32),                 # tokens committed
+        seqs=seqs,
+        t_cache=t_cache,
+        d_cache=d_cache,
+        t_len=jnp.full((b,), prefix_len, jnp.int32),
+        d_len=jnp.full((b,), d_prefix_len, jnp.int32),
+        last=first,
+        done=done,
+        rounds=jnp.int32(0),                         # serving telemetry
+    )
+
+    def cond(st):
+        return ~jnp.all(st["done"] | (st["t"] >= max_new))
+
+    def body(st):
+        # ---- 1. draft proposes k tokens autoregressively ------------
+        def d_step(carry, _):
+            cache, length, tok = carry
+            emb = draft_model.apply(_variables(draft_params),
+                                    tok[:, None], method=GPT3LM.embed)
+            logits, cache = draft_model.apply(
+                _variables(draft_params), emb, cache, length,
+                d_valid_from, d_pos_offset, method=GPT3LM.decode_step)
+            nxt = jnp.argmax(logits.astype(jnp.float32),
+                             -1).astype(jnp.int32)
+            return (cache, length + 1, nxt), nxt
+
+        (d_cache, d_len, _), drafts = jax.lax.scan(
+            d_step, (st["d_cache"], st["d_len"], st["last"]), None,
+            length=k)
+        drafts = drafts.T  # [B, k]
+
+        # ---- 2. target verifies the chunk in one step ----------------
+        chunk = jnp.concatenate([st["last"][:, None], drafts], axis=1)
+        emb = model.apply(_variables(params), chunk, method=GPT3LM.embed)
+        logits, t_cache = model.apply(
+            _variables(params), emb, st["t_cache"], st["t_len"],
+            valid_from, pos_offset, True, method=GPT3LM.decode_step)
+        greedy = jnp.argmax(logits.astype(jnp.float32),
+                            -1).astype(jnp.int32)  # [B, k+1]
+
+        # ---- 3. accept the agreeing prefix + the target's correction -
+        agree = drafts == greedy[:, :k]                       # [B, k]
+        accepted = jnp.cumprod(agree.astype(jnp.int32),
+                               axis=1).sum(axis=1)            # [B] in 0..k
+        # committed tokens this round: drafts[:a] then greedy[a]
+        idx = jnp.arange(k + 1)[None, :]
+        commit = jnp.where(idx < accepted[:, None],
+                           jnp.concatenate(
+                               [drafts, drafts[:, -1:]], axis=1),
+                           jnp.take_along_axis(
+                               greedy, jnp.minimum(accepted, k)[:, None],
+                               axis=1))                        # [B, k+1]
+        n_commit = accepted + 1                                # [B]
+
+        # eos / max_new masking: a token is real iff its slot is before
+        # n_commit, the sample wasn't done, no earlier commit was eos,
+        # and it fits in max_new
+        prev_eos = jnp.cumsum(
+            (commit == config.eos_id).astype(jnp.int32), axis=1)
+        no_earlier_eos = (prev_eos - (commit == config.eos_id)) == 0
+        pos = st["t"][:, None] + idx                           # [B, k+1]
+        live = ((idx < n_commit[:, None]) & ~st["done"][:, None]
+                & no_earlier_eos & (pos < max_new))
+        n_live = live.sum(axis=1).astype(jnp.int32)            # [B]
+
+        seqs = st["seqs"]
+        for j in range(k + 1):
+            tgt = jnp.clip(st["t"] + j, 0, max_new - 1)
+            val = jnp.where(live[:, j], commit[:, j],
+                            seqs[jnp.arange(b), tgt])
+            seqs = seqs.at[jnp.arange(b), tgt].set(val)
+
+        hit_eos = jnp.any(live & (commit == config.eos_id), axis=1)
+        new_done = st["done"] | hit_eos | (st["t"] + n_live >= max_new)
+        # next round's `last`: the final live committed token
+        last_idx = jnp.clip(n_live - 1, 0, k)
+        new_last = jnp.where(
+            n_live > 0,
+            jnp.take_along_axis(commit, last_idx[:, None], axis=1)[:, 0],
+            st["last"])
+
+        # cache advance: the verify chunk wrote rows for
+        # [last, d_0..d_{k-1}]; rows for `last` plus the accepted drafts
+        # are valid history (the tail commit g_a is NOT yet fed — it is
+        # next round's `last`).  done samples stop advancing.
+        adv = jnp.where(st["done"], 0, n_live)
+        return dict(
+            t=st["t"] + adv,
+            seqs=seqs,
+            t_cache=t_cache,
+            d_cache=d_cache,
+            t_len=st["t_len"] + adv,
+            d_len=st["d_len"] + adv,
+            last=new_last,
+            done=new_done,
+            rounds=st["rounds"] + 1,
+        )
+
+    st = jax.lax.while_loop(cond, body, state)
+    # tokens per verify round (1.0 = no speedup, k+1 = every draft
+    # accepted): the serving-side figure of merit for the draft model
+    committed = jnp.sum(jnp.minimum(st["t"], max_new) - 1)
+    rate = committed / jnp.maximum(st["rounds"] * b, 1)
+    return {"sequences": st["seqs"],
+            "scores": jnp.zeros((b,), jnp.float32),
+            "rounds": st["rounds"],
+            "tokens_per_round": rate}
