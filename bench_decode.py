@@ -66,11 +66,36 @@ def main():
                                                 include_embedding=True)
         lm_vars = {"params": qparams, "qscales": scales}
 
-    def run(seed):
-        out = generate(lm, lm_vars, prompt, plen,
-                       query_embeds=query_embeds, config=gcfg,
-                       rng=jax.random.key(seed))
-        return out["sequences"]
+    # speculative decoding: BENCH_DECODE_SPEC=k uses a truncated-depth
+    # twin of the decoder as the draft (depth//4 layers, same weights —
+    # a realistic "shallow draft" without training one)
+    spec = int(os.environ.get("BENCH_DECODE_SPEC", "0"))
+    if spec > 0:
+        import dataclasses as _dc
+
+        from youku_mplug_tpu.serving.speculative import speculative_generate
+
+        d_layers = max(cfg.text.num_hidden_layers // 4, 1)
+        d_cfg = _dc.replace(cfg.text, num_hidden_layers=d_layers)
+        draft = GPT3LM(d_cfg, policy=model.policy)
+        d_params = jax.tree_util.tree_map(
+            lambda x: x[:d_layers] if (hasattr(x, "shape") and x.ndim > 0
+                                       and x.shape[0]
+                                       == cfg.text.num_hidden_layers)
+            else x, lm_params)
+
+        def run(seed):
+            out = speculative_generate(lm, lm_vars, draft, d_params,
+                                       prompt, plen, config=gcfg,
+                                       speculate_len=spec,
+                                       query_embeds=query_embeds)
+            return out["sequences"]
+    else:
+        def run(seed):
+            out = generate(lm, lm_vars, prompt, plen,
+                           query_embeds=query_embeds, config=gcfg,
+                           rng=jax.random.key(seed))
+            return out["sequences"]
 
     seqs = run(0)
     _ = jax.device_get(seqs)  # compile + warmup, value-forced
