@@ -67,3 +67,59 @@ def test_speculative_perfect_draft_accepts_everything(models):
     # rounds than tokens (proves the multi-commit path actually engages)
     assert int(out["rounds"]) <= 3, int(out["rounds"])
     assert float(out["tokens_per_round"]) > 2.0
+
+
+def test_spec_accept_marginal_is_target_distribution():
+    """Monte-Carlo check of the rejection-sampling core: the first
+    committed token's marginal law equals the target distribution
+    regardless of the draft distribution."""
+    from youku_mplug_tpu.serving.speculative import _spec_accept
+
+    Vv, k, n = 7, 3, 60000
+    key = jax.random.key(0)
+    # deliberately mismatched draft vs target distributions
+    p_t = jax.nn.softmax(jnp.array([[2.0, 0.5, 0.0, -1.0, 1.0, -2.0, 0.3],
+                                    [0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0],
+                                    [1.0, 1.0, -3.0, 2.0, 0.0, 0.0, 0.0],
+                                    [0.5, -0.5, 0.5, -0.5, 0.5, -0.5, 0.5]]))
+    p_d = jax.nn.softmax(jnp.array([[-2.0, 1.0, 1.0, 1.0, -1.0, 2.0, 0.0],
+                                    [1.0, -1.0, 0.0, 0.0, 2.0, 0.0, -1.0],
+                                    [0.0, 0.0, 3.0, -1.0, 1.0, 0.0, 1.0]]))
+
+    def one(key):
+        kd, ka = jax.random.split(key)
+        drafts = jax.vmap(
+            lambda r, p: jax.random.categorical(r, jnp.log(p)))(
+            jax.random.split(kd, k), p_d).astype(jnp.int32)
+        commit, n_commit = _spec_accept(ka, drafts, p_d, p_t)
+        return commit[0], n_commit
+
+    firsts, n_commits = jax.vmap(one)(jax.random.split(key, n))
+    emp = np.bincount(np.asarray(firsts), minlength=Vv) / n
+    # 4-sigma band per bucket on n=60k samples
+    sigma = np.sqrt(np.asarray(p_t[0]) * (1 - np.asarray(p_t[0])) / n)
+    np.testing.assert_allclose(emp, np.asarray(p_t[0]),
+                               atol=float((4 * sigma).max()) + 1e-3)
+    # acceptance should be nontrivial (not always 1, not always k+1)
+    assert 1.0 < float(n_commits.mean()) < k + 1
+
+
+def test_speculative_sampling_runs_and_terminates(models):
+    target, tp, draft, dp = models
+    rng = np.random.default_rng(3)
+    prompt = jnp.asarray(rng.integers(1, V, (2, 5)), jnp.int32)
+    plen = jnp.asarray([5, 4], jnp.int32)
+    cfg = GenerationConfig(max_new_tokens=8, eos_id=2, pad_id=0,
+                           do_sample=True, top_k=0, top_p=1.0,
+                           temperature=1.0, beam_size=1)
+    out = speculative_generate(target, tp, draft, dp, prompt, plen,
+                               config=cfg, speculate_len=3,
+                               rng=jax.random.key(11))
+    seqs = np.asarray(out["sequences"])
+    assert seqs.shape == (2, 8)
+    assert seqs.min() >= 0 and seqs.max() < V
+    # after an eos the tail must be pad
+    for row in seqs:
+        hits = np.where(row == 2)[0]
+        if hits.size:
+            assert (row[hits[0] + 1:] == 0).all()

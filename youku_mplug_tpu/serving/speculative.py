@@ -38,8 +38,42 @@ from youku_mplug_tpu.models.generation import (
     GenerationConfig,
     _build_prefix,
     _variables,
+    top_k_top_p_filter,
 )
 from youku_mplug_tpu.models.gpt3 import GPT3LM
+
+
+def _spec_accept(rng, drafts, p_draft, p_target):
+    """Rejection-sampling acceptance for ONE sample (Leviathan et al.):
+    drafts [k] proposal tokens, p_draft [k, V] the draft's (filtered)
+    probabilities they were sampled from, p_target [k+1, V] the target's
+    (filtered) probabilities at every chunk position.
+
+    Returns (commit [k+1], n_commit): the accepted prefix, then one
+    token resampled from the residual max(p_t - p_d, 0) at the first
+    rejection (or from p_target[k] when everything was accepted).  The
+    marginal law of every committed token is exactly the target's — the
+    draft only changes how often k+1 tokens commit per round.
+    """
+    k = drafts.shape[0]
+    r_u, r_cat = jax.random.split(rng)
+    pt_d = jnp.take_along_axis(p_target[:k], drafts[:, None], 1)[:, 0]
+    pd_d = jnp.take_along_axis(p_draft, drafts[:, None], 1)[:, 0]
+    u = jax.random.uniform(r_u, (k,))
+    accept = u * pd_d < pt_d                    # u < p_t/p_d, no div-by-0
+    a = jnp.cumprod(accept.astype(jnp.int32)).sum()   # 0..k
+    # residual distribution at the rejection position (p_target[k] when
+    # a == k: everything accepted, bonus token is a plain target sample)
+    p_t_a = p_target[jnp.minimum(a, k)]
+    p_d_a = jnp.where(a < k, p_draft[jnp.minimum(a, k - 1)], 0.0)
+    residual = jnp.maximum(p_t_a - p_d_a, 0.0)
+    residual = residual / jnp.maximum(residual.sum(), 1e-20)
+    extra = jax.random.categorical(r_cat, jnp.log(residual + 1e-20))
+    idx = jnp.arange(k + 1)
+    commit = jnp.where(idx < a,
+                       jnp.concatenate([drafts, drafts[-1:]]),
+                       extra.astype(jnp.int32))
+    return commit, a + 1
 
 
 @functools.partial(jax.jit, static_argnums=(0, 2, 6, 7))
@@ -47,7 +81,7 @@ def speculative_generate(model: GPT3LM, params, draft_model: GPT3LM,
                          draft_params, prompt_ids, prompt_len,
                          config: GenerationConfig = GenerationConfig(),
                          speculate_len: int = 4,
-                         query_embeds=None):
+                         query_embeds=None, rng=None):
     """Greedy speculative decoding.  Returns the same structure as
     ``generation.generate`` with do_sample=False, beam_size=1 — and the
     same token-for-token output.
@@ -55,7 +89,20 @@ def speculative_generate(model: GPT3LM, params, draft_model: GPT3LM,
     query_embeds (the visual prefix) feed the TARGET only; the draft
     conditions on the text prompt alone (a worse draft only lowers the
     acceptance rate, never correctness).
+
+    config.do_sample=True runs speculative SAMPLING (rejection scheme,
+    `_spec_accept`): every committed token is marginally distributed
+    exactly as a plain target sample under the same
+    temperature/top-k/top-p filtering.
     """
+    sample = bool(config.do_sample)
+    if rng is None:
+        rng = jax.random.key(0)
+
+    def t_probs(logits):
+        logits = logits.astype(jnp.float32) / config.temperature
+        logits = top_k_top_p_filter(logits, config.top_k, config.top_p)
+        return jax.nn.softmax(logits, axis=-1)
     k = speculate_len
     b, p = prompt_ids.shape
     nq = 0 if query_embeds is None else query_embeds.shape[1]
@@ -84,7 +131,13 @@ def speculative_generate(model: GPT3LM, params, draft_model: GPT3LM,
         _variables(draft_params), d_embeds, d_cache, jnp.int32(0),
         d_valid_from, d_pos_offset, method=GPT3LM.decode_step)
 
-    first = jnp.argmax(t_logits.astype(jnp.float32), -1).astype(jnp.int32)
+    if sample:
+        rng, sub = jax.random.split(rng)
+        first = jax.random.categorical(
+            sub, jnp.log(t_probs(t_logits) + 1e-20)).astype(jnp.int32)
+    else:
+        first = jnp.argmax(t_logits.astype(jnp.float32),
+                           -1).astype(jnp.int32)
     seqs = jnp.full((b, max_new), config.pad_id, jnp.int32)
     seqs = seqs.at[:, 0].set(first)
     done = first == config.eos_id
@@ -101,6 +154,7 @@ def speculative_generate(model: GPT3LM, params, draft_model: GPT3LM,
         last=first,
         done=done,
         rounds=jnp.int32(0),                         # serving telemetry
+        rng=rng,
     )
 
     def cond(st):
@@ -108,21 +162,31 @@ def speculative_generate(model: GPT3LM, params, draft_model: GPT3LM,
 
     def body(st):
         # ---- 1. draft proposes k tokens autoregressively ------------
-        def d_step(carry, _):
+        rng = st["rng"]
+
+        def d_step(carry, step_rng):
             cache, length, tok = carry
             emb = draft_model.apply(_variables(draft_params),
                                     tok[:, None], method=GPT3LM.embed)
             logits, cache = draft_model.apply(
                 _variables(draft_params), emb, cache, length,
                 d_valid_from, d_pos_offset, method=GPT3LM.decode_step)
-            nxt = jnp.argmax(logits.astype(jnp.float32),
-                             -1).astype(jnp.int32)
-            return (cache, length + 1, nxt), nxt
+            if sample:
+                probs = t_probs(logits)
+                nxt = jax.random.categorical(
+                    step_rng, jnp.log(probs + 1e-20)).astype(jnp.int32)
+            else:
+                probs = jnp.zeros_like(logits, jnp.float32)
+                nxt = jnp.argmax(logits.astype(jnp.float32),
+                                 -1).astype(jnp.int32)
+            return (cache, length + 1, nxt), (nxt, probs)
 
-        (d_cache, d_len, _), drafts = jax.lax.scan(
-            d_step, (st["d_cache"], st["d_len"], st["last"]), None,
-            length=k)
-        drafts = drafts.T  # [B, k]
+        rng, d_rng = jax.random.split(rng)
+        (d_cache, d_len, _), (drafts, d_probs) = jax.lax.scan(
+            d_step, (st["d_cache"], st["d_len"], st["last"]),
+            jax.random.split(d_rng, k))
+        drafts = drafts.T                      # [B, k]
+        d_probs = jnp.moveaxis(d_probs, 0, 1)  # [B, k, V]
 
         # ---- 2. target verifies the chunk in one step ----------------
         chunk = jnp.concatenate([st["last"][:, None], drafts], axis=1)
@@ -130,22 +194,29 @@ def speculative_generate(model: GPT3LM, params, draft_model: GPT3LM,
         logits, t_cache = model.apply(
             _variables(params), emb, st["t_cache"], st["t_len"],
             valid_from, pos_offset, True, method=GPT3LM.decode_step)
-        greedy = jnp.argmax(logits.astype(jnp.float32),
-                            -1).astype(jnp.int32)  # [B, k+1]
-
-        # ---- 3. accept the agreeing prefix + the target's correction -
-        agree = drafts == greedy[:, :k]                       # [B, k]
-        accepted = jnp.cumprod(agree.astype(jnp.int32),
-                               axis=1).sum(axis=1)            # [B] in 0..k
-        # committed tokens this round: drafts[:a] then greedy[a]
         idx = jnp.arange(k + 1)[None, :]
-        commit = jnp.where(idx < accepted[:, None],
-                           jnp.concatenate(
-                               [drafts, drafts[:, -1:]], axis=1),
-                           jnp.take_along_axis(
-                               greedy, jnp.minimum(accepted, k)[:, None],
-                               axis=1))                        # [B, k+1]
-        n_commit = accepted + 1                                # [B]
+        if sample:
+            rng, a_rng = jax.random.split(rng)
+            commit, n_commit = jax.vmap(_spec_accept)(
+                jax.random.split(a_rng, b), drafts,
+                d_probs, t_probs(logits))
+            accepted = n_commit - 1
+        else:
+            greedy = jnp.argmax(logits.astype(jnp.float32),
+                                -1).astype(jnp.int32)  # [B, k+1]
+            # accept the agreeing prefix + the target's correction
+            agree = drafts == greedy[:, :k]                   # [B, k]
+            accepted = jnp.cumprod(agree.astype(jnp.int32),
+                                   axis=1).sum(axis=1)        # [B] 0..k
+            # committed tokens this round: drafts[:a] then greedy[a]
+            commit = jnp.where(idx < accepted[:, None],
+                               jnp.concatenate(
+                                   [drafts, drafts[:, -1:]], axis=1),
+                               jnp.take_along_axis(
+                                   greedy,
+                                   jnp.minimum(accepted, k)[:, None],
+                                   axis=1))                    # [B, k+1]
+            n_commit = accepted + 1                            # [B]
 
         # eos / max_new masking: a token is real iff its slot is before
         # n_commit, the sample wasn't done, no earlier commit was eos,
@@ -189,6 +260,7 @@ def speculative_generate(model: GPT3LM, params, draft_model: GPT3LM,
             last=new_last,
             done=new_done,
             rounds=st["rounds"] + 1,
+            rng=rng,
         )
 
     st = jax.lax.while_loop(cond, body, state)
