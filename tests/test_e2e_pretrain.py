@@ -157,3 +157,53 @@ def test_pretrain_with_lora_adapters(tiny_config, tmp_path):
     b_moved = [float(abs(x).max()) for k, x in train_lora.items()
                if k.endswith("_b']")]
     assert all(v > 0 for v in b_moved)
+
+
+def test_export_serving_checkpoint(tiny_config, tmp_path):
+    """tools/export_serving.py: restore -> merge LoRA -> int8 -> one
+    serving checkpoint with qscales."""
+    import sys as _sys
+
+    import jax
+    import yaml
+
+    from youku_mplug_tpu.cli import common, run_pretrain
+
+    cfg = yaml.safe_load(open(tiny_config))
+    cfg["lora_rank"] = 2
+    lcfg = str(tmp_path / "lora.yaml")
+    yaml.safe_dump(cfg, open(lcfg, "w"))
+    out = str(tmp_path / "run")
+    args = common.base_parser("t").parse_args([
+        "--config", lcfg, "--output_dir", out, "--fp32",
+        "--synthetic_data", "--max_steps", "2", "--seed", "0"])
+    run_pretrain.main(args)
+
+    dest = str(tmp_path / "serving")
+    # in-process (a subprocess would re-init the forced TPU backend);
+    # the tool itself is backend-agnostic
+    import importlib.util as _ilu
+    spec = _ilu.spec_from_file_location(
+        "export_serving",
+        os.path.join(os.path.dirname(os.path.dirname(
+            os.path.abspath(__file__))), "tools", "export_serving.py"))
+    tool = _ilu.module_from_spec(spec)
+    spec.loader.exec_module(tool)
+    argv = _sys.argv
+    _sys.argv = ["x", "--run_dir", out, "--config", lcfg,
+                 "--dest", dest, "--int8"]
+    try:
+        tool.main()
+    finally:
+        _sys.argv = argv
+
+    from youku_mplug_tpu.train.checkpoint import CheckpointManager
+    ckpt = CheckpointManager(dest)
+    step = ckpt.latest_step()
+    raw = ckpt.restore_raw(step)
+    leaves = jax.tree_util.tree_leaves_with_path(raw["params"])
+    assert not any("lora_" in jax.tree_util.keystr(p) for p, _ in leaves)
+    import numpy as _np
+    int8_kernels = [x for _, x in leaves if x.dtype == _np.int8]
+    assert int8_kernels, "decoder kernels should be int8"
+    assert "qscales" in raw

@@ -1,0 +1,76 @@
+"""Export a trained run as a serving checkpoint.
+
+Pipeline: restore the latest train checkpoint -> merge LoRA adapters
+into the base kernels (ops/lora.py) -> optionally int8-quantize the
+decoder (ops/quant.py) -> save one orbax checkpoint the serving entry
+points (cli/serve.py, bench_decode.py) can load directly.
+
+Usage:
+  python tools/export_serving.py --run_dir OUT --config cfg.yaml \
+      --dest OUT/serving [--int8] [--int8_embedding]
+"""
+import argparse
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--run_dir", required=True,
+                    help="training output_dir (holds checkpoints/)")
+    ap.add_argument("--config", required=True, help="the run's YAML")
+    ap.add_argument("--dest", required=True, help="serving ckpt directory")
+    ap.add_argument("--int8", action="store_true",
+                    help="int8-quantize the decoder kernels")
+    ap.add_argument("--int8_embedding", action="store_true",
+                    help="also quantize the tied embedding (serving only)")
+    args = ap.parse_args()
+
+    import jax
+    from youku_mplug_tpu.config import load_config
+    from youku_mplug_tpu.ops.lora import merge_lora
+    from youku_mplug_tpu.train.checkpoint import CheckpointManager
+
+    rc = load_config(args.config)
+    ckpt = CheckpointManager(os.path.join(args.run_dir, "checkpoints"))
+    step = ckpt.latest_step()
+    if step is None:
+        raise SystemExit(f"no checkpoint under {args.run_dir}/checkpoints")
+    raw = ckpt.restore_raw(step)
+    # TrainState layout: {'step', 'trainable', 'frozen', 'opt_state'}
+    from youku_mplug_tpu.optim.factory import merge_params
+    params = merge_params(raw["trainable"], raw["frozen"])
+
+    rank = rc.model.text.lora_rank or rc.model.vision.lora_rank
+    if rank:
+        alpha = (rc.model.text.lora_alpha if rc.model.text.lora_rank
+                 else rc.model.vision.lora_alpha)
+        params = merge_lora(params, rank, alpha)
+        print(f"merged LoRA adapters (rank {rank}, alpha {alpha})")
+
+    out = {"params": params}
+    if args.int8:
+        from youku_mplug_tpu.ops.quant import quantize_gpt3_decoder
+
+        dec = params["text_decoder"]
+        qdec, scales = quantize_gpt3_decoder(
+            dec, include_embedding=args.int8_embedding)
+        params = dict(params)
+        params["text_decoder"] = qdec
+        out = {"params": params, "qscales": {"text_decoder": scales}}
+        print("int8 decoder kernels"
+              + (" + embedding" if args.int8_embedding else ""))
+
+    dest = CheckpointManager(args.dest)
+    dest.save(step, out, metadata={"source_step": int(step),
+                                   "lora_merged": bool(rank),
+                                   "int8": bool(args.int8)})
+    n = sum(x.size for x in jax.tree.leaves(out["params"]))
+    print(f"wrote serving checkpoint (step {step}, {n/1e6:.1f}M params) "
+          f"to {args.dest}")
+
+
+if __name__ == "__main__":
+    main()
