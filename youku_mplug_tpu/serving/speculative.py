@@ -51,9 +51,13 @@ def _spec_accept(rng, drafts, p_draft, p_target):
 
     Returns (commit [k+1], n_commit): the accepted prefix, then one
     token resampled from the residual max(p_t - p_d, 0) at the first
-    rejection (or from p_target[k] when everything was accepted).  The
-    marginal law of every committed token is exactly the target's — the
-    draft only changes how often k+1 tokens commit per round.
+    rejection.  n_commit is capped at k: when every draft is accepted
+    the bonus target sample is FORGONE, because committing it would
+    advance the draft cache past the rows it actually wrote (the k-th
+    proposal is never fed back during the proposal scan) and leave a
+    zero KV row corrupting later proposals.  Accepted tokens are valid
+    target samples by the scheme, so the cap costs only throughput,
+    never exactness.
     """
     k = drafts.shape[0]
     r_u, r_cat = jax.random.split(rng)
@@ -73,7 +77,7 @@ def _spec_accept(rng, drafts, p_draft, p_target):
     commit = jnp.where(idx < a,
                        jnp.concatenate([drafts, drafts[-1:]]),
                        extra.astype(jnp.int32))
-    return commit, a + 1
+    return commit, jnp.minimum(a + 1, k)
 
 
 @functools.partial(jax.jit, static_argnums=(0, 2, 6, 7))
@@ -216,7 +220,11 @@ def speculative_generate(model: GPT3LM, params, draft_model: GPT3LM,
                                    greedy,
                                    jnp.minimum(accepted, k)[:, None],
                                    axis=1))                    # [B, k+1]
-            n_commit = accepted + 1                            # [B]
+            # cap at k: on full acceptance the bonus g_k is forgone so
+            # the draft cache never advances past its written rows (see
+            # _spec_accept docstring) — d_{k-1} becomes next round's
+            # `last` and is fed then
+            n_commit = jnp.minimum(accepted + 1, k)            # [B]
 
         # eos / max_new masking: a token is real iff its slot is before
         # n_commit, the sample wasn't done, no earlier commit was eos,
