@@ -259,3 +259,24 @@ def test_serve_runner(tmp_path):
     assert len(results) == 5
     assert all(r["n_tokens"] > 0 for r in results)
     assert stats["tokens_per_sec"] > 0
+
+
+def test_serve_runner_speculative(tmp_path):
+    """--speculative k: lock-step speculative decoding with a
+    truncated-depth twin draft; same request/latency contract."""
+    from youku_mplug_tpu.cli import serve
+
+    cfg = write_cfg(tmp_path, "serve_spec", prompt="", max_new_tokens=4)
+    args = serve.serve_parser().parse_args([
+        "--config", cfg, "--output_dir", str(tmp_path / "out"),
+        "--fp32", "--synthetic_data", "--seed", "0",
+        "--num_requests", "4", "--num_slots", "2",
+        "--speculative", "2", "--draft_layers", "1"])
+    stats = serve.main(args)
+    assert stats["requests"] == 4
+    assert stats["speculative_k"] == 2
+    assert stats["tokens_per_round"] is None or \
+        stats["tokens_per_round"] >= 1.0
+    results = json.load(open(tmp_path / "out" / "serve_results.json"))
+    assert len(results) == 4
+    assert all(r["n_tokens"] > 0 for r in results)

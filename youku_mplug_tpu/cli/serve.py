@@ -44,6 +44,13 @@ def serve_parser():
     p.add_argument("--admit_per_step", type=int, default=2,
                    help="max new requests admitted per engine step "
                         "(simulates a steady arrival process)")
+    p.add_argument("--speculative", type=int, default=0,
+                   help="k>0: lock-step speculative decoding instead of "
+                        "the continuous-batching engine (draft: "
+                        "--draft_layers-deep twin of the decoder)")
+    p.add_argument("--draft_layers", type=int, default=0,
+                   help="draft depth for --speculative (0: decoder "
+                        "depth // 4)")
     return p
 
 
@@ -78,6 +85,11 @@ def main(args):
 
     encode = jax.jit(lambda p, v: model.apply(
         {"params": p}, v, method=MPLUGVideo.encode_video)[1])
+
+    if args.speculative > 0:
+        return _serve_speculative(args, cfg, runner, model, lm, lm_params,
+                                  params, tok, encode, prompt_vec,
+                                  prompt_len, gen_cfg, loader, max_new)
 
     with jax.set_mesh(runner.mesh):
         engine = ServingEngine(
@@ -149,3 +161,71 @@ def main(args):
 
 if __name__ == "__main__":
     main(serve_parser().parse_args())
+
+
+def _serve_speculative(args, cfg, runner, model, lm, lm_params, params,
+                       tok, encode, prompt_vec, prompt_len, gen_cfg,
+                       loader, max_new):
+    """Lock-step speculative serving: requests are decoded in fixed
+    batches of --num_slots through ``speculative_generate`` with a
+    truncated-depth twin of the decoder as the draft (zero extra
+    training; see docs/SERVING.md)."""
+    import dataclasses
+
+    from youku_mplug_tpu.serving.speculative import speculative_generate
+
+    k = args.speculative
+    L = cfg.model.text.num_hidden_layers
+    d_layers = args.draft_layers or max(L // 4, 1)
+    d_cfg = dataclasses.replace(cfg.model.text, num_hidden_layers=d_layers)
+    draft = GPT3LM(d_cfg, policy=model.policy)
+    d_params = jax.tree_util.tree_map(
+        lambda x: x[:d_layers] if (hasattr(x, "shape") and x.ndim > 0
+                                   and x.shape[0] == L) else x, lm_params)
+
+    results = []
+    total_toks = 0
+    t_start = time.time()
+    served = 0
+    with jax.set_mesh(runner.mesh):
+        for raw in loader:
+            if served >= args.num_requests:
+                break
+            video = normalize_clip(jnp.asarray(raw["video"]),
+                                   dtype=model.policy.compute_dtype)
+            qe = encode(params, video)
+            b = qe.shape[0]
+            prompt = jnp.asarray([prompt_vec] * b, jnp.int32)
+            plen = jnp.full((b,), max(prompt_len, 1), jnp.int32)
+            t0 = time.time()
+            out = speculative_generate(lm, lm_params, draft, d_params,
+                                       prompt, plen, config=gen_cfg,
+                                       speculate_len=k, query_embeds=qe)
+            seqs = np.asarray(out["sequences"])
+            dt = time.time() - t0
+            ids = raw.get("video_id", range(b))
+            for i, vid in enumerate(ids):
+                if served >= args.num_requests:
+                    break
+                toks = [int(t) for t in seqs[i] if t != gen_cfg.pad_id]
+                total_toks += len(toks)
+                text = tok.decode(np.asarray(
+                    toks + [gen_cfg.eos_id],
+                    np.int32)).replace(" ", "").strip()
+                results.append({"video_id": str(vid), "caption": text,
+                                "n_tokens": len(toks),
+                                "latency_s": round(dt, 4)})
+                served += 1
+    wall = time.time() - t_start
+    stats = {"requests": len(results), "wall_s": round(wall, 3),
+             "tokens_per_sec": round(total_toks / max(wall, 1e-9), 2),
+             "speculative_k": k, "draft_layers": d_layers,
+             "tokens_per_round": round(
+                 float(out["tokens_per_round"]), 3) if results else None}
+    os.makedirs(args.output_dir, exist_ok=True)
+    json.dump(results, open(os.path.join(args.output_dir,
+                                         "serve_results.json"), "w"),
+              ensure_ascii=False)
+    print("* Serve stats:", json.dumps(stats), flush=True)
+    common.write_log(args, {"serve": stats})
+    return stats
