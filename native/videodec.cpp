@@ -182,7 +182,7 @@ int vd_read_frames(void* handle, const long* indices, int n, int out_w,
   const double tb = av_q2d(st->time_base);
   const int64_t start_ts =
       st->start_time == AV_NOPTS_VALUE ? 0 : st->start_time;
-  const bool can_index = h->fps > 0 && tb > 0;
+  bool can_index = h->fps > 0 && tb > 0;
   const long kSeekGap = 16;  // decode-forward cheaper below this gap
 
   auto frame_index = [&](int64_t fallback) -> int64_t {
@@ -225,6 +225,20 @@ int vd_read_frames(void* handle, const long* indices, int n, int out_w,
     }
     int ret = next_frame(h);
     if (ret != 0) break;  // EOF/error: pad below
+    if (h->next_frame_idx < 0 &&
+        h->frame->best_effort_timestamp == AV_NOPTS_VALUE) {
+      // first frame after a seek has no usable timestamp: we cannot know
+      // where the seek landed, so relabeling from 0 here would silently
+      // return wrong frames.  Rewind to the true frame 0 and decode
+      // sequentially for the rest of this call.
+      av_frame_unref(h->frame);
+      can_index = false;
+      av_seek_frame(h->fmt, h->stream_index, 0,
+                    AVSEEK_FLAG_BACKWARD | AVSEEK_FLAG_FRAME);
+      avcodec_flush_buffers(h->codec);
+      h->next_frame_idx = 0;
+      continue;
+    }
     int64_t cur = frame_index(h->next_frame_idx < 0 ? 0
                                                     : h->next_frame_idx);
     if (cur < 0) cur = 0;

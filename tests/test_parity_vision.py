@@ -95,9 +95,12 @@ def test_timesformer_parity(ref_mod):
             "mlp": _mlp(b + "mlp.", sd),
         }
 
+    # gelu="erf" pinned explicitly: reference uses torch nn.GELU (exact
+    # erf); the production default is the tanh approximation (PARITY.md),
+    # which is deliberately NOT what this strict-parity test exercises.
     cfg = VisionConfig(img_size=IMG, patch_size=PATCH, embed_dim=DIM,
                        depth=DEPTH, num_heads=HEADS, num_frames=T,
-                       mlp_ratio=4.0)
+                       mlp_ratio=4.0, gelu="erf")
     ours = TimeSformer(cfg, policy=FP32_POLICY)
 
     rng = np.random.default_rng(0)
@@ -139,7 +142,7 @@ def test_attention_pool_parity(ref_mod):
         "mlp": _mlp("mlp.", sd),
     }
 
-    ours = AttentionPool(DIM, HEADS, mlp_ratio=4.0)
+    ours = AttentionPool(DIM, HEADS, mlp_ratio=4.0, gelu="erf")
     rng = np.random.default_rng(2)
     queries = rng.normal(size=(2, 5, DIM)).astype(np.float32)
     keys = rng.normal(size=(2, 9, DIM)).astype(np.float32)
@@ -180,7 +183,8 @@ def test_vit_parity(ref_mod):
         }
 
     cfg = VisionConfig(img_size=IMG, patch_size=PATCH, embed_dim=DIM,
-                       depth=DEPTH, num_heads=HEADS, mlp_ratio=4.0)
+                       depth=DEPTH, num_heads=HEADS, mlp_ratio=4.0,
+                       gelu="erf")
     ours = VisionTransformer(cfg, policy=FP32_POLICY)
 
     rng = np.random.default_rng(4)

@@ -43,12 +43,19 @@ def main():
     from youku_mplug_tpu.optim.factory import merge_params
     params = merge_params(raw["trainable"], raw["frozen"])
 
+    # merge each tower with its OWN rank/alpha: text and vision adapters
+    # may be configured differently, and a single global merge would fold
+    # the text scale into the vision kernels (and vice versa)
     rank = rc.model.text.lora_rank or rc.model.vision.lora_rank
     if rank:
-        alpha = (rc.model.text.lora_alpha if rc.model.text.lora_rank
-                 else rc.model.vision.lora_alpha)
-        params = merge_lora(params, rank, alpha)
-        print(f"merged LoRA adapters (rank {rank}, alpha {alpha})")
+        params = dict(params)
+        for tower, tc in (("text_decoder", rc.model.text),
+                          ("visual_encoder", rc.model.vision)):
+            if tc.lora_rank and tower in params:
+                params[tower] = merge_lora(
+                    params[tower], tc.lora_rank, tc.lora_alpha)
+                print(f"merged {tower} LoRA adapters "
+                      f"(rank {tc.lora_rank}, alpha {tc.lora_alpha})")
 
     out = {"params": params}
     if args.int8:

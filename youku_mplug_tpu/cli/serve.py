@@ -159,10 +159,6 @@ def main(args):
     return stats
 
 
-if __name__ == "__main__":
-    main(serve_parser().parse_args())
-
-
 def _serve_speculative(args, cfg, runner, model, lm, lm_params, params,
                        tok, encode, prompt_vec, prompt_len, gen_cfg,
                        loader, max_new):
@@ -229,3 +225,7 @@ def _serve_speculative(args, cfg, runner, model, lm, lm_params, params,
     print("* Serve stats:", json.dumps(stats), flush=True)
     common.write_log(args, {"serve": stats})
     return stats
+
+
+if __name__ == "__main__":
+    main(serve_parser().parse_args())

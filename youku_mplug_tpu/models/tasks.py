@@ -111,7 +111,8 @@ class MPLUGVideo(nn.Module):
             (1, cfg.num_learnable_token, cfg.vision.embed_dim))
         self.attn_pool = AttentionPool(
             cfg.vision.embed_dim, cfg.vision.num_heads,
-            mlp_ratio=cfg.vision.mlp_ratio, name="attn_pool")
+            mlp_ratio=cfg.vision.mlp_ratio, gelu=cfg.vision.gelu,
+            name="attn_pool")
         self.visual_fc = nn.Dense(
             cfg.text.hidden_size,
             kernel_init=nn.initializers.truncated_normal(

@@ -653,6 +653,7 @@ class AttentionPool(nn.Module):
     mlp_ratio: float = 4.0
     ln_eps: float = 1e-6
     init_std: float = 0.015
+    gelu: str = "tanh"  # "tanh" (fast, default) | "erf" (strict parity)
 
     @nn.compact
     def __call__(self, queries, keys, deterministic=True):
@@ -700,7 +701,7 @@ class AttentionPool(nn.Module):
         x = q_in + out
         mlp_in = LayerNormFP32(d, self.ln_eps, name="norm2")(x)
         x = x + Mlp(d, int(d * self.mlp_ratio), init_std=self.init_std,
-                    name="mlp")(mlp_in)
+                    gelu=self.gelu, name="mlp")(mlp_in)
         return x
 
 
