@@ -65,10 +65,45 @@ def model_flops_per_step(batch, text_cfg, vision_cfg, n_query, seq_text):
     return dec_total + logits_total + vis_total + abst_total + proj
 
 
+def _probe_backend(attempts=int(os.environ.get("BENCH_PROBE_ATTEMPTS", "3")),
+                   sleep_s=int(os.environ.get("BENCH_PROBE_SLEEP", "60")),
+                   probe_timeout=int(os.environ.get("BENCH_PROBE_TIMEOUT",
+                                                    "240"))):
+    """Probe the JAX backend with retries BEFORE initializing in-process:
+    the tunneled TPU relay occasionally flakes at init — sometimes
+    raising, sometimes HANGING inside a C call (which no in-process
+    signal can interrupt).  Each probe runs in a killable subprocess, so
+    a hang becomes a catchable timeout and the bench still emits its
+    machine-readable error line instead of dying silently under the
+    driver's hard kill (round-2 lesson)."""
+    import subprocess
+
+    last = None
+    for i in range(attempts):
+        try:
+            r = subprocess.run(
+                [sys.executable, "-c",
+                 "import jax; print(len(jax.devices()))"],
+                timeout=probe_timeout, capture_output=True, text=True)
+            if r.returncode == 0:
+                return jax.devices()  # relay verified alive; init for real
+            last = RuntimeError(
+                "backend probe subprocess failed: "
+                + (r.stderr.strip().splitlines() or ["?"])[-1][:200])
+        except subprocess.TimeoutExpired:
+            last = TimeoutError(f"backend init hung > {probe_timeout}s")
+        print(f"# backend probe {i + 1}/{attempts} failed: "
+              f"{str(last).splitlines()[0][:160]}", file=sys.stderr)
+        if i + 1 < attempts:
+            time.sleep(sleep_s)
+    raise last
+
+
 def main():
     from youku_mplug_tpu.runtime.cache import enable_compilation_cache
 
     enable_compilation_cache()
+    _probe_backend()
     batch = int(os.environ.get("BENCH_BATCH", "16"))
     steps = int(os.environ.get("BENCH_STEPS", "30"))
     seq_text = 80
@@ -141,17 +176,21 @@ def main():
             st = jax.lax.fori_loop(0, steps - 1, body, state)
             return step_fn(st, batch, rng)
 
+        flash_fallback = False
         try:
             _, m = multi_step(state, batch_dev, jax.random.key(0))
             _ = float(m["loss"])  # compile + warmup
         except jax.errors.JaxRuntimeError as e:
             # compile-failure fallback: retry once with single-sample
             # flash grid cells (a fresh chip/toolchain may reject the
-            # batch-blocked VMEM geometry; a slower bench beats none)
+            # batch-blocked VMEM geometry; a slower bench beats none).
+            # The JSON records the fallback so a silent path switch can
+            # never misattribute the measured MFU to the default kernel.
             print(f"# retrying with single-sample flash cells: "
                   f"{str(e).splitlines()[0][:120]}", file=sys.stderr)
             from youku_mplug_tpu.ops import flash_attention as _fa
             _fa.FORCE_SINGLE_SAMPLE_CELLS = True
+            flash_fallback = True
             jax.clear_caches()
             _, m = multi_step(state, batch_dev, jax.random.key(0))
             _ = float(m["loss"])
@@ -173,8 +212,27 @@ def main():
         "value": round(mfu, 4),
         "unit": "mfu",
         "vs_baseline": round(mfu / 0.40, 4),
+        "flash_fallback": flash_fallback,
+        "step_ms": round(dt * 1000, 1),
     }))
 
 
 if __name__ == "__main__":
-    main()
+    # the driver parses the LAST stdout line as JSON: on ANY failure emit
+    # a machine-readable error record instead of dying with a bare
+    # traceback (round-2's BENCH artifact was an unparseable rc=1 trace)
+    try:
+        main()
+    except BaseException as e:  # noqa: BLE001 - deliberate: artifact first
+        import traceback
+
+        traceback.print_exc()
+        print(json.dumps({
+            "metric": "pretrain_mfu_1.3b",
+            "value": None,
+            "unit": "mfu",
+            "vs_baseline": None,
+            "error": f"{type(e).__name__}: {str(e).splitlines()[0][:300]}"
+            if str(e) else type(e).__name__,
+        }))
+        sys.exit(1)

@@ -123,4 +123,19 @@ def main():
 
 
 if __name__ == "__main__":
-    main()
+    # emit a machine-readable error record as the last stdout line on any
+    # failure so driver artifacts stay parseable even when hardware flakes
+    try:
+        main()
+    except BaseException as e:  # noqa: BLE001
+        import json as _json
+        import sys as _sys
+        import traceback as _tb
+
+        _tb.print_exc()
+        print(_json.dumps({
+            "metric": 'decode_tokens_per_sec', "value": None, "unit": None,
+            "vs_baseline": None,
+            "error": f"{type(e).__name__}: {str(e).splitlines()[0][:300]}"
+            if str(e) else type(e).__name__}))
+        _sys.exit(1)
