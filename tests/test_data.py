@@ -434,3 +434,43 @@ def test_rand_augment_extra_ops_match_pil_semantics():
     clip = rng.integers(0, 256, (4, 24, 32, 3), dtype=np.uint8)
     out = aug(clip, rng=np.random.default_rng(1))
     assert out.shape == clip.shape
+
+
+def test_read_frames_short_side(video_dir):
+    """decode_short_side: aspect-preserving decode-time scale — short
+    side hits the target, long side scales proportionally, and small
+    sources are never upscaled."""
+    from youku_mplug_tpu.data.video_decode import (
+        _short_side_dims,
+        read_frames,
+    )
+
+    path = os.path.join(video_dir, "vid1.mp4")  # 64x48 test clip
+    out = read_frames(path, num_frames=2, sample="middle", short_side=24)
+    assert out.shape == (2, 24, 32, 3)  # 48x64 -> 24x32
+    # never upscale: short_side larger than the source is a no-op
+    out = read_frames(path, num_frames=2, sample="middle", short_side=512)
+    assert out.shape[1:] == (48, 64, 3)
+    # dim helper: portrait sources scale the width side
+    assert _short_side_dims(480, 640, 288) == (384, 288)
+    assert _short_side_dims(640, 480, 288) == (288, 384)
+    assert _short_side_dims(240, 320, 288) == (0, 0)
+
+
+def test_translate_fast_path_matches_warp():
+    """Integer translate offsets take the slice-copy fast path; it must be
+    bit-exact with the warpAffine route it replaces."""
+    import numpy as np
+
+    from youku_mplug_tpu.data import transforms as T
+
+    rng = np.random.default_rng(3)
+    img = rng.integers(0, 256, (40, 56, 3), dtype=np.uint8)
+    for off in (0.0, 1.0, 5.0, 17.0, -4.0):
+        want_x = T._warp(img, np.float32([[1, 0, -off], [0, 1, 0]]))
+        np.testing.assert_array_equal(T._translate_x(img, off), want_x)
+        want_y = T._warp(img, np.float32([[1, 0, 0], [0, 1, -off]]))
+        np.testing.assert_array_equal(T._translate_y(img, off), want_y)
+    # fractional offsets still go through warpAffine
+    frac = T._translate_x(img, 2.5)
+    assert frac.shape == img.shape

@@ -74,14 +74,16 @@ def build_dataset(args, cfg, train):
         return PretrainVideoDataset(
             files if isinstance(files, list) else [files],
             cfg.get("train_video_root", cfg.get("video_root")),
-            transform=tf, num_frames=cfg.num_frames)
+            transform=tf, num_frames=cfg.num_frames,
+            **common.decode_kwargs(cfg))
     if args.task == "cls":
         return ClsVideoDataset(cfg.get(key), cfg.get("video_root"),
                                transform=tf, num_frames=cfg.num_frames,
-                               train=train)
+                               train=train, **common.decode_kwargs(cfg))
     return RetrievalVideoDataset(cfg.get(key), cfg.get("video_root"),
                                  transform=tf, num_frames=cfg.num_frames,
-                                 train=train)
+                                 train=train,
+                                 **common.decode_kwargs(cfg))
 
 
 def main(args):

@@ -39,15 +39,18 @@ def build_loaders(args, cfg):
         train_ds = CaptionVideoDataset(
             cfg.get("train_file"), cfg.get("video_root"),
             transform=train_transform(cfg.image_res),
-            num_frames=cfg.num_frames, train=True, seed=args.seed)
+            num_frames=cfg.num_frames, train=True, seed=args.seed,
+            **common.decode_kwargs(cfg))
         val_ds = CaptionVideoDataset(
             cfg.get("val_file"), cfg.get("video_root"),
             transform=test_transform(cfg.image_res),
-            num_frames=cfg.num_frames, train=False)
+            num_frames=cfg.num_frames, train=False,
+            **common.decode_kwargs(cfg))
         test_ds = CaptionVideoDataset(
             cfg.get("test_file"), cfg.get("video_root"),
             transform=test_transform(cfg.image_res),
-            num_frames=cfg.num_frames, train=False)
+            num_frames=cfg.num_frames, train=False,
+            **common.decode_kwargs(cfg))
     mk_loader = lambda ds, sh: ShardedLoader(
         ds, cfg.batch_size, shuffle=sh, seed=args.seed,
         num_workers=cfg.num_workers)

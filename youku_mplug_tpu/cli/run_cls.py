@@ -54,14 +54,17 @@ def build_loaders(args, cfg):
                                    cfg.get("video_root"),
                                    transform=train_transform(cfg.image_res),
                                    num_frames=cfg.num_frames, train=True,
-                                   seed=args.seed)
+                                   seed=args.seed,
+                                   **common.decode_kwargs(cfg))
         val_ds = ClsVideoDataset(cfg.get("val_file"), cfg.get("video_root"),
                                  transform=test_transform(cfg.image_res),
-                                 num_frames=cfg.num_frames, train=False)
+                                 num_frames=cfg.num_frames, train=False,
+                                 **common.decode_kwargs(cfg))
         test_ds = ClsVideoDataset(cfg.get("test_file"),
                                   cfg.get("video_root"),
                                   transform=test_transform(cfg.image_res),
-                                  num_frames=cfg.num_frames, train=False)
+                                  num_frames=cfg.num_frames, train=False,
+                                  **common.decode_kwargs(cfg))
     mk_loader = lambda ds, shuffle: ShardedLoader(
         ds, cfg.batch_size, shuffle=shuffle, seed=args.seed,
         num_workers=cfg.num_workers)

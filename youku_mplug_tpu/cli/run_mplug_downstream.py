@@ -63,14 +63,16 @@ def build_dataset(args, cfg, train):
     if args.task == "cls":
         return ClsVideoDataset(cfg.get(key), cfg.get("video_root"),
                                transform=tf, num_frames=cfg.num_frames,
-                               train=train)
+                               train=train, **common.decode_kwargs(cfg))
     if args.task == "caption":
         return CaptionVideoDataset(cfg.get(key), cfg.get("video_root"),
                                    transform=tf, num_frames=cfg.num_frames,
-                                   train=train)
+                                   train=train,
+                                   **common.decode_kwargs(cfg))
     return RetrievalVideoDataset(cfg.get(key), cfg.get("video_root"),
                                  transform=tf, num_frames=cfg.num_frames,
-                                 train=train)
+                                 train=train,
+                                 **common.decode_kwargs(cfg))
 
 
 def main(args):

@@ -103,7 +103,8 @@ def main(args):
         ds = PretrainVideoDataset(cfg.get("train_file"),
                                   cfg.get("train_video_root"),
                                   transform=train_transform(cfg.image_res),
-                                  num_frames=cfg.num_frames, seed=args.seed)
+                                  num_frames=cfg.num_frames, seed=args.seed,
+                                  **common.decode_kwargs(cfg))
     loader = ShardedLoader(ds, cfg.batch_size, shuffle=True, seed=args.seed,
                            num_workers=cfg.num_workers)
     niter = len(loader) if args.max_steps <= 0 else min(len(loader),

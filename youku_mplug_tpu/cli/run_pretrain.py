@@ -44,7 +44,8 @@ def build_loader(args, cfg):
             ds = PretrainVideoDataset(
                 g, cfg.get("train_video_root"),
                 transform=train_transform(cfg.image_res),
-                num_frames=cfg.num_frames, seed=args.seed)
+                num_frames=cfg.num_frames, seed=args.seed,
+                **common.decode_kwargs(cfg))
             loaders.append(ShardedLoader(
                 ds, cfg.batch_size, shuffle=True, seed=args.seed,
                 num_workers=cfg.num_workers))
@@ -52,7 +53,8 @@ def build_loader(args, cfg):
     ds = PretrainVideoDataset(
         cfg.get("train_file"), cfg.get("train_video_root"),
         transform=train_transform(cfg.image_res),
-        num_frames=cfg.num_frames, seed=args.seed)
+        num_frames=cfg.num_frames, seed=args.seed,
+        **common.decode_kwargs(cfg))
     return ShardedLoader(ds, cfg.batch_size, shuffle=True, seed=args.seed,
                          num_workers=cfg.num_workers)
 

@@ -42,17 +42,20 @@ def build_datasets(args, cfg):
         cfg.get("train_file"), cfg.get("video_root"),
         transform=train_transform(cfg.image_res),
         num_frames=cfg.num_frames, train=True, seed=args.seed,
-        has_multi_vision_gt=cfg.get("has_multi_vision_gt", False))
+        has_multi_vision_gt=cfg.get("has_multi_vision_gt", False),
+        **common.decode_kwargs(cfg))
     val_ds = RetrievalVideoDataset(
         cfg.get("val_file"), cfg.get("video_root"),
         transform=test_transform(cfg.image_res),
         num_frames=cfg.num_frames, train=False,
-        has_multi_vision_gt=cfg.get("has_multi_vision_gt", False))
+        has_multi_vision_gt=cfg.get("has_multi_vision_gt", False),
+        **common.decode_kwargs(cfg))
     test_ds = RetrievalVideoDataset(
         cfg.get("test_file"), cfg.get("video_root"),
         transform=test_transform(cfg.image_res),
         num_frames=cfg.num_frames, train=False,
-        has_multi_vision_gt=cfg.get("has_multi_vision_gt", False))
+        has_multi_vision_gt=cfg.get("has_multi_vision_gt", False),
+        **common.decode_kwargs(cfg))
     return train_ds, val_ds, test_ds
 
 

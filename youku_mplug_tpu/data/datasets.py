@@ -76,7 +76,7 @@ class VideoDataset:
 
     def __init__(self, ann: List[dict], video_root: str, transform=None,
                  num_frames: int = 8, sample: str = "rand", seed: int = 0,
-                 decode_size: int = 0):
+                 decode_size: int = 0, decode_short_side: int = 0):
         self.ann = ann
         self.video_root = video_root
         self.transform = transform
@@ -85,8 +85,11 @@ class VideoDataset:
         self.seed = seed
         self.epoch = 0
         # decode_size > 0: ask the decoder to rescale during decode (cheap
-        # sws resize) so the host transform works on small frames
+        # sws resize) so the host transform works on small frames.
+        # decode_short_side > 0: the aspect-preserving variant (the
+        # production lever; see read_frames).
         self.decode_size = decode_size
+        self.decode_short_side = decode_short_side
 
     def set_epoch(self, epoch: int):
         self.epoch = epoch
@@ -117,7 +120,8 @@ class VideoDataset:
         return read_frames(
             self._video_path(ann), num_frames=self.num_frames,
             sample=self.sample, rng=rng,
-            width=self.decode_size, height=self.decode_size, **kw)
+            width=self.decode_size, height=self.decode_size,
+            short_side=self.decode_short_side, **kw)
 
     def _load_clip(self, index: int, retries: int = 3):
         rng = self._rng(index)

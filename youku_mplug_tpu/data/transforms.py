@@ -50,10 +50,16 @@ def _identity(img):
     return img
 
 
+def _lut(img, table):
+    """Apply a 256-entry uint8 lookup table via cv2.LUT (SIMD; ~7x the
+    throughput of numpy fancy indexing on 224px frames)."""
+    return cv2.LUT(img, table)
+
+
 def _lut_brightness(img, factor):
     table = np.clip(np.arange(256, dtype=np.float32) * factor, 0,
                     255).astype(np.uint8)
-    return table[img]
+    return _lut(img, table)
 
 
 def _lut_contrast(img, factor):
@@ -65,7 +71,7 @@ def _lut_contrast(img, factor):
     mean = float(ch[0] * 0.114 + ch[1] * 0.587 + ch[2] * 0.299)
     table = np.clip((np.arange(256, dtype=np.float32) - mean) * factor
                     + mean, 0, 255).astype(np.uint8)
-    return table[img]
+    return _lut(img, table)
 
 
 def _sharpness(img, factor):
@@ -75,10 +81,13 @@ def _sharpness(img, factor):
     smooth = cv2.filter2D(img, -1, kernel)
     if factor == 0.0:
         return smooth
-    out = img.astype(np.float32)
-    sm = smooth.astype(np.float32)[1:-1, 1:-1]
-    out[1:-1, 1:-1] = sm + factor * (out[1:-1, 1:-1] - sm)
-    return np.clip(out, 0, 255).astype(np.uint8)
+    # interior = smooth + factor * (img - smooth), border kept from img
+    # (PIL SMOOTH-filter blend semantics).  addWeighted saturates and
+    # rounds-to-nearest like PIL; then restore the 1px border.
+    out = cv2.addWeighted(img, factor, smooth, 1.0 - factor, 0.0)
+    out[0], out[-1] = img[0], img[-1]
+    out[:, 0], out[:, -1] = img[:, 0], img[:, -1]
+    return out
 
 
 def _warp(img, m):
@@ -95,11 +104,28 @@ def _shear_y(img, factor):
     return _warp(img, np.float32([[1, 0, 0], [factor, 1, 0]]))
 
 
+def _shift(img, dx, dy):
+    """Integer-offset translate as slice copy + gray fill — exact match
+    of warpAffine-with-integral-translation at ~6x less cost."""
+    h, w = img.shape[:2]
+    out = np.empty_like(img)
+    out.fill(_FILL[0])  # gray fill; memset (all channels share the value)
+    sy0, sy1 = max(0, -dy), min(h, h - dy)
+    sx0, sx1 = max(0, -dx), min(w, w - dx)
+    if sy1 > sy0 and sx1 > sx0:
+        out[sy0 + dy:sy1 + dy, sx0 + dx:sx1 + dx] = img[sy0:sy1, sx0:sx1]
+    return out
+
+
 def _translate_x(img, offset):
+    if float(offset) == int(offset):
+        return _shift(img, -int(offset), 0)
     return _warp(img, np.float32([[1, 0, -offset], [0, 1, 0]]))
 
 
 def _translate_y(img, offset):
+    if float(offset) == int(offset):
+        return _shift(img, 0, -int(offset))
     return _warp(img, np.float32([[1, 0, 0], [0, 1, -offset]]))
 
 
@@ -119,22 +145,24 @@ def _equalize(img):
 def _auto_contrast(img):
     """Per-channel min/max rescale (PIL ImageOps.autocontrast,
     reference rand_augment.py:147-149)."""
-    out = np.empty_like(img)
+    ramp = np.arange(256, dtype=np.float32)
+    ident = ramp.astype(np.uint8)
+    tables = []
     for c in range(img.shape[-1]):
         ch = img[..., c]
         lo, hi = int(ch.min()), int(ch.max())
         if hi <= lo:
-            out[..., c] = ch
+            tables.append(ident)
         else:
             scale = 255.0 / (hi - lo)
-            table = np.clip((np.arange(256, dtype=np.float32) - lo) * scale,
-                            0, 255).astype(np.uint8)
-            out[..., c] = table[ch]
-    return out
+            tables.append(np.clip((ramp - lo) * scale, 0,
+                                  255).astype(np.uint8))
+    # one multi-channel LUT call (cv2 applies table c to channel c)
+    return _lut(img, np.stack(tables, axis=-1).reshape(1, 256, -1))
 
 
 def _invert(img):
-    return 255 - img
+    return cv2.bitwise_not(img)  # exactly 255 - img, SIMD
 
 
 def _posterize(img, bits_to_keep):
@@ -142,28 +170,28 @@ def _posterize(img, bits_to_keep):
         return img
     table = (np.arange(256, dtype=np.uint8)
              & np.uint8(256 - (1 << (8 - int(bits_to_keep)))))
-    return table[img]
+    return _lut(img, table)
 
 
 def _solarize(img, thresh):
     table = np.arange(256, dtype=np.int32)
     table = np.where(table < thresh, table, 255 - table).astype(np.uint8)
-    return table[img]
+    return _lut(img, table)
 
 
 def _solarize_add(img, add, thresh=128):
     table = np.arange(256, dtype=np.int32)
     table = np.where(table < thresh,
                      np.clip(table + int(add), 0, 255), table)
-    return table.astype(np.uint8)[img]
+    return _lut(img, table.astype(np.uint8))
 
 
 def _color(img, factor):
     """PIL ImageEnhance.Color: blend with the grayscale image."""
-    gray = cv2.cvtColor(img, cv2.COLOR_RGB2GRAY)[..., None].astype(
-        np.float32)
-    out = gray + factor * (img.astype(np.float32) - gray)
-    return np.clip(out, 0, 255).astype(np.uint8)
+    gray = cv2.cvtColor(cv2.cvtColor(img, cv2.COLOR_RGB2GRAY),
+                        cv2.COLOR_GRAY2RGB)
+    # gray + factor * (img - gray), saturating round like PIL blend
+    return cv2.addWeighted(img, factor, gray, 1.0 - factor, 0.0)
 
 
 def _translate_x_rel(img, pct):
@@ -249,14 +277,14 @@ class TemporalConsistentRandAugment:
                  rng: Optional[np.random.Generator] = None) -> np.ndarray:
         rng = rng or np.random.default_rng()
         names = rng.choice(self.augs, self.n, replace=False)
-        out = []
         ops = [(AUG_OPS[name][0], AUG_OPS[name][1](self.m))
                for name in names]
-        for frame in clip:
+        out = np.empty_like(clip)
+        for k, frame in enumerate(clip):
             for fn, args in ops:
                 frame = fn(frame, *args)
-            out.append(frame)
-        return np.stack(out)
+            out[k] = frame
+        return out
 
 
 class RandomResizedCrop:
@@ -299,9 +327,11 @@ class RandomResizedCrop:
         t, h, w, c = clip.shape
         i, j, ch, cw = self._sample_box(h, w, rng)
         crop = clip[:, i:i + ch, j:j + cw]
-        return np.stack([
-            cv2.resize(f, (self.size[1], self.size[0]),
-                       interpolation=self.interp) for f in crop])
+        out = np.empty((t, self.size[0], self.size[1], c), clip.dtype)
+        for k, f in enumerate(crop):
+            cv2.resize(f, (self.size[1], self.size[0]), dst=out[k],
+                       interpolation=self.interp)
+        return out
 
 
 class RandomHorizontalFlip:
@@ -311,7 +341,10 @@ class RandomHorizontalFlip:
     def __call__(self, clip, rng=None):
         rng = rng or np.random.default_rng()
         if rng.random() < self.p:
-            return clip[:, :, ::-1].copy()
+            out = np.empty_like(clip)
+            for i in range(clip.shape[0]):
+                cv2.flip(clip[i], 1, dst=out[i])  # ~30x a strided np copy
+            return out
         return clip
 
 

@@ -60,8 +60,10 @@ def _probe_cv2(video_path):
         raise IOError(f"cannot open video: {video_path}")
     vlen = int(cap.get(cv2.CAP_PROP_FRAME_COUNT))
     fps = float(cap.get(cv2.CAP_PROP_FPS)) or 30.0
+    h = int(cap.get(cv2.CAP_PROP_FRAME_HEIGHT))
+    w = int(cap.get(cv2.CAP_PROP_FRAME_WIDTH))
     cap.release()
-    return vlen, fps
+    return vlen, fps, (h, w)
 
 
 def _resolve_tar(video_path: str) -> str:
@@ -102,21 +104,44 @@ def _resolve_tar(video_path: str) -> str:
     return out
 
 
+def _short_side_dims(h: int, w: int, short_side: int):
+    """Aspect-preserving decode-time scale: short side -> ``short_side``
+    (never upscales).  Returns (out_w, out_h), 0 meaning source size."""
+    if short_side <= 0 or min(h, w) <= short_side:
+        return 0, 0
+    if h <= w:
+        return int(round(w * short_side / h)), short_side
+    return short_side, int(round(h * short_side / w))
+
+
 def read_frames(video_path: str, num_frames: int = 8, sample: str = "rand",
                 fix_start: Optional[int] = None, max_num_frames: int = -1,
                 start_time: Optional[float] = None,
                 end_time: Optional[float] = None,
-                width: int = 0, height: int = 0,
+                width: int = 0, height: int = 0, short_side: int = 0,
                 rng: Optional[np.random.Generator] = None) -> np.ndarray:
-    """Decode ``num_frames`` sampled frames -> (T, H, W, C) uint8 RGB."""
+    """Decode ``num_frames`` sampled frames -> (T, H, W, C) uint8 RGB.
+
+    ``short_side``: decode-time sws-scale to this short side, preserving
+    aspect (mutually exclusive with width/height).  The production lever
+    for high-res sources: host transforms then touch ~short_side-px
+    frames instead of source resolution, and the decoder's swscale does
+    the one big resample in C (cf. reference read_frames_decord, which
+    always decodes at source size: dataset/video_utils/utils.py:97-117).
+    """
     video_path = _resolve_tar(video_path)
     use_native = native_decode.available()
     if use_native:
         reader = native_decode.NativeVideoReader(video_path)
         vlen = len(reader)
         fps = reader.fps or 30.0
+        if short_side:
+            height_, width_ = reader.shape
+            width, height = _short_side_dims(height_, width_, short_side)
     else:
-        vlen, fps = _probe_cv2(video_path)
+        vlen, fps, (height_, width_) = _probe_cv2(video_path)
+        if short_side:
+            width, height = _short_side_dims(height_, width_, short_side)
     if vlen <= 0:
         vlen = 1
 
