@@ -89,18 +89,25 @@ def main():
                                        prompt, plen, config=gcfg,
                                        speculate_len=spec,
                                        query_embeds=query_embeds)
-            return out["sequences"]
+            # acceptance telemetry (tokens committed per verify round,
+            # 1.0 = no speedup, k+1 = all drafts accepted) is the
+            # serving-side figure of merit — surface it in the JSON
+            return out["sequences"], {
+                "spec_k": spec,
+                "rounds": int(jax.device_get(out["rounds"])),
+                "tokens_per_round": round(float(
+                    jax.device_get(out["tokens_per_round"])), 3)}
     else:
         def run(seed):
             out = generate(lm, lm_vars, prompt, plen,
                            query_embeds=query_embeds, config=gcfg,
                            rng=jax.random.key(seed))
-            return out["sequences"]
+            return out["sequences"], {}
 
-    seqs = run(0)
+    seqs, telemetry = run(0)
     _ = jax.device_get(seqs)  # compile + warmup, value-forced
     t0 = time.time()
-    seqs = run(1)
+    seqs, telemetry = run(1)
     _ = jax.device_get(seqs)
     dt = time.time() - t0
 
@@ -119,6 +126,7 @@ def main():
         "value": round(rate, 1),
         "unit": "tok/s",
         "vs_baseline": round(rate / roofline, 4),
+        **telemetry,
     }))
 
 

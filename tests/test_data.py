@@ -474,3 +474,72 @@ def test_translate_fast_path_matches_warp():
     # fractional offsets still go through warpAffine
     frac = T._translate_x(img, 2.5)
     assert frac.shape == img.shape
+
+
+def test_mim_pretrain_transform(tmp_path):
+    """Two-resolution MIM transform (reference DataAugmentationForPretrain,
+    pretrain_transforms.py:155 + masking_generator.py): exact mask count,
+    shared crop box across resolutions, worker determinism, dataset wiring."""
+    import json
+    import os
+
+    import cv2
+    import numpy as np
+
+    from youku_mplug_tpu.data.image_datasets import ImageTextDataset
+    from youku_mplug_tpu.data.pretrain_transforms import (
+        BlockwiseMaskingGenerator,
+        MIMPretrainTransform,
+        TwoResolutionRandomResizedCrop,
+    )
+
+    # mask generator: exact count, every time, incl. hard corner cases
+    for num in (1, 75, 118, 196):
+        gen = BlockwiseMaskingGenerator(14, num)
+        for seed in range(3):
+            m = gen(np.random.default_rng(seed))
+            assert m.shape == (14, 14) and m.sum() == num
+
+    rng = np.random.default_rng(0)
+    clip = rng.integers(0, 256, (2, 120, 160, 3), dtype=np.uint8)
+
+    # same crop box in both streams: equal sizes + interp => equal pixels
+    crop = TwoResolutionRandomResizedCrop(64, second_size=64)
+    a, b = crop(clip, rng=np.random.default_rng(1))
+    np.testing.assert_array_equal(a, b)
+    # different second resolution keeps the box: on smooth content,
+    # downscaling the first stream reproduces the second
+    yy, xx = np.mgrid[0:120, 0:160].astype(np.float32)
+    smooth = np.stack([yy * 2, xx, (yy + xx)], axis=-1)
+    smooth = np.clip(smooth, 0, 255).astype(np.uint8)[None].repeat(2, 0)
+    crop2 = TwoResolutionRandomResizedCrop(64, second_size=32)
+    a, b = crop2(smooth, rng=np.random.default_rng(1))
+    assert a.shape == (2, 64, 64, 3) and b.shape == (2, 32, 32, 3)
+    re = cv2.resize(a[0], (32, 32), interpolation=cv2.INTER_CUBIC)
+    assert np.mean(np.abs(re.astype(np.int32) - b[0].astype(np.int32))) < 4
+
+    # full transform: shapes, dtype, determinism under a fixed rng
+    t = MIMPretrainTransform(input_size=64, window_size=4,
+                             num_mask_patches=6)
+    out1 = t(clip, rng=np.random.default_rng(7))
+    out2 = t(clip, rng=np.random.default_rng(7))
+    assert out1["patches"].shape == (2, 64, 64, 3)
+    assert out1["patches"].dtype == np.uint8
+    assert out1["visual_tokens"].shape == (2, 64, 64, 3)
+    assert out1["mask"].shape == (4, 4) and out1["mask"].sum() == 6
+    for k in out1:
+        np.testing.assert_array_equal(out1[k], out2[k])
+
+    # dataset wiring: ImageTextDataset(mim_transform=...) emits the
+    # COCA-path keys consumed by MPLUG_COCA (image, target, flat mask)
+    img_path = os.path.join(tmp_path, "im.png")
+    cv2.imwrite(img_path, rng.integers(0, 256, (96, 96, 3), dtype=np.uint8))
+    ann = os.path.join(tmp_path, "ann.json")
+    json.dump([{"image": "im.png", "caption": "一只猫"}], open(ann, "w"))
+    ds = ImageTextDataset(ann, image_root=str(tmp_path), mim_transform=t)
+    item = ds[0]
+    assert item["image"].shape == (64, 64, 3)
+    assert item["image_target"].shape == (64, 64, 3)
+    assert item["bool_masked_pos"].shape == (16,)
+    assert item["bool_masked_pos"].sum() == 6
+    assert item["text"] == "一只猫"

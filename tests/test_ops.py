@@ -311,7 +311,12 @@ def test_flash_attention_packed_subhead_strips(rng, b, n, s, d):
 
     from jax.experimental import pallas as pl
 
+    from youku_mplug_tpu.ops import flash_attention as fa
     from youku_mplug_tpu.ops.flash_attention import flash_attention_packed
+
+    # the b=8 case must exercise multi-sample cells even though production
+    # defaults to single-sample (real-TPU Mosaic rejects bb>1; see
+    # FORCE_SINGLE_SAMPLE_CELLS)
     q = jnp.asarray(rng.normal(size=(b, s, n * d)), jnp.float32)
     k = jnp.asarray(rng.normal(size=(b, s, n * d)), jnp.float32)
     v = jnp.asarray(rng.normal(size=(b, s, n * d)), jnp.float32)
@@ -324,7 +329,9 @@ def test_flash_attention_packed_subhead_strips(rng, b, n, s, d):
 
     with mock.patch.object(
             pl, "pallas_call",
-            functools.partial(pl.pallas_call, interpret=True)):
+            functools.partial(pl.pallas_call, interpret=True)), \
+            mock.patch.object(fa, "FORCE_SINGLE_SAMPLE_CELLS", False):
+        assert fa._pick_block_b(b, s, n * d, arrays=8) > 1
         for causal in (False, True):
             got = flash_attention_packed(q, k, v, n, causal=causal)
             want = pack(mha_reference(unpack(q), unpack(k), unpack(v),

@@ -1,0 +1,330 @@
+"""Full-shape checkpoint-import fidelity harness.
+
+Answers "does a production-shape megatron TP-sharded GPT-3 checkpoint
+import into the JAX decoder with bf16 logit fidelity?" end to end:
+
+1. (optional) synthesize an exact-layout checkpoint: a seeded torch twin
+   (reference models/modeling_gpt3.py) state dict is re-ordered into the
+   megatron fused-QKV head-major layout and split into
+   ``mp_rank_XX_model_states.pt`` TP shards following megatron's
+   partition_dim conventions (reference
+   modeling_distributed_gpt3.py:1476-1503 split_state_dict /
+   split_into_partitions; per-rank files :431-441) — byte-for-byte the
+   disk layout a real ModelScope 1.3B/2.7B download has.
+2. merge + import through models/importers.py (the production path used
+   by ``import_torch_weights`` in every task YAML).
+3. run our decoder in fp32 (layout exactness) and bf16 (production
+   numerics) and compare logits against the torch reference twin on the
+   same weights; print one JSON report line.
+
+One-command recipes
+-------------------
+Synthesize at full 1.3B shape (hidden 2048 / 24L / 51200V, TP=8) and
+verify (needs ~25 GB RAM, ~6 GB disk, several minutes on CPU):
+
+    python tools/fidelity_harness.py --preset 1.3B --tp 8 \
+        --workdir /tmp/fidelity
+
+Verify a real ModelScope checkpoint dir (the dir that holds
+``model/mp_rank_*_model_states.pt`` or ``pytorch_model.bin``):
+
+    python tools/fidelity_harness.py --preset 1.3B --model_dir <dir>
+
+Then to import + evaluate on a real checkpoint with the task CLIs, point
+the task YAML at the weights and run eval only (same contract as the
+reference's --evaluate_only scripts):
+
+    # configs/cls/cls_gpt3_1.3B_youku_v0_sharp_2.yaml:
+    #   text_decoder: <modelscope_dir>         # tokenizer.json lives here
+    #   import_torch_weights:
+    #     gpt3: <modelscope_dir>
+    #     vision: <clip_dir>/clip_vit_b16.pth
+    python -m youku_mplug_tpu.cli.run_cls --config <yaml> \
+        --output_dir out_cls --evaluate_only
+"""
+
+from __future__ import annotations
+
+import argparse
+import importlib.util
+import json
+import os
+import sys
+import time
+import types
+
+import numpy as np
+
+REFERENCE = os.environ.get("REFERENCE_DIR", "/root/reference")
+
+PRESETS = {
+    # (vocab, hidden, layers, heads, max_pos) — configs/models/*.json
+    "1.3B": (51200, 2048, 24, 32, 2048),
+    "2.7B": (51200, 2560, 32, 32, 2048),
+    "base": (51200, 768, 12, 12, 2048),
+    # full width, reduced depth: the always-on CI shape
+    "wide2": (51200, 2048, 2, 32, 2048),
+    "tiny": (256, 64, 2, 4, 128),
+}
+
+
+def load_reference_twin():
+    """Import the reference's non-distributed GPT-3 twin
+    (models/modeling_gpt3.py) as the torch oracle. Raises if absent."""
+    path = os.path.join(REFERENCE, "models", "modeling_gpt3.py")
+    if not os.path.exists(path):
+        raise FileNotFoundError(f"reference twin not found: {path}")
+    if "addict" not in sys.modules:  # stub the one non-core dep
+        addict = types.ModuleType("addict")
+
+        class Dict(dict):
+            def __getattr__(self, k):
+                try:
+                    return self[k]
+                except KeyError:
+                    raise AttributeError(k)
+
+            def __setattr__(self, k, v):
+                self[k] = v
+
+        addict.Dict = Dict
+        addict.__spec__ = importlib.util.spec_from_loader("addict",
+                                                          loader=None)
+        sys.modules["addict"] = addict
+    spec = importlib.util.spec_from_file_location("ref_gpt3_twin", path)
+    mod = importlib.util.module_from_spec(spec)
+    sys.modules["ref_gpt3_twin"] = mod
+    spec.loader.exec_module(mod)
+    return mod
+
+
+def build_twin(preset: str, seed: int = 7):
+    """Seeded torch twin at the preset shape, tanh-GELU (the distributed
+    model's bias_gelu_impl is the tanh approximation — pin the twin to
+    the same activation so the oracle matches production numerics)."""
+    import torch
+
+    mod = load_reference_twin()
+    vocab, hidden, layers, heads, max_pos = PRESETS[preset]
+    cfg = mod.GPT3Config(
+        vocab_size=vocab, hidden_size=hidden, num_hidden_layers=layers,
+        num_attention_heads=heads, max_position_embeddings=max_pos,
+        hidden_dropout_prob=0.0, attention_probs_dropout_prob=0.0,
+        layernorm_epsilon=1e-5)
+    torch.manual_seed(seed)
+    model = mod.GPT3Model(cfg).eval()
+    for layer in model.language_model.transformer.layers:
+        layer.mlp.activation_func = (
+            lambda x: torch.nn.functional.gelu(x, approximate="tanh"))
+    return model
+
+
+def twin_sd_to_megatron(sd: dict, heads: int) -> dict:
+    """Twin state dict (fused QKV rows ordered [3, n, d]) -> megatron
+    distributed layout (rows [n, 3, d]; modeling_distributed_gpt3.py:
+    895-903)."""
+    out = {}
+    for name, t in sd.items():
+        if name.endswith("attention.query_key_value.weight"):
+            h3, h = t.shape
+            d = h3 // 3 // heads
+            t = t.reshape(3, heads, d, h).transpose(0, 1).reshape(h3, h)
+        elif name.endswith("attention.query_key_value.bias"):
+            d = t.shape[0] // 3 // heads
+            t = t.reshape(3, heads, d).transpose(0, 1).reshape(-1)
+        out[name] = t
+    return out
+
+
+def megatron_sd_to_twin(sd: dict, heads: int) -> dict:
+    """Inverse of twin_sd_to_megatron (numpy arrays), for loading real
+    (distributed-layout) checkpoints into the torch twin oracle."""
+    out = {}
+    for name, a in sd.items():
+        if name.endswith("attention.query_key_value.weight"):
+            h3, h = a.shape
+            d = h3 // 3 // heads
+            a = a.reshape(heads, 3, d, h).transpose(1, 0, 2, 3
+                                                    ).reshape(h3, h)
+        elif name.endswith("attention.query_key_value.bias"):
+            d = a.shape[0] // 3 // heads
+            a = a.reshape(heads, 3, d).transpose(1, 0, 2).reshape(-1)
+        out[name] = a
+    return out
+
+
+def write_mp_rank_shards(sd: dict, tp: int, out_dir: str) -> None:
+    """Split a megatron-layout state dict into ``tp`` per-rank files
+    (megatron partition_dim conventions; stride 1 in the GPT-3 configs)."""
+    import torch
+
+    from youku_mplug_tpu.models.importers import _partition_dim
+
+    model_dir = os.path.join(out_dir, "model")
+    os.makedirs(model_dir, exist_ok=True)
+    for rank in range(tp):
+        shard = {}
+        for name, t in sd.items():
+            dim = _partition_dim(name)
+            shard[name] = (t if dim is None
+                           else torch.chunk(t, tp, dim=dim)[rank].clone())
+        torch.save({"module": shard},
+                   os.path.join(model_dir,
+                                f"mp_rank_{rank:02d}_model_states.pt"))
+
+
+def verify(model_dir: str, preset: str, batch: int = 2, seq: int = 8,
+           seed: int = 0, oracle: bool = True,
+           check_fp32: bool = True) -> dict:
+    """Import the checkpoint, compare fp32 + bf16 logits vs the twin."""
+    import jax
+    import jax.numpy as jnp
+
+    from youku_mplug_tpu.models.gpt3 import GPT3Config, GPT3LM
+    from youku_mplug_tpu.models.importers import (
+        gpt3_params_from_torch,
+        load_torch_gpt3_state,
+        merge_into,
+    )
+    from youku_mplug_tpu.runtime.precision import FP32_POLICY, Policy
+
+    vocab, hidden, layers, heads, max_pos = PRESETS[preset]
+    report: dict = {"preset": preset, "model_dir": model_dir,
+                    "vocab": vocab, "hidden": hidden, "layers": layers}
+
+    t0 = time.time()
+    sd = load_torch_gpt3_state(model_dir)
+    report["merge_s"] = round(time.time() - t0, 1)
+    cfg = GPT3Config(vocab_size=vocab, hidden_size=hidden,
+                     num_hidden_layers=layers, num_attention_heads=heads,
+                     max_position_embeddings=max_pos,
+                     layernorm_epsilon=1e-5, hidden_dropout=0.0,
+                     attention_dropout=0.0)
+    imported = gpt3_params_from_torch(sd, cfg, megatron_qkv=True)
+
+    rng = np.random.default_rng(seed)
+    tokens = rng.integers(0, vocab, size=(batch, seq))
+
+    want = None
+    if oracle:
+        import torch
+
+        twin = build_twin(preset)
+        twin_sd = {k: torch.from_numpy(np.ascontiguousarray(v))
+                   for k, v in megatron_sd_to_twin(sd, heads).items()}
+        missing, unexpected = twin.load_state_dict(twin_sd, strict=False)
+        assert not unexpected, f"unexpected oracle keys: {unexpected[:5]}"
+        t0 = time.time()
+        with torch.no_grad():
+            want = twin(input_ids=torch.tensor(tokens))["logits"].numpy()
+        report["oracle_fwd_s"] = round(time.time() - t0, 1)
+        del twin, twin_sd
+    del sd
+
+    def run(policy, tag):
+        model = GPT3LM(cfg, policy=policy)
+        params = jax.eval_shape(
+            lambda: model.init(jax.random.key(0),
+                               jnp.zeros((1, 4), jnp.int32)))["params"]
+        params = jax.tree.map(
+            lambda s: np.zeros(s.shape, s.dtype), params)
+        n = merge_into(params, imported)
+        assert n >= 4 + 12 * (1 if cfg.scan_layers else layers), \
+            f"only {n} tensors imported"
+        t0 = time.time()
+        logits = model.apply({"params": params}, jnp.asarray(tokens),
+                             return_logits=True)["logits"]
+        logits = np.asarray(logits, np.float32)
+        report[f"{tag}_fwd_s"] = round(time.time() - t0, 1)
+        if want is not None:
+            diff = logits - want
+            scale = float(np.std(want))
+            report[f"{tag}_rms_rel"] = float(
+                np.sqrt(np.mean(diff ** 2)) / max(scale, 1e-9))
+            report[f"{tag}_max_abs"] = float(np.abs(diff).max())
+            report[f"{tag}_logit_std"] = scale
+        return logits
+
+    if check_fp32:
+        run(FP32_POLICY, "fp32")
+    run(Policy(param_dtype=jnp.bfloat16), "bf16")
+
+    if want is not None:
+        # pins: fp32 import is layout-exact; bf16 stays within the
+        # precision budget of bf16 params + bf16 matmuls
+        if check_fp32:
+            assert report["fp32_rms_rel"] < 3e-4, report
+        assert report["bf16_rms_rel"] < 0.05, report
+        report["ok"] = True
+    return report
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser(description=__doc__.split("\n")[0])
+    ap.add_argument("--preset", default="1.3B", choices=sorted(PRESETS))
+    ap.add_argument("--tp", type=int, default=8,
+                    help="TP shard count when synthesizing")
+    ap.add_argument("--workdir", default="",
+                    help="synthesize a checkpoint here, then verify it")
+    ap.add_argument("--model_dir", default="",
+                    help="verify an existing checkpoint dir instead")
+    ap.add_argument("--batch", type=int, default=2)
+    ap.add_argument("--seq", type=int, default=8)
+    ap.add_argument("--no_oracle", action="store_true",
+                    help="skip the torch twin comparison (smoke only)")
+    ap.add_argument("--no_fp32", action="store_true",
+                    help="skip the fp32 exactness run (bf16 only)")
+    args = ap.parse_args(argv)
+
+    model_dir = args.model_dir
+    if not model_dir:
+        if not args.workdir:
+            ap.error("pass --model_dir or --workdir")
+        model_dir = os.path.join(args.workdir, f"synth_{args.preset}")
+        marker = os.path.join(model_dir, "model",
+                              f"mp_rank_{args.tp - 1:02d}_model_states.pt")
+        if not os.path.exists(marker):
+            print(f"synthesizing {args.preset} twin -> {args.tp} TP shards "
+                  f"under {model_dir}", flush=True)
+            twin = build_twin(args.preset)
+            _, _, _, heads, _ = PRESETS[args.preset]
+            mega = twin_sd_to_megatron(twin.state_dict(), heads)
+            del twin
+            write_mp_rank_shards(mega, args.tp, model_dir)
+            del mega
+
+    report = verify(model_dir, args.preset, batch=args.batch,
+                    seq=args.seq, oracle=not args.no_oracle,
+                    check_fp32=not args.no_fp32)
+    print(json.dumps(report), flush=True)
+    return report
+
+
+def _force_cpu_backend():
+    """Pin jax to local CPU.  This box's sitecustomize registers a
+    remote-TPU PJRT plugin and overrides jax_platforms at import, so the
+    env var alone is not enough — flip the config back and rebuild any
+    initialized backends (same recipe as tests/conftest.py).  fp32
+    exactness REQUIRES the CPU backend: TPU matmuls default to bf16
+    inputs and would masquerade as import-layout error."""
+    os.environ.setdefault("JAX_PLATFORMS", "cpu")
+    import jax
+
+    try:
+        jax.config.update("jax_platforms", "cpu")
+        from jax._src import xla_bridge as _xb
+
+        if _xb.backends_are_initialized():
+            from jax.extend.backend import clear_backends
+
+            clear_backends()
+    except Exception:
+        pass
+    assert jax.default_backend() == "cpu", jax.default_backend()
+
+
+if __name__ == "__main__":
+    sys.path.insert(0, os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))))
+    _force_cpu_backend()
+    main()

@@ -41,10 +41,11 @@ class ImageTextDataset:
     caption_dataset.py) with next-index retry."""
 
     def __init__(self, ann_file, image_root: str = "", transform=None,
-                 max_words: int = 30, seed: int = 0):
+                 max_words: int = 30, seed: int = 0, mim_transform=None):
         self.ann = _read_annotations(ann_file, id_key="image")
         self.image_root = image_root
         self.transform = transform
+        self.mim_transform = mim_transform
         self.max_words = max_words
         self.seed = seed
         self.epoch = 0
@@ -68,13 +69,22 @@ class ImageTextDataset:
             try:
                 img = read_image(path)
                 clip = img[None]  # 1-frame "clip" for the shared transforms
-                if self.transform is not None:
-                    clip = self.transform(clip, rng=self._rng(index))
                 cap = a.get("caption")
                 if isinstance(cap, list):
                     cap = cap[self._rng(index).integers(0, len(cap))]
+                cap = pre_caption(str(cap), self.max_words)
+                if self.mim_transform is not None:
+                    # COCA/MIM path (reference DataAugmentationForPretrain):
+                    # two-resolution shared-box crop + blockwise patch mask
+                    out = self.mim_transform(clip, rng=self._rng(index))
+                    return {"image": out["patches"][0],
+                            "image_target": out["visual_tokens"][0],
+                            "bool_masked_pos": out["mask"].reshape(-1),
+                            "text": cap, "index": index}
+                if self.transform is not None:
+                    clip = self.transform(clip, rng=self._rng(index))
                 return {"image": clip[0],
-                        "text": pre_caption(str(cap), self.max_words),
+                        "text": cap,
                         "index": index}
             except Exception:
                 index = 0 if index == len(self) - 1 else index + 1

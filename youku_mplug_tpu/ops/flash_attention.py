@@ -465,10 +465,15 @@ def _fwd_kernel_packed(q_ref, k_ref, v_ref, o_ref, lse_ref, *, scale,
                              if g > 1 else lses[0])
 
 
-# escape hatch: force single-sample grid cells (set by bench.py's
-# compile-failure fallback; flip permanently if a geometry ever fails
-# to schedule on new hardware)
-FORCE_SINGLE_SAMPLE_CELLS = False
+# Default: single-sample grid cells.  A/B on real TPU (2026-08-18, v5e
+# via the axon relay): the batch-blocked bb=8 geometry FAILS Mosaic
+# compilation (remote_compile subprocess exit 1) while single-sample
+# cells compile and hit the same measured MFU (48.7%, BENCH r03) the
+# batch-blocked path was built for — so batch-blocking buys nothing on
+# this workload and is opt-out only (set False to re-enable the
+# multi-sample VMEM-sized geometry; the kernels themselves support it
+# and tests cover it in interpret mode).
+FORCE_SINGLE_SAMPLE_CELLS = True
 
 
 def _pick_block_b(b: int, sk: int, w: int, arrays: int) -> int:
