@@ -17,6 +17,16 @@ masked via a static `kv_len`, padded query rows are sliced off.
 Backward follows the standard FlashAttention-2 recipe: recompute p from
 (q, k, lse); dq in one kernel (grid over q blocks), dk/dv in another (grid
 over k blocks), all accumulation in fp32.
+
+MXU dtype discipline: every dot keeps its operands in the INPUT dtype and
+accumulates in fp32 (``preferred_element_type``).  Upcasting bf16 operands
+to fp32 before the dot — the naive reading of the reference's ``qk_float``
+contract — is mathematically identical for QK (bf16 x bf16 products are
+exact in fp32: 8-bit mantissas) but forces Mosaic onto the multi-pass fp32
+MXU path, measured ~3x slower than bf16 passes on v5e.  The probability
+and dScore matrices are cast back to the input dtype before their dots
+(the standard FlashAttention recipe on every accelerator); softmax, lse,
+delta and all accumulators stay fp32.
 """
 
 from __future__ import annotations
@@ -52,7 +62,7 @@ def _fwd_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref, *, scale, causal,
     i = pl.program_id(2)
     n_kv = sk // block_k
 
-    q = q_ref[0, 0].astype(jnp.float32)  # [bq, d]
+    q = q_ref[0, 0]  # [bq, d], input dtype (fp32 accumulation via the dots)
 
     if causal:
         # Skip key blocks strictly above the diagonal for this query block.
@@ -63,7 +73,7 @@ def _fwd_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref, *, scale, causal,
 
     def body(j, carry):
         acc, m, l = carry
-        k = k_ref[0, 0, pl.ds(j * block_k, block_k), :].astype(jnp.float32)
+        k = k_ref[0, 0, pl.ds(j * block_k, block_k), :]
         v = v_ref[0, 0, pl.ds(j * block_k, block_k), :]
         s = jax.lax.dot_general(
             q, k, (((1,), (1,)), ((), ())),
@@ -141,8 +151,8 @@ def _bwd_dq_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref, dq_ref,
     i = pl.program_id(2)
     n_kv = sk // block_k
 
-    q = q_ref[0, 0].astype(jnp.float32)
-    do = do_ref[0, 0].astype(jnp.float32)
+    q = q_ref[0, 0]
+    do = do_ref[0, 0]
     lse = lse_ref[0, 0]      # [bq, 1]
     delta = delta_ref[0, 0]  # [bq, 1]
 
@@ -153,8 +163,8 @@ def _bwd_dq_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref, dq_ref,
         hi = n_kv
 
     def body(j, dq):
-        k = k_ref[0, 0, pl.ds(j * block_k, block_k), :].astype(jnp.float32)
-        v = v_ref[0, 0, pl.ds(j * block_k, block_k), :].astype(jnp.float32)
+        k = k_ref[0, 0, pl.ds(j * block_k, block_k), :]
+        v = v_ref[0, 0, pl.ds(j * block_k, block_k), :]
         s = jax.lax.dot_general(
             q, k, (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32) * scale
@@ -172,7 +182,7 @@ def _bwd_dq_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref, dq_ref,
             preferred_element_type=jnp.float32)
         ds = p * (dp - delta) * scale
         dq = dq + jax.lax.dot_general(
-            ds, k, (((1,), (0,)), ((), ())),
+            ds.astype(k.dtype), k, (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32)
         return dq
 
@@ -188,8 +198,8 @@ def _bwd_dkv_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
     j = pl.program_id(2)
     n_q = sq // block_q
 
-    k = k_ref[0, 0].astype(jnp.float32)
-    v = v_ref[0, 0].astype(jnp.float32)
+    k = k_ref[0, 0]
+    v = v_ref[0, 0]
 
     if causal:
         lo = jax.lax.div(j * bk, block_q)
@@ -198,8 +208,8 @@ def _bwd_dkv_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
 
     def body(i, carry):
         dk, dv = carry
-        q = q_ref[0, 0, pl.ds(i * block_q, block_q), :].astype(jnp.float32)
-        do = do_ref[0, 0, pl.ds(i * block_q, block_q), :].astype(jnp.float32)
+        q = q_ref[0, 0, pl.ds(i * block_q, block_q), :]
+        do = do_ref[0, 0, pl.ds(i * block_q, block_q), :]
         lse = lse_ref[0, 0, pl.ds(i * block_q, block_q), :]
         delta = delta_ref[0, 0, pl.ds(i * block_q, block_q), :]
         s = jax.lax.dot_general(
@@ -214,14 +224,14 @@ def _bwd_dkv_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
             s = jnp.where(ki < kv_len, s, NEG_INF)
         p = jnp.exp(s - lse)
         dv = dv + jax.lax.dot_general(
-            p, do, (((0,), (0,)), ((), ())),
+            p.astype(do.dtype), do, (((0,), (0,)), ((), ())),
             preferred_element_type=jnp.float32)
         dp = jax.lax.dot_general(
             do, v, (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32)
         ds = p * (dp - delta) * scale
         dk = dk + jax.lax.dot_general(
-            ds, q, (((0,), (0,)), ((), ())),
+            ds.astype(q.dtype), q, (((0,), (0,)), ((), ())),
             preferred_element_type=jnp.float32)
         return dk, dv
 
@@ -415,12 +425,11 @@ def _fwd_kernel_packed(q_ref, k_ref, v_ref, o_ref, lse_ref, *, scale,
         hi = n_kv
 
     for s_idx in range(block_b):
-        q = q_ref[s_idx].astype(jnp.float32)
+        q = q_ref[s_idx]
 
         def body(j, carry, q=q):
             accs, ms, ls = carry
-            kk = k_ref[s_idx, pl.ds(j * block_k, block_k), :].astype(
-                jnp.float32)
+            kk = k_ref[s_idx, pl.ds(j * block_k, block_k), :]
             vv = v_ref[s_idx, pl.ds(j * block_k, block_k), :]
             if causal or period:
                 qi = i * bq + jax.lax.broadcasted_iota(jnp.int32,
@@ -544,16 +553,14 @@ def _bwd_dq_kernel_packed(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
         hi = n_kv
 
     for s_idx in range(block_b):
-        q = q_ref[s_idx].astype(jnp.float32)
-        do = do_ref[s_idx].astype(jnp.float32)
+        q = q_ref[s_idx]
+        do = do_ref[s_idx]
         lse = lse_ref[s_idx, 0]      # [bq, g]
         delta = delta_ref[s_idx, 0]  # [bq, g]
 
         def body(j, dqs, q=q, do=do, lse=lse, delta=delta):
-            kk = k_ref[s_idx, pl.ds(j * block_k, block_k), :].astype(
-                jnp.float32)
-            vv = v_ref[s_idx, pl.ds(j * block_k, block_k), :].astype(
-                jnp.float32)
+            kk = k_ref[s_idx, pl.ds(j * block_k, block_k), :]
+            vv = v_ref[s_idx, pl.ds(j * block_k, block_k), :]
             if causal or period:
                 qi = i * bq + jax.lax.broadcasted_iota(jnp.int32,
                                                        (bq, block_k), 0)
@@ -575,7 +582,7 @@ def _bwd_dq_kernel_packed(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
                     preferred_element_type=jnp.float32)
                 ds = p * (dp - delta[:, h:h + 1]) * scale
                 out.append(dqs[h] + jax.lax.dot_general(
-                    ds, kk[:, sl], (((1,), (0,)), ((), ())),
+                    ds.astype(kk.dtype), kk[:, sl], (((1,), (0,)), ((), ())),
                     preferred_element_type=jnp.float32))
             return tuple(out)
 
@@ -597,15 +604,13 @@ def _bwd_dkv_kernel_packed(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
     lo = jax.lax.div(j * bk, block_q) if causal else 0
 
     for s_idx in range(block_b):
-        k = k_ref[s_idx].astype(jnp.float32)
-        v = v_ref[s_idx].astype(jnp.float32)
+        k = k_ref[s_idx]
+        v = v_ref[s_idx]
 
         def body(i, carry, k=k, v=v):
             dks, dvs = carry
-            q = q_ref[s_idx, pl.ds(i * block_q, block_q), :].astype(
-                jnp.float32)
-            do = do_ref[s_idx, pl.ds(i * block_q, block_q), :].astype(
-                jnp.float32)
+            q = q_ref[s_idx, pl.ds(i * block_q, block_q), :]
+            do = do_ref[s_idx, pl.ds(i * block_q, block_q), :]
             lse = lse_ref[s_idx, 0, pl.ds(i * block_q, block_q), :]  # [bq,g]
             delta = delta_ref[s_idx, 0, pl.ds(i * block_q, block_q), :]
             if causal or period:
@@ -625,14 +630,14 @@ def _bwd_dkv_kernel_packed(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
                     s = jnp.where(mask, s, NEG_INF)
                 p = jnp.exp(s - lse[:, h:h + 1])
                 dvs_n.append(dvs[h] + jax.lax.dot_general(
-                    p, do[:, sl], (((0,), (0,)), ((), ())),
+                    p.astype(do.dtype), do[:, sl], (((0,), (0,)), ((), ())),
                     preferred_element_type=jnp.float32))
                 dp = jax.lax.dot_general(
                     do[:, sl], v[:, sl], (((1,), (1,)), ((), ())),
                     preferred_element_type=jnp.float32)
                 ds = p * (dp - delta[:, h:h + 1]) * scale
                 dks_n.append(dks[h] + jax.lax.dot_general(
-                    ds, q[:, sl], (((0,), (0,)), ((), ())),
+                    ds.astype(q.dtype), q[:, sl], (((0,), (0,)), ((), ())),
                     preferred_element_type=jnp.float32))
             return tuple(dks_n), tuple(dvs_n)
 
