@@ -155,3 +155,20 @@ def test_grounding_eval_masks(tmp_path):
     m[8:38, 40:56] = 1.0
     best = rank_detections(m, dets["100"], alpha=0.5)
     assert best == [40, 8, 16, 30]
+
+
+def test_ref_evaluation(tmp_path):
+    from youku_mplug_tpu.evals.metrics import ref_evaluation
+
+    refer = Refer(make_dataset(tmp_path), "refcoco", "unc")
+    # exact-match generations score perfectly; a wrong one drags Bleu_1
+    perfect = [{"ref_id": r, "sent": refer.refs[r]["sentences"][0]["sent"]}
+               for r in (1, 2, 3, 4)]
+    out = ref_evaluation(refer, perfect)
+    assert out["Bleu_1"] == pytest.approx(1.0)
+    assert out["ROUGE_L"] == pytest.approx(1.0)
+
+    wrong = list(perfect)
+    wrong[0] = {"ref_id": 1, "sent": "blue banana"}
+    out2 = ref_evaluation(refer, wrong)
+    assert out2["Bleu_1"] < out["Bleu_1"]

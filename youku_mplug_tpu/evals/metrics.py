@@ -226,3 +226,31 @@ def caption_eval(results: List[dict]) -> Dict[str, float]:
         "ROUGE_L": rouge_l(hyps, refs),
         "CIDEr": cider(hyps, refs),
     }
+
+
+def ref_evaluation(refer, results: List[dict],
+                   tokenize=None) -> Dict[str, float]:
+    """Referring-expression generation eval (reference
+    refTools/evaluation/refEvaluation.py:17-80): ``results`` is
+    [{"ref_id", "sent"}]; each generated sentence is scored against the
+    ref's ground-truth expressions with BLEU-1..4 / ROUGE-L / CIDEr
+    (METEOR dropped: its jar is absent upstream and char-level Chinese
+    eval makes it meaningless).  ``refer`` is a data.refer.Refer;
+    ``tokenize`` optionally maps a raw sentence to a token string
+    (default: whitespace lowering, the PTB tokenizer's effect on the
+    already-clean refexp corpus)."""
+    tok = tokenize or (lambda s: " ".join(s.lower().strip().split()))
+    hyps, refs = [], []
+    for res in results:
+        ref = refer.refs[res["ref_id"]]
+        hyps.append(tok(res["sent"]))
+        refs.append([tok(s["sent"]) for s in ref["sentences"]])
+    bleu_scores = bleu(hyps, refs)
+    return {
+        "Bleu_1": bleu_scores[0],
+        "Bleu_2": bleu_scores[1],
+        "Bleu_3": bleu_scores[2],
+        "Bleu_4": bleu_scores[3],
+        "ROUGE_L": rouge_l(hyps, refs),
+        "CIDEr": cider(hyps, refs),
+    }

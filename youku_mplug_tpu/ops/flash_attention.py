@@ -32,6 +32,7 @@ delta and all accumulators stay fp32.
 from __future__ import annotations
 
 import functools
+import os
 from typing import Optional
 
 import jax
@@ -482,7 +483,14 @@ def _fwd_kernel_packed(q_ref, k_ref, v_ref, o_ref, lse_ref, *, scale,
 # this workload and is opt-out only (set False to re-enable the
 # multi-sample VMEM-sized geometry; the kernels themselves support it
 # and tests cover it in interpret mode).
-FORCE_SINGLE_SAMPLE_CELLS = True
+# Default TRUE: the bb=8 batch-blocked geometry failed Mosaic compilation
+# on the real chip at round-2 capture (with fp32-staged dots).  The
+# native-dtype dots above halve in-kernel staging, so smaller bb may now
+# fit — override via env for hardware A/B: FLASH_SINGLE_SAMPLE=0
+# [FLASH_MAX_BLOCK_B=2|4|8].
+FORCE_SINGLE_SAMPLE_CELLS = os.environ.get(
+    "FLASH_SINGLE_SAMPLE", "1") == "1"
+_MAX_BLOCK_B = int(os.environ.get("FLASH_MAX_BLOCK_B", "8"))
 
 
 def _pick_block_b(b: int, sk: int, w: int, arrays: int) -> int:
@@ -499,6 +507,8 @@ def _pick_block_b(b: int, sk: int, w: int, arrays: int) -> int:
         return 1
     per_sample = sk * w * 2 * arrays
     for cand in (8, 4, 2):
+        if cand > _MAX_BLOCK_B:
+            continue
         if b % cand == 0 and cand * per_sample <= 12 * 1024 * 1024:
             return cand
     return 1
