@@ -410,16 +410,22 @@ def packed_supported(n_heads: int, head_dim: int) -> bool:
 
 
 def _fwd_kernel_packed(q_ref, k_ref, v_ref, o_ref, lse_ref, *, scale,
-                       causal, period, block_k, g):
+                       causal, period, block_k, g, diag=False):
     # refs carry block_b samples per grid cell (batch-blocked cells: at
     # short S one sample is ~1-2 us of MXU work against ~2-3 us of fixed
-    # cell overhead — same lesson as the decode kernel)
+    # cell overhead — same lesson as the decode kernel).
+    # diag: period-aligned block-diagonal mode — the k/v refs hold ONLY
+    # the q block's own diagonal kv block (period groups never straddle
+    # period-aligned block boundaries), so the kv loop is one iteration
+    # and global key indices are offset by i * block_k.
     block_b, bq, w = q_ref.shape
     d = w // g
     sk = k_ref.shape[1]
     i = pl.program_id(2)
     n_kv = sk // block_k
-    if causal:
+    if diag:
+        hi = 1
+    elif causal:
         hi = jnp.minimum(jax.lax.div((i + 1) * bq + block_k - 1, block_k),
                          n_kv)
     else:
@@ -433,10 +439,11 @@ def _fwd_kernel_packed(q_ref, k_ref, v_ref, o_ref, lse_ref, *, scale,
             kk = k_ref[s_idx, pl.ds(j * block_k, block_k), :]
             vv = v_ref[s_idx, pl.ds(j * block_k, block_k), :]
             if causal or period:
+                kbase = i * block_k if diag else j * block_k
                 qi = i * bq + jax.lax.broadcasted_iota(jnp.int32,
                                                        (bq, block_k), 0)
-                ki = j * block_k + jax.lax.broadcasted_iota(jnp.int32,
-                                                            (bq, block_k), 1)
+                ki = kbase + jax.lax.broadcasted_iota(jnp.int32,
+                                                      (bq, block_k), 1)
                 mask = (qi >= ki if causal
                         else (qi // period) == (ki // period))
             accs_n, ms_n, ls_n = [], [], []
@@ -514,21 +521,56 @@ def _pick_block_b(b: int, sk: int, w: int, arrays: int) -> int:
     return 1
 
 
+def _pick_period_block(sq: int, period: int,
+                       preferred: int = 256) -> int:
+    """Largest square diagonal block <= preferred (sublane-aligned and
+    period-aligned) that tiles sq; 0 if none below sq exists."""
+    env = os.environ.get("FLASH_PERIOD_BLOCK")
+    if env is not None:
+        b = int(env)
+        return b if (0 < b < sq and sq % b == 0 and b % period == 0
+                     and b % 16 == 0) else 0
+    import math
+
+    step = period * 16 // math.gcd(period, 16)
+    best = 0
+    for cand in range(step, min(preferred, sq - 1) + 1, step):
+        if sq % cand == 0:
+            best = cand
+    return best
+
+
+def _is_diag(period, causal, block_q, block_k, sq, sk):
+    """Period-aligned block-diagonal mode: with block_q == block_k a
+    multiple of the period, groups never straddle block boundaries, so
+    each q block only ever attends its own diagonal kv block."""
+    return (period > 0 and not causal and sq == sk
+            and block_q == block_k and block_q < sq
+            and block_q % period == 0 and sq % block_q == 0)
+
+
 def _fwd_packed(q, k, v, n, *, scale, causal, period, block_q, block_k):
     b, sq, nd = q.shape
     d = nd // n
     g, w = _cell_geometry(n, d)
     sk = k.shape[1]
-    bb = _pick_block_b(b, sk, w, arrays=8)
+    diag = _is_diag(period, causal, block_q, block_k, sq, sk)
+    bb = _pick_block_b(b, block_k if diag else sk, w, arrays=8)
     grid = (b // bb, n // g, sq // block_q)
+    if diag:
+        # each q block reads only its own diagonal kv block
+        kv_spec = pl.BlockSpec((bb, block_k, w), lambda b_, h_, i: (b_, i, h_))
+    else:
+        kv_spec = pl.BlockSpec((bb, sk, w), lambda b_, h_, i: (b_, 0, h_))
+    kv_work = block_k if diag else (sk * (0.5 if causal else 1.0))
     return pl.pallas_call(
         functools.partial(_fwd_kernel_packed, scale=scale, causal=causal,
-                          period=period, block_k=block_k, g=g),
+                          period=period, block_k=block_k, g=g, diag=diag),
         grid=grid,
         in_specs=[
             pl.BlockSpec((bb, block_q, w), lambda b_, h_, i: (b_, i, h_)),
-            pl.BlockSpec((bb, sk, w), lambda b_, h_, i: (b_, 0, h_)),
-            pl.BlockSpec((bb, sk, w), lambda b_, h_, i: (b_, 0, h_)),
+            kv_spec,
+            kv_spec,
         ],
         out_specs=[
             pl.BlockSpec((bb, block_q, w), lambda b_, h_, i: (b_, i, h_)),
@@ -540,23 +582,25 @@ def _fwd_packed(q, k, v, n, *, scale, causal, period, block_q, block_k):
             jax.ShapeDtypeStruct((b, n // g, sq, g), jnp.float32),
         ],
         cost_estimate=pl.CostEstimate(
-            flops=int(4 * b * n * sq * sk * d * (0.5 if causal else 1.0)
-                      * ((period / sk) if period else 1.0)),
+            flops=int(4 * b * n * sq * d * kv_work),
             bytes_accessed=int((2 * q.size + k.size + v.size)
                                * q.dtype.itemsize),
-            transcendentals=int(b * n * sq * sk),
+            transcendentals=int(b * n * sq * kv_work),
         ),
     )(q, k, v)
 
 
 def _bwd_dq_kernel_packed(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
-                          dq_ref, *, scale, causal, period, block_k, g):
+                          dq_ref, *, scale, causal, period, block_k, g,
+                          diag=False):
     block_b, bq, w = q_ref.shape
     d = w // g
     sk = k_ref.shape[1]
     i = pl.program_id(2)
     n_kv = sk // block_k
-    if causal:
+    if diag:
+        hi = 1
+    elif causal:
         hi = jnp.minimum(jax.lax.div((i + 1) * bq + block_k - 1, block_k),
                          n_kv)
     else:
@@ -572,10 +616,11 @@ def _bwd_dq_kernel_packed(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
             kk = k_ref[s_idx, pl.ds(j * block_k, block_k), :]
             vv = v_ref[s_idx, pl.ds(j * block_k, block_k), :]
             if causal or period:
+                kbase = i * block_k if diag else j * block_k
                 qi = i * bq + jax.lax.broadcasted_iota(jnp.int32,
                                                        (bq, block_k), 0)
-                ki = j * block_k + jax.lax.broadcasted_iota(jnp.int32,
-                                                            (bq, block_k), 1)
+                ki = kbase + jax.lax.broadcasted_iota(jnp.int32,
+                                                      (bq, block_k), 1)
                 mask = (qi >= ki if causal
                         else (qi // period) == (ki // period))
             out = []
@@ -605,13 +650,16 @@ def _bwd_dq_kernel_packed(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
 
 def _bwd_dkv_kernel_packed(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
                            dk_ref, dv_ref, *, scale, causal, period, block_q,
-                           g):
+                           g, diag=False):
     block_b, bk, w = k_ref.shape
     d = w // g
     sq = q_ref.shape[1]
     j = pl.program_id(2)
     n_q = sq // block_q
-    lo = jax.lax.div(j * bk, block_q) if causal else 0
+    if diag:
+        lo, n_q = 0, 1  # q/do refs hold only this kv block's diagonal
+    else:
+        lo = jax.lax.div(j * bk, block_q) if causal else 0
 
     for s_idx in range(block_b):
         k = k_ref[s_idx]
@@ -624,8 +672,9 @@ def _bwd_dkv_kernel_packed(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
             lse = lse_ref[s_idx, 0, pl.ds(i * block_q, block_q), :]  # [bq,g]
             delta = delta_ref[s_idx, 0, pl.ds(i * block_q, block_q), :]
             if causal or period:
-                qi = i * block_q + jax.lax.broadcasted_iota(jnp.int32,
-                                                            (block_q, bk), 0)
+                qbase = j * block_q if diag else i * block_q
+                qi = qbase + jax.lax.broadcasted_iota(jnp.int32,
+                                                      (block_q, bk), 0)
                 ki = j * bk + jax.lax.broadcasted_iota(jnp.int32,
                                                        (block_q, bk), 1)
                 mask = (qi >= ki if causal
@@ -671,15 +720,21 @@ def _bwd_packed(n, scale, causal, period, block_q, block_k, res, grad):
         b, sq, n // g, g, d).sum(-1)          # [B, Sq, n/g, g]
     delta = prod.transpose(0, 2, 1, 3)         # [B, n/g, Sq, g]
 
-    bb = _pick_block_b(b, max(sk, sq), w, arrays=16)
+    diag = _is_diag(period, causal, block_q, block_k, sq, sk)
+    bb = _pick_block_b(b, block_k if diag else max(sk, sq), w, arrays=16)
+    if diag:
+        dq_kv_spec = pl.BlockSpec((bb, block_k, w),
+                                  lambda b_, h_, i: (b_, i, h_))
+    else:
+        dq_kv_spec = pl.BlockSpec((bb, sk, w), lambda b_, h_, i: (b_, 0, h_))
     dq = pl.pallas_call(
         functools.partial(_bwd_dq_kernel_packed, scale=scale, causal=causal,
-                          period=period, block_k=block_k, g=g),
+                          period=period, block_k=block_k, g=g, diag=diag),
         grid=(b // bb, n // g, sq // block_q),
         in_specs=[
             pl.BlockSpec((bb, block_q, w), lambda b_, h_, i: (b_, i, h_)),
-            pl.BlockSpec((bb, sk, w), lambda b_, h_, i: (b_, 0, h_)),
-            pl.BlockSpec((bb, sk, w), lambda b_, h_, i: (b_, 0, h_)),
+            dq_kv_spec,
+            dq_kv_spec,
             pl.BlockSpec((bb, block_q, w), lambda b_, h_, i: (b_, i, h_)),
             pl.BlockSpec((bb, 1, block_q, g),
                          lambda b_, h_, i: (b_, h_, i, 0)),
@@ -691,17 +746,27 @@ def _bwd_packed(n, scale, causal, period, block_q, block_k, res, grad):
         out_shape=jax.ShapeDtypeStruct((b, sq, nd), q.dtype),
     )(q, k, v, do, lse, delta)
 
+    if diag:
+        dkv_q_spec = pl.BlockSpec((bb, block_q, w),
+                                  lambda b_, h_, j: (b_, j, h_))
+        dkv_ld_spec = pl.BlockSpec((bb, 1, block_q, g),
+                                   lambda b_, h_, j: (b_, h_, j, 0))
+    else:
+        dkv_q_spec = pl.BlockSpec((bb, sq, w), lambda b_, h_, j: (b_, 0, h_))
+        dkv_ld_spec = pl.BlockSpec((bb, 1, sq, g),
+                                   lambda b_, h_, j: (b_, h_, 0, 0))
     dk, dv = pl.pallas_call(
         functools.partial(_bwd_dkv_kernel_packed, scale=scale,
-                          causal=causal, period=period, block_q=block_q, g=g),
+                          causal=causal, period=period, block_q=block_q,
+                          g=g, diag=diag),
         grid=(b // bb, n // g, sk // block_k),
         in_specs=[
-            pl.BlockSpec((bb, sq, w), lambda b_, h_, j: (b_, 0, h_)),
+            dkv_q_spec,
             pl.BlockSpec((bb, block_k, w), lambda b_, h_, j: (b_, j, h_)),
             pl.BlockSpec((bb, block_k, w), lambda b_, h_, j: (b_, j, h_)),
-            pl.BlockSpec((bb, sq, w), lambda b_, h_, j: (b_, 0, h_)),
-            pl.BlockSpec((bb, 1, sq, g), lambda b_, h_, j: (b_, h_, 0, 0)),
-            pl.BlockSpec((bb, 1, sq, g), lambda b_, h_, j: (b_, h_, 0, 0)),
+            dkv_q_spec,
+            dkv_ld_spec,
+            dkv_ld_spec,
         ],
         out_specs=[
             pl.BlockSpec((bb, block_k, w), lambda b_, h_, j: (b_, j, h_)),
@@ -766,6 +831,19 @@ def flash_attention_packed(q, k, v, n_heads: int, *, causal: bool = False,
     if scale is None:
         scale = d ** -0.5
     sk = k.shape[1]
+    if period and not causal and sq == sk:
+        # period-aligned block-diagonal mode: groups never straddle
+        # period-aligned block boundaries, so square blocks that are
+        # multiples of lcm(period, 16) turn the masked whole-sequence
+        # sweep into diagonal blocks only — an sq/block flop cut on the
+        # grouped temporal geometry (S=1568: 7x at block 224) with the
+        # SAME layout (the measured-negative batch-fold above moved
+        # data; this only shrinks the kv loop).  Env override
+        # FLASH_PERIOD_BLOCK=<n> (0 = whole-sequence cells).
+        bdiag = _pick_period_block(sq, period)
+        if bdiag:
+            return _flash_packed(q, k, v, n_heads, float(scale), False,
+                                 int(period), bdiag, bdiag)
     if sq % 128 or sk % 128:
         bq, bk = sq, sk  # whole-sequence blocks (no-pad rule)
     else:
