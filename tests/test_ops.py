@@ -261,15 +261,25 @@ def test_flash_attention_packed_matches_reference(rng):
                                rtol=2e-3, atol=2e-3)
 
 
-def test_flash_attention_packed_period(rng):
+@pytest.mark.parametrize("period_block", ["", "16"],
+                         ids=["whole-seq", "diag"])
+def test_flash_attention_packed_period(rng, period_block, monkeypatch):
     """Block-diagonal (periodic) mask == per-group attention; grads too.
-    This is the grouped-temporal-attention kernel path (period=T)."""
+    This is the grouped-temporal-attention kernel path (period=T).
+    Runs both cell geometries: the default masked whole-sequence cells
+    and the opt-in diagonal blocks (FLASH_PERIOD_BLOCK — default-off
+    after the 2026-08-19 hardware A/B, see _pick_period_block)."""
     import functools
     import unittest.mock as mock
 
     from jax.experimental import pallas as pl
 
     from youku_mplug_tpu.ops.flash_attention import flash_attention_packed
+
+    if period_block:
+        monkeypatch.setenv("FLASH_PERIOD_BLOCK", period_block)
+    else:
+        monkeypatch.delenv("FLASH_PERIOD_BLOCK", raising=False)
 
     b, n, d, period, groups = 2, 4, 64, 8, 14
     s = period * groups  # 112, the grouped temporal sequence

@@ -521,23 +521,24 @@ def _pick_block_b(b: int, sk: int, w: int, arrays: int) -> int:
     return 1
 
 
-def _pick_period_block(sq: int, period: int,
-                       preferred: int = 256) -> int:
-    """Largest square diagonal block <= preferred (sublane-aligned and
-    period-aligned) that tiles sq; 0 if none below sq exists."""
-    env = os.environ.get("FLASH_PERIOD_BLOCK")
-    if env is not None:
-        b = int(env)
-        return b if (0 < b < sq and sq % b == 0 and b % period == 0
-                     and b % 16 == 0) else 0
-    import math
+def _pick_period_block(sq: int, period: int) -> int:
+    """Square diagonal block (sublane- and period-aligned, tiling sq)
+    for the block-diagonal periodic path, or 0 for whole-sequence cells.
 
-    step = period * 16 // math.gcd(period, 16)
-    best = 0
-    for cand in range(step, min(preferred, sq - 1) + 1, step):
-        if sq % cand == 0:
-            best = cand
-    return best
+    DEFAULT OFF — measured on the real v5e chip (2026-08-19, flagship
+    bench, grouped temporal geometry S=1568/period=8): whole-sequence
+    masked cells 384.3 ms/step, diag block 224 (the old auto pick)
+    422 ms, diag block 112 neutral at 384.2 ms.  The 7x kv-loop flop
+    cut never pays: the op is HBM-bound (kv read traffic is unchanged)
+    and one big masked MXU sweep beats 7 small diagonal cells' grid
+    overhead.  FLASH_PERIOD_BLOCK=<n> opts the diag path back in for
+    A/B; interpret-mode tests keep it correct."""
+    env = os.environ.get("FLASH_PERIOD_BLOCK")
+    if env is None:
+        return 0
+    b = int(env)
+    return b if (0 < b < sq and sq % b == 0 and b % period == 0
+                 and b % 16 == 0) else 0
 
 
 def _is_diag(period, causal, block_q, block_k, sq, sk):
