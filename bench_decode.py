@@ -70,7 +70,30 @@ def main():
     # twin of the decoder as the draft (depth//4 layers, same weights —
     # a realistic "shallow draft" without training one)
     spec = int(os.environ.get("BENCH_DECODE_SPEC", "0"))
-    if spec > 0:
+    # prompt-lookup decoding: BENCH_DECODE_NGRAM=k proposes k tokens per
+    # round from the sequence's own history (no draft model at all);
+    # BENCH_DECODE_NGRAM_N sets the matched suffix length (default 2).
+    # Acceptance is content-dependent — greedy loops on synthetic
+    # weights are repetitive, so this is the optimistic end.
+    ngram_k = int(os.environ.get("BENCH_DECODE_NGRAM", "0"))
+    if ngram_k > 0:
+        from youku_mplug_tpu.serving.speculative import (
+            ngram_speculative_generate,
+        )
+
+        ngram_n = int(os.environ.get("BENCH_DECODE_NGRAM_N", "2"))
+
+        def run(seed):
+            out = ngram_speculative_generate(
+                lm, lm_vars, prompt, plen, config=gcfg,
+                speculate_len=ngram_k, ngram=ngram_n,
+                query_embeds=query_embeds)
+            return out["sequences"], {
+                "ngram_k": ngram_k, "ngram_n": ngram_n,
+                "rounds": int(jax.device_get(out["rounds"])),
+                "tokens_per_round": round(float(
+                    jax.device_get(out["tokens_per_round"])), 3)}
+    elif spec > 0:
         import dataclasses as _dc
 
         from youku_mplug_tpu.serving.speculative import speculative_generate

@@ -280,3 +280,24 @@ def test_serve_runner_speculative(tmp_path):
     results = json.load(open(tmp_path / "out" / "serve_results.json"))
     assert len(results) == 4
     assert all(r["n_tokens"] > 0 for r in results)
+
+
+def test_serve_runner_ngram_speculative(tmp_path):
+    """--speculative k --draft ngram: draft-free prompt-lookup decoding;
+    same request contract, no draft model built at all."""
+    from youku_mplug_tpu.cli import serve
+
+    cfg = write_cfg(tmp_path, "serve_ngram", prompt="", max_new_tokens=4)
+    args = serve.serve_parser().parse_args([
+        "--config", cfg, "--output_dir", str(tmp_path / "out"),
+        "--fp32", "--synthetic_data", "--seed", "0",
+        "--num_requests", "4", "--num_slots", "2",
+        "--speculative", "3", "--draft", "ngram", "--ngram_n", "2"])
+    stats = serve.main(args)
+    assert stats["requests"] == 4
+    assert stats["draft"] == "ngram" and stats["draft_layers"] == 0
+    assert stats["tokens_per_round"] is None or \
+        stats["tokens_per_round"] >= 1.0
+    results = json.load(open(tmp_path / "out" / "serve_results.json"))
+    assert len(results) == 4
+    assert all(r["n_tokens"] > 0 for r in results)

@@ -123,3 +123,74 @@ def test_speculative_sampling_runs_and_terminates(models):
         hits = np.where(row == 2)[0]
         if hits.size:
             assert (row[hits[0] + 1:] == 0).all()
+
+
+# ---------------------------------------------------------------------------
+# prompt-lookup (n-gram) speculative decoding
+# ---------------------------------------------------------------------------
+
+def test_ngram_propose_copies_continuation():
+    from youku_mplug_tpu.serving.speculative import _ngram_propose
+
+    # history: ... 5 6 7 8 9 ... 5 6 | cur — suffix (5,6) matched at the
+    # earlier occurrence; proposal must copy its continuation 7 8 9
+    hist = jnp.asarray([[1, 5, 6, 7, 8, 9, 4, 5, 6, 0, 0, 0]], jnp.int32)
+    cur = jnp.asarray([9], jnp.int32)
+    lo = jnp.asarray([0], jnp.int32)
+    props = _ngram_propose(hist, cur, 2, 3, lo)
+    np.testing.assert_array_equal(np.asarray(props), [[7, 8, 9]])
+
+    # most RECENT match wins: two occurrences with different continuations
+    hist2 = jnp.asarray([[5, 6, 1, 5, 6, 2, 9, 5, 6, 0, 0]], jnp.int32)
+    props2 = _ngram_propose(hist2, jnp.asarray([9], jnp.int32), 2, 2, lo)
+    np.testing.assert_array_equal(np.asarray(props2), [[2, 9]])
+
+    # pads before valid_from must not fabricate a match
+    hist3 = jnp.asarray([[0, 0, 0, 3, 0, 0, 0, 0]], jnp.int32)
+    props3 = _ngram_propose(hist3, jnp.asarray([6], jnp.int32), 2, 2,
+                            jnp.asarray([3], jnp.int32))
+    # no valid match: fallback repeats the tail (reads hist[4:6] = 0,0)
+    assert props3.shape == (1, 2)
+
+
+@pytest.mark.parametrize("k,n", [(3, 2), (8, 3), (1, 1)])
+def test_ngram_speculative_equals_greedy(models, k, n):
+    from youku_mplug_tpu.serving.speculative import (
+        ngram_speculative_generate,
+    )
+
+    target, tp, _, _ = models
+    rng = np.random.default_rng(7)
+    b, p = 3, 9
+    prompt = jnp.asarray(rng.integers(1, V, (b, p)), jnp.int32)
+    plen = jnp.asarray([9, 5, 7], jnp.int32)
+    cfg = GenerationConfig(max_new_tokens=14, eos_id=2, pad_id=0,
+                           do_sample=False, beam_size=1)
+    want = generate(target, tp, prompt, plen, config=cfg)["sequences"]
+    out = ngram_speculative_generate(target, tp, prompt, plen, config=cfg,
+                                     speculate_len=k, ngram=n)
+    np.testing.assert_array_equal(np.asarray(out["sequences"]),
+                                  np.asarray(want))
+    assert float(out["tokens_per_round"]) >= 1.0
+
+
+def test_ngram_speculative_with_query_embeds(models):
+    from youku_mplug_tpu.serving.speculative import (
+        ngram_speculative_generate,
+    )
+
+    target, tp, _, _ = models
+    rng = np.random.default_rng(9)
+    prompt = jnp.asarray(rng.integers(1, V, (2, 6)), jnp.int32)
+    plen = jnp.asarray([6, 4], jnp.int32)
+    qe = jnp.asarray(rng.normal(size=(2, 3, TARGET["hidden_size"])),
+                     jnp.float32)
+    cfg = GenerationConfig(max_new_tokens=10, eos_id=2, pad_id=0,
+                           do_sample=False, beam_size=1)
+    want = generate(target, tp, prompt, plen, query_embeds=qe,
+                    config=cfg)["sequences"]
+    out = ngram_speculative_generate(target, tp, prompt, plen, config=cfg,
+                                     speculate_len=4, ngram=2,
+                                     query_embeds=qe)
+    np.testing.assert_array_equal(np.asarray(out["sequences"]),
+                                  np.asarray(want))

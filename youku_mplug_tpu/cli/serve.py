@@ -51,6 +51,14 @@ def serve_parser():
     p.add_argument("--draft_layers", type=int, default=0,
                    help="draft depth for --speculative (0: decoder "
                         "depth // 4)")
+    p.add_argument("--draft", choices=("twin", "ngram"), default="twin",
+                   help="--speculative proposal source: 'twin' = "
+                        "truncated-depth twin of the decoder; 'ngram' = "
+                        "draft-free prompt-lookup (copies continuations "
+                        "of repeated n-grams from the sequence's own "
+                        "history)")
+    p.add_argument("--ngram_n", type=int, default=2,
+                   help="suffix length matched by --draft ngram")
     return p
 
 
@@ -168,16 +176,24 @@ def _serve_speculative(args, cfg, runner, model, lm, lm_params, params,
     training; see docs/SERVING.md)."""
     import dataclasses
 
-    from youku_mplug_tpu.serving.speculative import speculative_generate
+    from youku_mplug_tpu.serving.speculative import (
+        ngram_speculative_generate,
+        speculative_generate,
+    )
 
     k = args.speculative
-    L = cfg.model.text.num_hidden_layers
-    d_layers = args.draft_layers or max(L // 4, 1)
-    d_cfg = dataclasses.replace(cfg.model.text, num_hidden_layers=d_layers)
-    draft = GPT3LM(d_cfg, policy=model.policy)
-    d_params = jax.tree_util.tree_map(
-        lambda x: x[:d_layers] if (hasattr(x, "shape") and x.ndim > 0
-                                   and x.shape[0] == L) else x, lm_params)
+    use_ngram = args.draft == "ngram"
+    d_layers = 0
+    if not use_ngram:
+        L = cfg.model.text.num_hidden_layers
+        d_layers = args.draft_layers or max(L // 4, 1)
+        d_cfg = dataclasses.replace(cfg.model.text,
+                                    num_hidden_layers=d_layers)
+        draft = GPT3LM(d_cfg, policy=model.policy)
+        d_params = jax.tree_util.tree_map(
+            lambda x: x[:d_layers] if (hasattr(x, "shape") and x.ndim > 0
+                                       and x.shape[0] == L) else x,
+            lm_params)
 
     results = []
     total_toks = 0
@@ -194,9 +210,15 @@ def _serve_speculative(args, cfg, runner, model, lm, lm_params, params,
             prompt = jnp.asarray([prompt_vec] * b, jnp.int32)
             plen = jnp.full((b,), max(prompt_len, 1), jnp.int32)
             t0 = time.time()
-            out = speculative_generate(lm, lm_params, draft, d_params,
-                                       prompt, plen, config=gen_cfg,
-                                       speculate_len=k, query_embeds=qe)
+            if use_ngram:
+                out = ngram_speculative_generate(
+                    lm, lm_params, prompt, plen, config=gen_cfg,
+                    speculate_len=k, ngram=args.ngram_n, query_embeds=qe)
+            else:
+                out = speculative_generate(lm, lm_params, draft, d_params,
+                                           prompt, plen, config=gen_cfg,
+                                           speculate_len=k,
+                                           query_embeds=qe)
             seqs = np.asarray(out["sequences"])
             dt = time.time() - t0
             ids = raw.get("video_id", range(b))
@@ -215,7 +237,8 @@ def _serve_speculative(args, cfg, runner, model, lm, lm_params, params,
     wall = time.time() - t_start
     stats = {"requests": len(results), "wall_s": round(wall, 3),
              "tokens_per_sec": round(total_toks / max(wall, 1e-9), 2),
-             "speculative_k": k, "draft_layers": d_layers,
+             "speculative_k": k, "draft": args.draft,
+             "draft_layers": d_layers,
              "tokens_per_round": round(
                  float(out["tokens_per_round"]), 3) if results else None}
     os.makedirs(args.output_dir, exist_ok=True)

@@ -280,3 +280,175 @@ def speculative_generate(model: GPT3LM, params, draft_model: GPT3LM,
             "scores": jnp.zeros((b,), jnp.float32),
             "rounds": st["rounds"],
             "tokens_per_round": rate}
+
+
+# --------------------------------------------------------------------------
+# Prompt-lookup (n-gram) speculative decoding: a DRAFT-FREE draft.
+#
+# The proposal source is the sequence's own history: find the most recent
+# earlier occurrence of the current suffix n-gram and propose the k tokens
+# that followed it.  Captioning/VQA outputs echo the prompt and repeat
+# phrases constantly, so lookup hits are common — and unlike the model
+# draft, a proposal round costs a handful of vector compares, so every
+# accepted token is nearly free and there is NO draft cache to keep
+# aligned (the full-acceptance bonus token is committed, not forgone).
+# Greedy output is exact for any proposal source (same argument as
+# speculative_generate; the reference has no analog — it decodes one
+# python-loop token at a time, distributed_gpt3.py:1398-1480).
+# --------------------------------------------------------------------------
+
+
+def _ngram_propose(hist, cur, n: int, k: int, lo):
+    """Propose k continuation tokens per sample by suffix n-gram lookup.
+
+    hist [B, L] token history (pads allowed outside [lo, cur)), cur [B]
+    one past the last valid token, lo [B] first valid index.  Returns
+    proposals [B, k]: the tokens that followed the most recent earlier
+    match of hist[cur-n : cur]; falls back to repeating the last k
+    tokens when no match exists (quality only — never correctness).
+    """
+    b, length = hist.shape
+    idx = jnp.arange(length)[None, :]                      # [1, L]
+    # suffix[j] = hist[cur - n + j], j = 0..n-1
+    match = jnp.ones((b, length), bool)
+    for j in range(n):
+        # candidate n-gram ending at m: hist[m - (n-1) + j] vs suffix[j]
+        sfx = jnp.take_along_axis(
+            hist, jnp.maximum(cur - n + j, 0)[:, None], axis=1)  # [B,1]
+        shift = jnp.clip(idx - (n - 1) + j, 0, length - 1)
+        match &= jnp.take_along_axis(hist, shift, axis=1) == sfx
+    # valid candidates: whole n-gram inside [lo, cur) and strictly
+    # earlier than the suffix itself
+    valid = (idx - (n - 1) >= lo[:, None]) & (idx < (cur - 1)[:, None])
+    best = jnp.max(jnp.where(match & valid, idx, -1), axis=1)   # [B]
+    # fallback: repeat the tail (best+1..best+k reads the last k tokens)
+    best = jnp.where(best < 0, cur - 1 - k, best)
+    take = jnp.clip(best[:, None] + 1 + jnp.arange(k)[None, :], 0,
+                    length - 1)
+    return jnp.take_along_axis(hist, take, axis=1)
+
+
+@functools.partial(jax.jit, static_argnums=(0, 4, 5, 6))
+def ngram_speculative_generate(model: GPT3LM, params, prompt_ids,
+                               prompt_len,
+                               config: GenerationConfig = GenerationConfig(),
+                               speculate_len: int = 8, ngram: int = 2,
+                               query_embeds=None):
+    """Greedy prompt-lookup decoding.  Token-for-token equal to
+    ``generation.generate`` with do_sample=False, beam_size=1.
+
+    speculate_len can run higher than the model-draft path (8 vs 4):
+    proposals are free, so the only cost of a long miss is the wasted
+    tail of one verify chunk.
+    """
+    if config.do_sample:
+        raise ValueError("ngram speculative decoding is greedy-only")
+    k = speculate_len
+    b, p = prompt_ids.shape
+    nq = 0 if query_embeds is None else query_embeds.shape[1]
+    prefix_len = nq + p
+    max_new = config.max_new_tokens
+    cache_len_cap = prefix_len + max_new + k + 1
+
+    embeds, valid_from, pos_offset = _build_prefix(
+        model, params, prompt_ids, prompt_len, query_embeds, config.pad_id)
+    t_cache = model.apply(_variables(params), b, cache_len_cap,
+                          method=GPT3LM.init_cache)
+    t_logits, t_cache = model.apply(
+        _variables(params), embeds, t_cache, jnp.int32(0),
+        valid_from, pos_offset, method=GPT3LM.decode_step)
+    first = jnp.argmax(t_logits.astype(jnp.float32), -1).astype(jnp.int32)
+
+    # history buffer: [pad x k_i | prompt | committed tokens]; prompt is
+    # right-aligned at width p (same layout _build_prefix feeds the
+    # cache), so valid history is hist[valid_from : p + t]
+    length = p + max_new + k + 1
+    j = jnp.arange(p)[None, :]
+    src = jnp.clip(j - valid_from[:, None], 0, p - 1)
+    shifted = jnp.where(j >= valid_from[:, None],
+                        jnp.take_along_axis(prompt_ids, src, axis=1),
+                        config.pad_id)
+    hist = jnp.full((b, length), config.pad_id, jnp.int32)
+    hist = hist.at[:, :p].set(shifted)
+    hist = hist.at[:, p].set(first)
+
+    seqs = jnp.full((b, max_new), config.pad_id, jnp.int32)
+    seqs = seqs.at[:, 0].set(first)
+    done = first == config.eos_id
+
+    state = dict(
+        t=jnp.ones((b,), jnp.int32), seqs=seqs, t_cache=t_cache,
+        t_len=jnp.full((b,), prefix_len, jnp.int32), hist=hist,
+        last=first, done=done, rounds=jnp.int32(0))
+
+    def cond(st):
+        return ~jnp.all(st["done"] | (st["t"] >= max_new))
+
+    def body(st):
+        cur = p + st["t"]  # one past the last committed token in hist
+        drafts = _ngram_propose(st["hist"], cur, ngram, k, valid_from)
+
+        chunk = jnp.concatenate([st["last"][:, None], drafts], axis=1)
+        emb = model.apply(_variables(params), chunk, method=GPT3LM.embed)
+        logits, t_cache = model.apply(
+            _variables(params), emb, st["t_cache"], st["t_len"],
+            valid_from, pos_offset, True, method=GPT3LM.decode_step)
+        greedy = jnp.argmax(logits.astype(jnp.float32),
+                            -1).astype(jnp.int32)              # [B, k+1]
+        agree = drafts == greedy[:, :k]
+        accepted = jnp.cumprod(agree.astype(jnp.int32),
+                               axis=1).sum(axis=1)              # [B] 0..k
+        idx = jnp.arange(k + 1)[None, :]
+        commit = jnp.where(idx < accepted[:, None],
+                           jnp.concatenate([drafts, drafts[:, -1:]], 1),
+                           jnp.take_along_axis(
+                               greedy, jnp.minimum(accepted, k)[:, None],
+                               axis=1))                         # [B, k+1]
+        # no draft cache to protect: commit the bonus token too
+        n_commit = accepted + 1                                 # [B] 1..k+1
+
+        prev_eos = jnp.cumsum(
+            (commit == config.eos_id).astype(jnp.int32), axis=1)
+        no_earlier_eos = (prev_eos - (commit == config.eos_id)) == 0
+        pos = st["t"][:, None] + idx
+        live = ((idx < n_commit[:, None]) & ~st["done"][:, None]
+                & no_earlier_eos & (pos < max_new))
+        n_live = live.sum(axis=1).astype(jnp.int32)
+
+        seqs, hist = st["seqs"], st["hist"]
+        rows = jnp.arange(b)
+        for jj in range(k + 1):
+            tgt = jnp.clip(st["t"] + jj, 0, max_new - 1)
+            val = jnp.where(live[:, jj], commit[:, jj], seqs[rows, tgt])
+            seqs = seqs.at[rows, tgt].set(val)
+            htgt = jnp.clip(cur + jj, 0, length - 1)
+            hval = jnp.where(live[:, jj], commit[:, jj], hist[rows, htgt])
+            hist = hist.at[rows, htgt].set(hval)
+
+        hit_eos = jnp.any(live & (commit == config.eos_id), axis=1)
+        new_done = st["done"] | hit_eos | (st["t"] + n_live >= max_new)
+        last_idx = jnp.clip(n_live - 1, 0, k)
+        new_last = jnp.where(
+            n_live > 0,
+            jnp.take_along_axis(commit, last_idx[:, None], axis=1)[:, 0],
+            st["last"])
+        # invariant: t_len = cache rows covering committed history
+        # EXCLUDING `last` (whose row is only written when it is fed as
+        # the head of a verify chunk).  This round wrote rows for
+        # [last, drafts]; of the n_live newly committed tokens the final
+        # one becomes new_last (excluded), old `last` joins the counted
+        # history (+1) — net advance is exactly n_live, identical to the
+        # model-draft path.  n_live is already 0 for done samples.
+        return dict(
+            t=st["t"] + n_live,
+            seqs=seqs, t_cache=t_cache,
+            t_len=st["t_len"] + n_live, hist=hist,
+            last=new_last, done=new_done, rounds=st["rounds"] + 1)
+
+    st = jax.lax.while_loop(cond, body, state)
+    committed = jnp.sum(jnp.minimum(st["t"], max_new) - 1)
+    rate = committed / jnp.maximum(st["rounds"] * b, 1)
+    return {"sequences": st["seqs"],
+            "scores": jnp.zeros((b,), jnp.float32),
+            "rounds": st["rounds"],
+            "tokens_per_round": rate}
