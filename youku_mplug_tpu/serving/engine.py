@@ -95,6 +95,10 @@ class ServingEngine:
         self._prefill = jax.jit(self._prefill_impl, donate_argnums=(0,))
         self._decode = jax.jit(self._decode_impl, donate_argnums=(0,))
         self._decode_many: Dict[int, Any] = {}
+        self._verify: Dict[int, Any] = {}
+        # per-slot token history (prompt + committed tokens) for
+        # prompt-lookup speculation (step_lookup); plain numpy, host-side
+        self._hist: List[List[int]] = [[] for _ in range(num_slots)]
 
     def _decode_many_fn(self, k: int):
         """One compiled multi-step program per k (bounded by the caller's
@@ -182,6 +186,52 @@ class ServingEngine:
             body, (cache, cache_len, last_token), jax.random.split(rng, k))
         return cache, toks  # toks: [k, num_slots]
 
+    def _verify_fn(self, k: int):
+        """One compiled chunk-verify program per speculate length."""
+        if k not in self._verify:
+            import functools
+
+            self._verify[k] = jax.jit(
+                functools.partial(self._verify_impl, k),
+                donate_argnums=(0,))
+        return self._verify[k]
+
+    def _verify_impl(self, k, cache, cache_len, valid_from, pos_offset,
+                     last_token, drafts):
+        """Greedy chunk verification for prompt-lookup speculation: feed
+        [last, d_0..d_{k-1}] per slot in ONE decode_step, return the
+        target's greedy choice at every position.  Rows written for
+        rejected proposals land past the host-advanced cache_len and are
+        masked/overwritten — the engine's standard partial-write
+        contract."""
+        model, params = self.model, self.params
+        chunk = jnp.concatenate([last_token[:, None], drafts], axis=1)
+        emb = model.apply(_variables(params), chunk, method=GPT3LM.embed)
+        logits, cache = model.apply(
+            _variables(params), emb, cache, cache_len, valid_from,
+            pos_offset, True, method=GPT3LM.decode_step)
+        greedy = jnp.argmax(logits.astype(jnp.float32),
+                            -1).astype(jnp.int32)       # [B, k+1]
+        return cache, greedy
+
+    @staticmethod
+    def _lookup_propose(hist: List[int], n: int, k: int) -> List[int]:
+        """Host-side prompt lookup: continuation of the most recent
+        earlier occurrence of the trailing n-gram; falls back to
+        repeating the tail (proposal quality only, never correctness)."""
+        L = len(hist)
+        if L >= n + 1:
+            sfx = hist[L - n:]
+            # scan candidates right-to-left, most recent match first
+            for m in range(L - 2, n - 2, -1):
+                if hist[m - n + 1:m + 1] == sfx:
+                    out = hist[m + 1:m + 1 + k]
+                    if out:
+                        return (out + out[-1:] * k)[:k]
+                    break
+        tail = hist[-k:] if hist else [0]
+        return (tail + tail[-1:] * k)[:k]
+
     # ------------------------------------------------------------------
     # host scheduler
     # ------------------------------------------------------------------
@@ -230,6 +280,7 @@ class ServingEngine:
                        tokens=[first])
             st.done = (first == self.config.eos_id or max_new <= 1)
             self._slots[slot] = st
+            self._hist[slot] = list(ids) + [first]
 
     def step(self) -> List[FinishedRequest]:
         """Admit pending requests, run ONE decode step for all slots, and
@@ -253,6 +304,7 @@ class ServingEngine:
                 continue
             tok = int(nxt[slot])
             st.tokens.append(tok)
+            self._hist[slot].append(tok)
             self.cache_len[slot] += 1
             self.last_token[slot] = tok
             if (tok == self.config.eos_id
@@ -290,6 +342,60 @@ class ServingEngine:
             for j in range(k_eff):
                 tok = int(toks[j, slot])
                 st.tokens.append(tok)
+                self._hist[slot].append(tok)
+                self.cache_len[slot] += 1
+                self.last_token[slot] = tok
+                if (tok == self.config.eos_id
+                        or len(st.tokens) >= st.max_new
+                        or int(self.cache_len[slot]) >= self.max_len - 1):
+                    finished.append(self._finish(slot))
+                    break
+        return finished
+
+    def step_lookup(self, k: int, ngram: int = 2) -> List[FinishedRequest]:
+        """Continuous batching + prompt-lookup speculation: every active
+        slot proposes k tokens from its own history (host-side n-gram
+        lookup, zero model cost) and ONE chunked verify program commits
+        the agreeing prefix plus one target token — 1..k+1 tokens per
+        slot per dispatch, still exactly the greedy output (``step``
+        and ``step_lookup`` produce identical tokens — tested).
+
+        Greedy-only (speculation with sampling needs the rejection
+        scheme — use serving/speculative.py lock-step for that)."""
+        if self.config.do_sample:
+            raise ValueError("step_lookup is greedy-only")
+        self._admit()
+        finished: List[FinishedRequest] = []
+        for slot, st in enumerate(self._slots):
+            if st is not None and st.done:
+                finished.append(self._finish(slot))
+        if all(s is None for s in self._slots):
+            return finished
+
+        # clamp so no slot's k+1 chunk can overrun the static cache
+        longest = max(int(self.cache_len[s])
+                      for s, st in enumerate(self._slots) if st is not None)
+        k_eff = max(1, min(k, self.max_len - 2 - longest))
+        drafts = np.zeros((self.num_slots, k_eff), np.int32)
+        for slot, st in enumerate(self._slots):
+            if st is not None:
+                drafts[slot] = self._lookup_propose(self._hist[slot],
+                                                    ngram, k_eff)
+        self.cache, greedy = self._verify_fn(k_eff)(
+            self.cache, jnp.asarray(self.cache_len),
+            jnp.asarray(self.valid_from), jnp.asarray(self.pos_offset),
+            jnp.asarray(self.last_token), jnp.asarray(drafts))
+        greedy = np.asarray(greedy)                     # [B, k_eff+1]
+        for slot, st in enumerate(self._slots):
+            if st is None:
+                continue
+            a = 0
+            while a < k_eff and drafts[slot, a] == greedy[slot, a]:
+                a += 1
+            commit = list(drafts[slot, :a]) + [int(greedy[slot, a])]
+            for tok in commit:
+                st.tokens.append(tok)
+                self._hist[slot].append(tok)
                 self.cache_len[slot] += 1
                 self.last_token[slot] = tok
                 if (tok == self.config.eos_id
@@ -312,11 +418,17 @@ class ServingEngine:
         return not self._queue and all(s is None for s in self._slots)
 
     def run_to_completion(self, max_steps: int = 100000,
-                          steps_per_dispatch: int = 1
+                          steps_per_dispatch: int = 1,
+                          lookup_k: int = 0, ngram: int = 2
                           ) -> List[FinishedRequest]:
+        """Drain the engine.  lookup_k > 0 uses prompt-lookup speculative
+        steps (``step_lookup``); otherwise plain (multi-)step decode."""
         out: List[FinishedRequest] = []
         for _ in range(max_steps):
             if self.idle:
                 break
-            out.extend(self.step_many(steps_per_dispatch))
+            if lookup_k > 0:
+                out.extend(self.step_lookup(lookup_k, ngram))
+            else:
+                out.extend(self.step_many(steps_per_dispatch))
         return out
