@@ -306,13 +306,23 @@ class GPT3Attention(nn.Module):
                 ckvf, lidx = cache
                 m = ckvf.shape[2]
                 if jnp.ndim(cache_len) == 1:
-                    def updf(c, new, i):  # c [L, M, 2nd], new [S, 2nd]
+                    # per-sample write positions (continuous batching).
+                    # NOT a vmap'd dynamic_update_slice: that lowers to a
+                    # scatter whose TPU lowering transposes the WHOLE
+                    # stacked cache to batch-minor layout and back (two
+                    # ~1.6 GB copy fusions per step) and serializes the
+                    # row writes — measured 239 ms/step vs 5 ms lock-step
+                    # at 1.3B/B=16/M=512.  A fori_loop of per-sample
+                    # dynamic_update_slices keeps the carry layout and
+                    # updates in place: B tiny row writes.
+                    kvp_c = kvp.astype(ckvf.dtype)
+
+                    def wrf(bi, c):
+                        row = jax.lax.dynamic_slice_in_dim(
+                            kvp_c, bi, 1, axis=0)        # [1, S, 2nd]
                         return jax.lax.dynamic_update_slice(
-                            c, new[None], (lidx, i, 0))
-                    ckvf = jax.vmap(updf, in_axes=(1, 0, 0),
-                                    out_axes=1)(ckvf,
-                                                kvp.astype(ckvf.dtype),
-                                                idx)
+                            c, row[None], (lidx, bi, idx[bi], 0))
+                    ckvf = jax.lax.fori_loop(0, b_, wrf, ckvf)
                 else:
                     ckvf = jax.lax.dynamic_update_slice(
                         ckvf, kvp.astype(ckvf.dtype)[None],
@@ -347,9 +357,17 @@ class GPT3Attention(nn.Module):
                 ckv = cache  # [B, M, 2*n*d]
                 m = ckv.shape[1]
                 if jnp.ndim(cache_len) == 1:
-                    def upd(c, new, i):  # c [M, 2nd], new [S, 2nd]
-                        return jax.lax.dynamic_update_slice(c, new, (i, 0))
-                    ckv = jax.vmap(upd)(ckv, kvp.astype(ckv.dtype), idx)
+                    # same in-place per-sample row writes as the stacked
+                    # path above (vmap'd DUS == layout-transposing
+                    # scatter on TPU)
+                    kvp_c = kvp.astype(ckv.dtype)
+
+                    def wr(bi, c):
+                        row = jax.lax.dynamic_slice_in_dim(
+                            kvp_c, bi, 1, axis=0)        # [1, S, 2nd]
+                        return jax.lax.dynamic_update_slice(
+                            c, row, (bi, idx[bi], 0))
+                    ckv = jax.lax.fori_loop(0, b_, wr, ckv)
                 else:
                     ckv = jax.lax.dynamic_update_slice(
                         ckv, kvp.astype(ckv.dtype), (0, idx, 0))
