@@ -1,3 +1,4 @@
+from youku_mplug_tpu.optim import schedulers, zoo
 from youku_mplug_tpu.optim.factory import (
     OptimizerConfig,
     merge_params,
@@ -18,4 +19,6 @@ __all__ = [
     "lr_scale_tree",
     "merge_params",
     "partition_params",
+    "schedulers",
+    "zoo",
 ]

@@ -42,6 +42,7 @@ class OptimizerConfig:
     configs/*/*.yaml)."""
 
     opt: str = "adamw"
+    momentum: float = 0.9  # sgd/sgdp/rmsprop family only
     lr: float = 1e-4
     min_lr: float = 1e-6
     weight_decay: float = 0.05
@@ -215,10 +216,6 @@ def create_optimizer(trainable_params, config: OptimizerConfig):
     -> per-leaf lr scale.  Callers partition frozen params out first
     (partition_params); the optimizer never sees them.
     """
-    if config.opt.lower() not in ("adamw", "adam"):
-        raise NotImplementedError(
-            f"optimizer '{config.opt}' (adamw covers the reference's "
-            "production configs; the timm zoo is out of scope)")
     schedule = cosine_schedule(
         config.lr, config.min_lr, config.epochs, config.niter_per_ep,
         warmup_epochs=config.warmup_epochs, warmup_steps=config.warmup_steps,
@@ -231,6 +228,32 @@ def create_optimizer(trainable_params, config: OptimizerConfig):
         ld = layer_decay_scale_tree(trainable_params, config.layer_decay,
                                     config.layer_decay_num_layers)
         scales = jax.tree.map(lambda a, b: a * b, scales, ld)
+
+    if config.opt.lower() not in ("adamw", "adam"):
+        # timm zoo path (optim/zoo.py): split params into decay / no-decay
+        # groups via multi_transform — the exact analog of the reference's
+        # get_parameter_groups two-group construction
+        # (optim_factory.py:219-266), trajectory-identical because every
+        # zoo optimizer keeps per-tensor state
+        from youku_mplug_tpu.optim import zoo
+
+        labels = jax.tree.map(
+            lambda m: "decay" if m else "nodecay", dmask)
+        kw = dict(momentum=config.momentum, betas=tuple(config.opt_betas),
+                  eps=config.opt_eps)
+        tx = optax.multi_transform(
+            {"decay": zoo.zoo_optimizer(
+                config.opt, schedule,
+                weight_decay=config.weight_decay, **kw),
+             "nodecay": zoo.zoo_optimizer(
+                 config.opt, schedule, weight_decay=0.0, **kw)},
+            labels)
+        tx = optax.chain(tx, _scale_by_tree(scales))
+        if config.clip_grad:
+            tx = optax.chain(
+                optax.clip_by_global_norm(config.clip_grad), tx)
+        return tx, schedule
+
     chain = [
         optax.scale_by_adam(b1=config.opt_betas[0], b2=config.opt_betas[1],
                             eps=config.opt_eps),
