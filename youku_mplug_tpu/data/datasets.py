@@ -28,6 +28,7 @@ from typing import Any, Callable, Dict, List, Optional
 
 import numpy as np
 
+from youku_mplug_tpu.data import remote_io
 from youku_mplug_tpu.data.video_decode import read_frames
 
 
@@ -104,6 +105,11 @@ class VideoDataset:
 
     def _video_path(self, ann: dict) -> str:
         vid = ann.get("video_id") or ann.get("clip_name")
+        if remote_io.is_remote(self.video_root):
+            # oss:// / http(s):// corpus (reference reads these straight
+            # from the bucket, video_pretrain_dataset.py:70-82); spooled
+            # to the local cache at decode time (remote_io.fetch)
+            return self.video_root.rstrip("/") + "/" + str(vid)
         path = os.path.join(self.video_root, str(vid))
         if not os.path.splitext(path)[1]:
             for ext in (".mp4", ".avi", ".mkv", ".webm"):
@@ -118,7 +124,8 @@ class VideoDataset:
             kw = {"start_time": ann["start_time"],
                   "end_time": ann["end_time"]}
         return read_frames(
-            self._video_path(ann), num_frames=self.num_frames,
+            remote_io.fetch(self._video_path(ann)),
+            num_frames=self.num_frames,
             sample=self.sample, rng=rng,
             width=self.decode_size, height=self.decode_size,
             short_side=self.decode_short_side, **kw)
@@ -134,6 +141,8 @@ class VideoDataset:
                 return clip
             except Exception as e:  # decode failure tolerance
                 err = e
+                # a corrupt spool file would fail every retry; re-download
+                remote_io.evict(self._video_path(self.ann[index]))
         raise IOError(f"decode failed for index {index}: {err}")
 
 

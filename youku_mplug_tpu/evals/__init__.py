@@ -1,3 +1,4 @@
+from youku_mplug_tpu.evals.meteor import Meteor, meteor_score
 from youku_mplug_tpu.evals.metrics import (
     topk_accuracy,
     itm_eval,
@@ -9,6 +10,8 @@ from youku_mplug_tpu.evals.metrics import (
 )
 
 __all__ = [
+    "Meteor",
+    "meteor_score",
     "topk_accuracy",
     "itm_eval",
     "normalize_chinese",

@@ -16,10 +16,10 @@ out to pycocoevalcap BLEU/CIDEr/ROUGE):
 - CIDEr (tf-idf weighted 1-4-gram cosine consensus, sigma=6 length
   gaussian, as in the coco toolkit)
 
-METEOR is intentionally dropped: the reference's Chinese eval normalizes
-to single characters (run_caption:238) where METEOR's English synonym
-matching is meaningless, and its jar is absent upstream
-(.MISSING_LARGE_BLOBS).
+METEOR lives in evals/meteor.py (pure-python reimplementation — the
+reference's jar is absent upstream, .MISSING_LARGE_BLOBS); on the
+char-normalized Chinese tokens it runs exact-stage only (stemming is
+identity, synonyms off), which is the meaningful restriction there.
 """
 
 from __future__ import annotations
@@ -225,7 +225,16 @@ def caption_eval(results: List[dict]) -> Dict[str, float]:
         "Bleu_4": bleu_scores[3],
         "ROUGE_L": rouge_l(hyps, refs),
         "CIDEr": cider(hyps, refs),
+        "METEOR": _meteor(hyps, refs),
     }
+
+
+def _meteor(hyps: List[str], refs: List[List[str]]) -> float:
+    from youku_mplug_tpu.evals.meteor import Meteor
+
+    gts = {i: r for i, r in enumerate(refs)}
+    res = {i: [h] for i, h in enumerate(hyps)}
+    return Meteor().compute_score(gts, res)[0] if hyps else 0.0
 
 
 def ref_evaluation(refer, results: List[dict],
