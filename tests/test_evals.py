@@ -86,7 +86,7 @@ def test_caption_eval_end_to_end():
     ]
     out = caption_eval(results)
     assert set(out) == {"Bleu_1", "Bleu_2", "Bleu_3", "Bleu_4", "ROUGE_L",
-                        "CIDEr"}
+                        "CIDEr", "METEOR"}
     assert out["Bleu_1"] > 0.5  # exact match on one of two videos
     assert 0 <= out["ROUGE_L"] <= 1
 
