@@ -461,3 +461,48 @@ def test_quantize_embedding_roundtrip(rng):
                                rtol=0.03, atol=0.03)
     a, b = np.asarray(fp_logits), np.asarray(q_logits)
     assert np.abs(a - b).max() < 0.02 * np.abs(a).max()
+
+
+@pytest.mark.parametrize("m,causal", [(2, False), (4, False), (2, True)])
+def test_flash_attention_packed_multi_ref(rng, m, causal):
+    """Multi-ref cell packing (FLASH_MULTI_REF): m samples per grid cell
+    via m singleton-lead refs must be bit-comparable to the reference
+    attention in fwd and in all three grads."""
+    import functools
+    import unittest.mock as mock
+
+    from jax.experimental import pallas as pl
+
+    from youku_mplug_tpu.ops import flash_attention as fa
+
+    b, n, s, d = 4, 2, 197, 64
+    q = jnp.asarray(rng.normal(size=(b, s, n * d)), jnp.float32)
+    k = jnp.asarray(rng.normal(size=(b, s, n * d)), jnp.float32)
+    v = jnp.asarray(rng.normal(size=(b, s, n * d)), jnp.float32)
+
+    def unpack(t):
+        return t.reshape(b, s, n, d).transpose(0, 2, 1, 3)
+
+    def loss(fn):
+        return lambda q_, k_, v_: jnp.sum(fn(q_, k_, v_) ** 2)
+
+    want = mha_reference(unpack(q), unpack(k), unpack(v), causal=causal)
+    want = want.transpose(0, 2, 1, 3).reshape(b, s, n * d)
+    gw = jax.grad(loss(lambda q_, k_, v_: mha_reference(
+        unpack(q_), unpack(k_), unpack(v_), causal=causal)
+        .transpose(0, 2, 1, 3).reshape(b, s, n * d)), argnums=(0, 1, 2))(
+        q, k, v)
+
+    with mock.patch.object(
+            pl, "pallas_call",
+            functools.partial(pl.pallas_call, interpret=True)), \
+            mock.patch.object(fa, "_MULTI_REF", m):
+        assert fa._pick_multi(b, s, n * d, 8) == m
+        got = fa.flash_attention_packed(q, k, v, n, causal=causal)
+        gg = jax.grad(loss(lambda q_, k_, v_: fa.flash_attention_packed(
+            q_, k_, v_, n, causal=causal)), argnums=(0, 1, 2))(q, k, v)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=2e-3, atol=2e-3)
+    for a, b_ in zip(gg, gw):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b_),
+                                   rtol=5e-3, atol=5e-3)

@@ -381,7 +381,20 @@ def _strip_geometry(n: int, d: int):
     return None, None
 
 
-def _cell_geometry(n: int, d: int, max_width: int = 1024):
+# Cell width cap (lanes).  1024 was measured best with fp32-staged dots
+# (2048 exceeded scoped VMEM at S=208); the native-dtype dots (commit
+# 2f4220a) halved in-kernel staging, so wider cells may now fit —
+# FLASH_MAX_WIDTH=2048 opts in for hardware A/B.
+_MAX_WIDTH = int(os.environ.get("FLASH_MAX_WIDTH", "1024"))
+
+
+def _cell_geometry(n: int, d: int, max_width: int = None):
+    if max_width is None:
+        max_width = _MAX_WIDTH
+    return _cell_geometry_w(n, d, max_width)
+
+
+def _cell_geometry_w(n: int, d: int, max_width: int):
     """-> (g, width) with multiple base strips packed per grid cell.
 
     At short S the grid cells of the one-strip kernel hold ~1us of work
@@ -550,12 +563,93 @@ def _is_diag(period, causal, block_q, block_k, sq, sk):
             and block_q % period == 0 and sq % block_q == 0)
 
 
+# Multi-ref cell packing: amortize the ~2-3us fixed per-cell overhead at
+# short S by processing m samples per grid cell — NOT via a multi-sample
+# leading block dim (the bb>1 rank-3 block geometry fails Mosaic
+# compilation on the real chip at every bb tried: 8 at round-2 capture,
+# 2 on 2026-08-19), but via m separate singleton-lead refs over the same
+# arrays with strided index maps — exactly the block geometry that
+# compiles today, just m of them per cell.  FLASH_MULTI_REF=m opts in.
+_MULTI_REF = int(os.environ.get("FLASH_MULTI_REF", "1"))
+
+
+def _pick_multi(b: int, sk: int, w: int, arrays: int) -> int:
+    """Samples per cell via the multi-ref scheme, VMEM-bounded the same
+    way as _pick_block_b."""
+    if _MULTI_REF <= 1:
+        return 1
+    per_sample = sk * w * 2 * arrays
+    for cand in (min(_MULTI_REF, 8), 4, 2):
+        if cand <= _MULTI_REF and b % cand == 0 and cand > 1 \
+                and cand * per_sample <= 12 * 1024 * 1024:
+            return cand
+    return 1
+
+
+def _fwd_kernel_packed_multi(*refs, scale, causal, period, block_k, g, m):
+    # refs: m q, m k, m v, m o, m lse — each singleton-lead [1, ...]
+    for j in range(m):
+        _fwd_kernel_packed(refs[j], refs[m + j], refs[2 * m + j],
+                           refs[3 * m + j], refs[4 * m + j], scale=scale,
+                           causal=causal, period=period, block_k=block_k,
+                           g=g)
+
+
+def _interleave(parts, b):
+    """m arrays holding samples j, j+m, ... -> one array in sample order."""
+    m = len(parts)
+    if m == 1:
+        return parts[0]
+    stacked = jnp.stack(parts, axis=1)  # [b//m, m, ...]
+    return stacked.reshape((b,) + parts[0].shape[1:])
+
+
 def _fwd_packed(q, k, v, n, *, scale, causal, period, block_q, block_k):
     b, sq, nd = q.shape
     d = nd // n
     g, w = _cell_geometry(n, d)
     sk = k.shape[1]
     diag = _is_diag(period, causal, block_q, block_k, sq, sk)
+    m = 1 if diag else _pick_multi(b, sk, w, arrays=8)
+    if m > 1:
+        grid = (b // m, n // g, sq // block_q)
+
+        def qs(j):
+            return pl.BlockSpec((1, block_q, w),
+                                lambda b_, h_, i, j=j: (m * b_ + j, i, h_))
+
+        def kvs(j):
+            return pl.BlockSpec((1, sk, w),
+                                lambda b_, h_, i, j=j: (m * b_ + j, 0, h_))
+
+        def ls(j):
+            return pl.BlockSpec((1, 1, block_q, g),
+                                lambda b_, h_, i, j=j: (b_, h_, i, 0))
+
+        kv_work = sk * (0.5 if causal else 1.0)
+        res = pl.pallas_call(
+            functools.partial(_fwd_kernel_packed_multi, scale=scale,
+                              causal=causal, period=period,
+                              block_k=block_k, g=g, m=m),
+            grid=grid,
+            in_specs=[qs(j) for j in range(m)]
+            + [kvs(j) for j in range(m)] * 2,
+            out_specs=[pl.BlockSpec(
+                (1, block_q, w), lambda b_, h_, i: (b_, i, h_))
+                for _ in range(m)] + [ls(j) for j in range(m)],
+            out_shape=[jax.ShapeDtypeStruct((b // m, sq, nd), q.dtype)
+                       for _ in range(m)]
+            + [jax.ShapeDtypeStruct((b // m, n // g, sq, g), jnp.float32)
+               for _ in range(m)],
+            cost_estimate=pl.CostEstimate(
+                flops=int(4 * b * n * sq * d * kv_work),
+                bytes_accessed=int((2 * q.size + k.size + v.size)
+                                   * q.dtype.itemsize),
+                transcendentals=int(b * n * sq * kv_work),
+            ),
+        )(*((q,) * m + (k,) * m + (v,) * m))
+        return _interleave(res[:m], b), _interleave(res[m:], b)
+
     bb = _pick_block_b(b, block_k if diag else sk, w, arrays=8)
     grid = (b // bb, n // g, sq // block_q)
     if diag:
@@ -709,6 +803,90 @@ def _bwd_dkv_kernel_packed(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
         dv_ref[s_idx] = dv.astype(dv_ref.dtype)
 
 
+def _bwd_dq_kernel_packed_multi(*refs, scale, causal, period, block_k, g,
+                                m):
+    # refs: m x (q, k, v, do, lse, delta) grouped by operand, then m dq
+    for j in range(m):
+        _bwd_dq_kernel_packed(
+            refs[j], refs[m + j], refs[2 * m + j], refs[3 * m + j],
+            refs[4 * m + j], refs[5 * m + j], refs[6 * m + j],
+            scale=scale, causal=causal, period=period, block_k=block_k,
+            g=g)
+
+
+def _bwd_dkv_kernel_packed_multi(*refs, scale, causal, period, block_q, g,
+                                 m):
+    for j in range(m):
+        _bwd_dkv_kernel_packed(
+            refs[j], refs[m + j], refs[2 * m + j], refs[3 * m + j],
+            refs[4 * m + j], refs[5 * m + j], refs[6 * m + j],
+            refs[7 * m + j],
+            scale=scale, causal=causal, period=period, block_q=block_q,
+            g=g)
+
+
+def _bwd_packed_multi(n, scale, causal, period, block_q, block_k, m,
+                      q, k, v, do, lse, delta):
+    b, sq, nd = q.shape
+    d = nd // n
+    g, w = _cell_geometry(n, d)
+    sk = k.shape[1]
+
+    # per-j specs over the shared operands; sample index = m*b_ + j
+    q_specs = [pl.BlockSpec(
+        (1, block_q, w), (lambda b_, h_, i, j=j: (m * b_ + j, i, h_)))
+        for j in range(m)]
+    kv_specs = [pl.BlockSpec(
+        (1, sk, w), (lambda b_, h_, i, j=j: (m * b_ + j, 0, h_)))
+        for j in range(m)]
+    ld_specs = [pl.BlockSpec(
+        (1, 1, block_q, g),
+        (lambda b_, h_, i, j=j: (m * b_ + j, h_, i, 0)))
+        for j in range(m)]
+    dq_parts = pl.pallas_call(
+        functools.partial(_bwd_dq_kernel_packed_multi, scale=scale,
+                          causal=causal, period=period, block_k=block_k,
+                          g=g, m=m),
+        grid=(b // m, n // g, sq // block_q),
+        in_specs=(q_specs + kv_specs + kv_specs + q_specs + ld_specs
+                  + ld_specs),
+        out_specs=[pl.BlockSpec((1, block_q, w),
+                                lambda b_, h_, i: (b_, i, h_))
+                   for _ in range(m)],
+        out_shape=[jax.ShapeDtypeStruct((b // m, sq, nd), q.dtype)
+                   for _ in range(m)],
+    )(*((q,) * m + (k,) * m + (v,) * m + (do,) * m + (lse,) * m
+        + (delta,) * m))
+    dq = _interleave(list(dq_parts), b)
+
+    q_full_specs = [pl.BlockSpec(
+        (1, sq, w), (lambda b_, h_, j_, jj=jj: (m * b_ + jj, 0, h_)))
+        for jj in range(m)]
+    kv_blk_specs = [pl.BlockSpec(
+        (1, block_k, w), (lambda b_, h_, j_, jj=jj: (m * b_ + jj, j_, h_)))
+        for jj in range(m)]
+    ld_full_specs = [pl.BlockSpec(
+        (1, 1, sq, g), (lambda b_, h_, j_, jj=jj: (m * b_ + jj, h_, 0, 0)))
+        for jj in range(m)]
+    res = pl.pallas_call(
+        functools.partial(_bwd_dkv_kernel_packed_multi, scale=scale,
+                          causal=causal, period=period, block_q=block_q,
+                          g=g, m=m),
+        grid=(b // m, n // g, sk // block_k),
+        in_specs=(q_full_specs + kv_blk_specs + kv_blk_specs
+                  + q_full_specs + ld_full_specs + ld_full_specs),
+        out_specs=[pl.BlockSpec((1, block_k, w),
+                                lambda b_, h_, j_: (b_, j_, h_))
+                   for _ in range(2 * m)],
+        out_shape=[jax.ShapeDtypeStruct((b // m, sk, nd), k.dtype)
+                   for _ in range(2 * m)],
+    )(*((q,) * m + (k,) * m + (v,) * m + (do,) * m + (lse,) * m
+        + (delta,) * m))
+    dk = _interleave(list(res[:m]), b)
+    dv = _interleave(list(res[m:]), b)
+    return dq, dk, dv
+
+
 def _bwd_packed(n, scale, causal, period, block_q, block_k, res, grad):
     q, k, v, out, lse = res
     b, sq, nd = q.shape
@@ -722,6 +900,10 @@ def _bwd_packed(n, scale, causal, period, block_q, block_k, res, grad):
     delta = prod.transpose(0, 2, 1, 3)         # [B, n/g, Sq, g]
 
     diag = _is_diag(period, causal, block_q, block_k, sq, sk)
+    m = 1 if diag else _pick_multi(b, max(sk, sq), w, arrays=16)
+    if m > 1:
+        return _bwd_packed_multi(n, scale, causal, period, block_q,
+                                 block_k, m, q, k, v, do, lse, delta)
     bb = _pick_block_b(b, block_k if diag else max(sk, sq), w, arrays=16)
     if diag:
         dq_kv_spec = pl.BlockSpec((bb, block_k, w),
