@@ -467,7 +467,10 @@ def test_quantize_embedding_roundtrip(rng):
 def test_flash_attention_packed_multi_ref(rng, m, causal):
     """Multi-ref cell packing (FLASH_MULTI_REF): m samples per grid cell
     via m singleton-lead refs must be bit-comparable to the reference
-    attention in fwd and in all three grads."""
+    attention in fwd and in all three grads.  The causal case pins the
+    dispatch guard: causal keeps m=1 (multi-ref causal crashes Mosaic on
+    real hardware, see flash_attention.py) yet must stay numerically
+    exact with FLASH_MULTI_REF set."""
     import functools
     import unittest.mock as mock
 

@@ -570,6 +570,12 @@ def _is_diag(period, causal, block_q, block_k, sq, sk):
 # 2 on 2026-08-19), but via m separate singleton-lead refs over the same
 # arrays with strided index maps — exactly the block geometry that
 # compiles today, just m of them per cell.  FLASH_MULTI_REF=m opts in.
+# Non-causal only: the causal kernel body repeated m times crashes the
+# Mosaic compiler on the real chip (isolated 2026-08-19: fwd-only b=16
+# n=32 s=208 causal fails, the same shape non-causal compiles+runs), so
+# dispatch keeps m=1 whenever causal — the decoder path loses nothing
+# (it runs ~155 TF/s; the short-S win this targets is the non-causal
+# vision tower).
 _MULTI_REF = int(os.environ.get("FLASH_MULTI_REF", "1"))
 
 
@@ -610,7 +616,7 @@ def _fwd_packed(q, k, v, n, *, scale, causal, period, block_q, block_k):
     g, w = _cell_geometry(n, d)
     sk = k.shape[1]
     diag = _is_diag(period, causal, block_q, block_k, sq, sk)
-    m = 1 if diag else _pick_multi(b, sk, w, arrays=8)
+    m = 1 if (diag or causal) else _pick_multi(b, sk, w, arrays=8)
     if m > 1:
         grid = (b // m, n // g, sq // block_q)
 
@@ -900,7 +906,7 @@ def _bwd_packed(n, scale, causal, period, block_q, block_k, res, grad):
     delta = prod.transpose(0, 2, 1, 3)         # [B, n/g, Sq, g]
 
     diag = _is_diag(period, causal, block_q, block_k, sq, sk)
-    m = 1 if diag else _pick_multi(b, max(sk, sq), w, arrays=16)
+    m = 1 if (diag or causal) else _pick_multi(b, max(sk, sq), w, arrays=16)
     if m > 1:
         return _bwd_packed_multi(n, scale, causal, period, block_q,
                                  block_k, m, q, k, v, do, lse, delta)
