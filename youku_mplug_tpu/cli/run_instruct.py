@@ -1,0 +1,219 @@
+"""mPLUG-Video (BloomZ-7B) video instruction inference runner.
+
+TPU-native counterpart of the reference's mPLUG-Owl inference recipe
+(reference README.md:111-148: MplugOwlForConditionalGeneration +
+MplugOwlProcessor over the ``MAGAer13/mplug-youku-bloomz-7b`` HF
+checkpoint, Human/AI conversation prompts with a ``<|video|>``
+placeholder, model.generate).
+
+Here: per-frame ViT -> visual abstractor -> query features spliced into
+the Bloom token embeddings at the placeholder positions -> batched jitted
+decode over the packed KV cache (models/generation.py — the HF python
+generate loop becomes one lax.while_loop program).
+
+Inputs: ``--input_jsonl`` with rows {"video": path, "question": text}
+(or "prompt" for a pre-formatted conversation), or ``--question`` +
+``--video`` for a one-off.  ``--synthetic_data`` replaces file decode
+with procedural clips (CI / smoke).
+
+Checkpoints: ``--hf_checkpoint`` imports an HF-format directory
+(pytorch_model*.bin / safetensors — the Bloom decoder import is
+oracle-exact, tests/test_bloom.py; abstractor/vision tensors merge
+shape-checked best-effort).  ``--tokenizer`` points at HF tokenizer
+files; without it a hash tokenizer runs (synthetic smoke only).
+"""
+
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import json
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import yaml
+
+from youku_mplug_tpu.data.instruct import (
+    VIDEO_PLACEHOLDER,
+    WhitespaceTokenizer,
+    build_instruct_batch,
+    format_prompt,
+)
+from youku_mplug_tpu.models.bloom import BloomConfig
+from youku_mplug_tpu.models.generation import GenerationConfig
+from youku_mplug_tpu.models.owl import (
+    MPLUGOwlVideo,
+    MPLUGOwlVideoConfig,
+    OwlAbstractorConfig,
+    generate_instruct,
+)
+from youku_mplug_tpu.models.vision import VisionConfig
+from youku_mplug_tpu.ops.preprocess import normalize_clip
+from youku_mplug_tpu.parallel.sharding import (
+    BLOOM_SHARDING_RULES,
+    shard_params,
+)
+from youku_mplug_tpu.runtime.mesh import MeshConfig, make_mesh
+from youku_mplug_tpu.runtime.precision import DEFAULT_POLICY, FP32_POLICY
+
+
+def parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(
+        description="mPLUG-Video BloomZ video instruction inference (TPU)")
+    p.add_argument("--config", required=True, help="YAML run config")
+    p.add_argument("--output_dir", default="./output")
+    p.add_argument("--input_jsonl", default="",
+                   help="rows {'video':path,'question':text}")
+    p.add_argument("--video", default="", help="one-off video path")
+    p.add_argument("--question", default="", help="one-off question")
+    p.add_argument("--hf_checkpoint", default="",
+                   help="HF-format checkpoint dir to import")
+    p.add_argument("--tokenizer", default="",
+                   help="HF tokenizer dir/file (BloomTokenizerFast)")
+    p.add_argument("--synthetic_data", action="store_true")
+    p.add_argument("--fp32", action="store_true")
+    p.add_argument("--seed", type=int, default=42)
+    p.add_argument("--max_new_tokens", type=int, default=0,
+                   help="override config")
+    return p
+
+
+def load_owl_config(path: str) -> tuple:
+    """YAML -> (MPLUGOwlVideoConfig, raw dict).  Model JSONs resolve
+    relative to the YAML like the other runners (config.py)."""
+    with open(path) as f:
+        raw = yaml.safe_load(f) or {}
+    base = os.path.dirname(os.path.abspath(path))
+
+    def resolve(p):
+        if p and not os.path.isabs(p):
+            for cand in (os.path.join(base, p), p):
+                if os.path.exists(cand):
+                    return cand
+        return p
+
+    text_kw = dict(raw.get("text_overrides") or {})
+    tj = resolve(raw.get("bloom_model_json", ""))
+    text = (BloomConfig.from_json_file(tj, **text_kw) if tj
+            else BloomConfig(**text_kw))
+    vis_kw = dict(raw.get("vision_overrides") or {})
+    vj = resolve(raw.get("vision_model_json", ""))
+    vision = (VisionConfig.from_json_file(vj, **vis_kw) if vj
+              else VisionConfig(**vis_kw))
+    abstractor = OwlAbstractorConfig(**(raw.get("abstractor") or {}))
+    cfg = MPLUGOwlVideoConfig(vision=vision, abstractor=abstractor,
+                              text=text)
+    return cfg, raw
+
+
+def build_tokenizer(args, cfg):
+    if args.tokenizer:
+        from transformers import AutoTokenizer
+
+        return AutoTokenizer.from_pretrained(args.tokenizer)
+    return WhitespaceTokenizer(cfg.text.vocab_size, eos_id=cfg.text.eos_id,
+                               pad_id=cfg.text.pad_id)
+
+
+def load_videos(args, raw_cfg, rows):
+    """[B, T, H, W, C] uint8 frames per row."""
+    t = int(raw_cfg.get("num_frames", 8))
+    res = int(raw_cfg.get("image_res", 224))
+    if args.synthetic_data:
+        rng = np.random.default_rng(args.seed)
+        return rng.integers(0, 255, size=(len(rows), t, res, res, 3),
+                            dtype=np.uint8)
+    from youku_mplug_tpu.data.transforms import test_transform
+    from youku_mplug_tpu.data.video_decode import read_frames
+
+    tf = test_transform(res)
+    clips = []
+    for r in rows:
+        frames = read_frames(r["video"], num_frames=t, sample="middle",
+                             short_side=int(raw_cfg.get(
+                                 "decode_short_side", 0)))
+        clips.append(tf(frames))
+    return np.stack(clips)
+
+
+def main(args):
+    cfg, raw_cfg = load_owl_config(args.config)
+    policy = FP32_POLICY if args.fp32 else DEFAULT_POLICY
+    mesh = make_mesh(MeshConfig(**(raw_cfg.get("mesh") or {})))
+    model = MPLUGOwlVideo(cfg, policy=policy)
+    tokenizer = build_tokenizer(args, cfg)
+
+    rows = []
+    if args.input_jsonl:
+        with open(args.input_jsonl) as f:
+            rows = [json.loads(line) for line in f if line.strip()]
+    elif args.question or args.synthetic_data:
+        rows = [{"video": args.video,
+                 "question": args.question or "What is in the video?"}]
+    if not rows:
+        raise SystemExit("nothing to do: pass --input_jsonl or --question")
+
+    prompts = [r.get("prompt") or format_prompt(r["question"])
+               for r in rows]
+    for p in prompts:
+        assert VIDEO_PLACEHOLDER in p, f"prompt lacks {VIDEO_PLACEHOLDER}"
+
+    nq = cfg.abstractor.num_queries
+    batch = build_instruct_batch(prompts, tokenizer, nq,
+                                 pad_id=cfg.text.pad_id)
+    video = load_videos(args, raw_cfg, rows)
+
+    rng = jax.random.key(args.seed)
+    t = int(raw_cfg.get("num_frames", 8))
+    res = cfg.vision.img_size
+    dummy_video = jnp.zeros((1, 3, t, res, res), policy.compute_dtype)
+    with jax.set_mesh(mesh):
+        params = model.init(
+            rng, dummy_video, batch["input_ids"][:1],
+            np.ones_like(batch["input_ids"][:1]),
+            batch["media_mask"][:1],
+            np.zeros_like(batch["input_ids"][:1]))["params"]
+        params = shard_params(params, mesh, BLOOM_SHARDING_RULES)
+        if args.hf_checkpoint:
+            from youku_mplug_tpu.models.importers import import_owl
+
+            params = import_owl(params, cfg, args.hf_checkpoint)
+            params = shard_params(params, mesh, BLOOM_SHARDING_RULES)
+
+        gen_cfg = GenerationConfig(
+            max_new_tokens=args.max_new_tokens
+            or int(raw_cfg.get("max_new_tokens", 128)),
+            eos_id=cfg.text.eos_id, pad_id=cfg.text.pad_id,
+            do_sample=bool(raw_cfg.get("do_sample", False)),
+            top_k=int(raw_cfg.get("top_k", 5)),
+            top_p=float(raw_cfg.get("top_p", 0.9)),
+            beam_size=int(raw_cfg.get("beam_size", 1)))
+
+        clips = normalize_clip(jnp.asarray(video),
+                               dtype=policy.compute_dtype)
+        out = generate_instruct(
+            model, params, clips, jnp.asarray(batch["input_ids"]),
+            jnp.asarray(batch["media_mask"]),
+            jnp.asarray(batch["prompt_len"]), gen_cfg,
+            rng=jax.random.key(args.seed + 1))
+
+    seqs = np.asarray(out["sequences"])
+    results = []
+    for r, seq in zip(rows, seqs):
+        keep = seq[(seq != cfg.text.pad_id) & (seq != cfg.text.eos_id)]
+        answer = tokenizer.decode(keep, skip_special_tokens=True).strip()
+        results.append({**{k: v for k, v in r.items() if k != "prompt"},
+                        "answer": answer})
+        print(f"Q: {r.get('question', '')!r}\nA: {answer!r}", flush=True)
+
+    os.makedirs(args.output_dir, exist_ok=True)
+    with open(os.path.join(args.output_dir, "instruct_results.json"),
+              "w") as f:
+        json.dump(results, f, ensure_ascii=False, indent=1)
+    return results
+
+
+if __name__ == "__main__":
+    main(parser().parse_args())

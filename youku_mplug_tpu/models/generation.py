@@ -69,13 +69,18 @@ def top_k_top_p_filter(logits, top_k: int = 0, top_p: float = 0.0):
 
 
 def _build_prefix(model: GPT3LM, params, prompt_ids, prompt_len,
-                  query_embeds, pad_id):
+                  query_embeds, pad_id, prompt_embeds=None):
     """Front-padded prefill embeddings.
 
     Layout per sample: [pad x k_i | queries (nq) | prompt tokens (len_i)]
     with k_i = P - len_i, so every sample's last prompt token lands at the
     same (static) position and generation proceeds in lock-step.
     Returns (embeds [B, nq+P, H], valid_from [B], pos_offset [B]).
+
+    prompt_embeds [B, P, H]: pre-built prompt embeddings (e.g. with video
+    query features spliced at media positions — models/owl.py); when
+    given, they replace the token-embedding lookup and are right-aligned
+    the same way.
     """
     b, p = prompt_ids.shape
     nq = 0 if query_embeds is None else query_embeds.shape[1]
@@ -84,10 +89,15 @@ def _build_prefix(model: GPT3LM, params, prompt_ids, prompt_len,
     # right-align tokens within the P-wide buffer
     j = jnp.arange(p)[None, :]
     src = jnp.clip(j - k[:, None], 0, p - 1)
-    shifted = jnp.where(j >= k[:, None],
-                        jnp.take_along_axis(prompt_ids, src, axis=1), pad_id)
-
-    tok_emb = model.apply(_variables(params), shifted, method=GPT3LM.embed)
+    if prompt_embeds is not None:
+        tok_emb = jnp.take_along_axis(prompt_embeds, src[..., None], axis=1)
+        tok_emb = jnp.where((j >= k[:, None])[..., None], tok_emb, 0.0)
+    else:
+        shifted = jnp.where(
+            j >= k[:, None],
+            jnp.take_along_axis(prompt_ids, src, axis=1), pad_id)
+        tok_emb = model.apply(_variables(params), shifted,
+                              method=type(model).embed)
     h = tok_emb.shape[-1]
     total = nq + p
     jj = jnp.arange(total)[None, :, None]  # [1, total, 1]
@@ -118,24 +128,27 @@ def _variables(params):
 
 def generate(model: GPT3LM, params, prompt_ids, prompt_len,
              query_embeds=None, config: GenerationConfig = GenerationConfig(),
-             rng: Optional[jax.Array] = None):
+             rng: Optional[jax.Array] = None, prompt_embeds=None):
     """Batched generation.  prompt_ids [B, P] right-padded, prompt_len [B]
     true lengths (callers drop the trailing eos, matching the reference's
     prompt_length = mask.sum()-1, distributed_gpt3.py:805-807).
+
+    prompt_embeds: optional [B, P, H] pre-built prompt embeddings (video
+    splicing — models/owl.py generate_instruct).
 
     Returns dict(sequences [B, max_new_tokens] — pad-filled after eos,
     scores [B]).
     """
     if config.do_sample or config.beam_size <= 1:
         return _sample(model, params, prompt_ids, prompt_len, query_embeds,
-                       config, rng)
+                       prompt_embeds, config, rng)
     return _beam_search(model, params, prompt_ids, prompt_len, query_embeds,
-                        config)
+                        prompt_embeds, config)
 
 
-@functools.partial(jax.jit, static_argnums=(0, 5))
-def _sample(model, params, prompt_ids, prompt_len, query_embeds, config,
-            rng):
+@functools.partial(jax.jit, static_argnums=(0, 6))
+def _sample(model, params, prompt_ids, prompt_len, query_embeds,
+            prompt_embeds, config, rng):
     b, p = prompt_ids.shape
     nq = 0 if query_embeds is None else query_embeds.shape[1]
     prefix_len = nq + p
@@ -144,12 +157,13 @@ def _sample(model, params, prompt_ids, prompt_len, query_embeds, config,
         rng = jax.random.key(0)
 
     embeds, valid_from, pos_offset = _build_prefix(
-        model, params, prompt_ids, prompt_len, query_embeds, config.pad_id)
+        model, params, prompt_ids, prompt_len, query_embeds, config.pad_id,
+        prompt_embeds)
     cache = model.apply(_variables(params), b, max_len,
-                        method=GPT3LM.init_cache)
+                        method=type(model).init_cache)
     logits, cache = model.apply(
         _variables(params), embeds, cache, jnp.int32(0),
-        valid_from, pos_offset, method=GPT3LM.decode_step)
+        valid_from, pos_offset, method=type(model).decode_step)
 
     def pick(logits, step_rng):
         logits = logits.astype(jnp.float32) / config.temperature
@@ -172,10 +186,10 @@ def _sample(model, params, prompt_ids, prompt_len, query_embeds, config,
         t, seqs, cache, done, rng = state
         last = seqs[:, t - 1]
         emb = model.apply(_variables(params), last[:, None],
-                          method=GPT3LM.embed)
+                          method=type(model).embed)
         logits, cache = model.apply(
             _variables(params), emb, cache, prefix_len + t - 1,
-            valid_from, pos_offset, method=GPT3LM.decode_step)
+            valid_from, pos_offset, method=type(model).decode_step)
         rng, sub = jax.random.split(rng)
         nxt = pick(logits, sub)
         nxt = jnp.where(done, config.pad_id, nxt)
@@ -214,9 +228,9 @@ def _gather_beams(tree, beam_idx, b, k, prefix_len=0):
     return jax.tree.map(gather, tree)
 
 
-@functools.partial(jax.jit, static_argnums=(0, 5))
+@functools.partial(jax.jit, static_argnums=(0, 6))
 def _beam_search(model, params, prompt_ids, prompt_len, query_embeds,
-                 config):
+                 prompt_embeds, config):
     b, p = prompt_ids.shape
     kbeam = config.beam_size
     nq = 0 if query_embeds is None else query_embeds.shape[1]
@@ -226,7 +240,8 @@ def _beam_search(model, params, prompt_ids, prompt_len, query_embeds,
     eos = config.eos_id
 
     embeds, valid_from, pos_offset = _build_prefix(
-        model, params, prompt_ids, prompt_len, query_embeds, config.pad_id)
+        model, params, prompt_ids, prompt_len, query_embeds, config.pad_id,
+        prompt_embeds)
 
     # tile to [B*K, ...]
     def tile(x):
@@ -237,10 +252,10 @@ def _beam_search(model, params, prompt_ids, prompt_len, query_embeds,
     off_t = tile(pos_offset)
 
     cache = model.apply(_variables(params), b * kbeam, max_len,
-                        method=GPT3LM.init_cache)
+                        method=type(model).init_cache)
     logits, cache = model.apply(
         _variables(params), embeds_t, cache, jnp.int32(0), valid_t, off_t,
-        method=GPT3LM.decode_step)
+        method=type(model).decode_step)
     v = logits.shape[-1]
     logp = jax.nn.log_softmax(logits.astype(jnp.float32)).reshape(b, kbeam, v)
 
@@ -276,10 +291,10 @@ def _beam_search(model, params, prompt_ids, prompt_len, query_embeds,
         t, alive_seq, cache, alive_score, fin_seq, fin_score = state
         last = alive_seq[:, :, t - 1].reshape(b * kbeam)
         emb = model.apply(_variables(params), last[:, None],
-                          method=GPT3LM.embed)
+                          method=type(model).embed)
         logits, cache = model.apply(
             _variables(params), emb, cache, prefix_len + t - 1,
-            valid_t, off_t, method=GPT3LM.decode_step)
+            valid_t, off_t, method=type(model).decode_step)
         logp = jax.nn.log_softmax(
             logits.astype(jnp.float32)).reshape(b, kbeam, v)
         cand = alive_score[:, :, None] + logp  # [B, K, V]

@@ -185,6 +185,115 @@ def gpt3_params_from_torch(sd: Dict[str, np.ndarray], text_cfg,
     }
 
 
+def load_hf_torch_state(model_dir: str,
+                        prefix_strip: str = "") -> Dict[str, np.ndarray]:
+    """Load an HF-format checkpoint directory: single ``pytorch_model.bin``,
+    sharded ``pytorch_model-XXXXX-of-YYYYY.bin`` (disjoint key union — HF
+    shards split BY KEY, unlike megatron's by-dimension mp_rank shards),
+    or ``*.safetensors``.  Used for the BloomZ-7B / mPLUG-Owl checkpoints
+    (reference README.md:118 — ``MAGAer13/mplug-youku-bloomz-7b``)."""
+    import torch
+
+    files = sorted(os.listdir(model_dir))
+    shard_files = [f for f in files
+                   if re.match(r"pytorch_model(-\d+-of-\d+)?\.bin$", f)]
+    st_files = [f for f in files if f.endswith(".safetensors")]
+    merged: Dict[str, np.ndarray] = {}
+    if shard_files:
+        for f in shard_files:
+            sd = torch.load(os.path.join(model_dir, f), map_location="cpu",
+                            weights_only=True)
+            for k, v in sd.items():
+                if hasattr(v, "numpy"):
+                    merged[k] = v.float().numpy()
+    elif st_files:
+        from safetensors import safe_open
+
+        for f in st_files:
+            with safe_open(os.path.join(model_dir, f), framework="np") as sf:
+                for k in sf.keys():
+                    merged[k] = np.asarray(sf.get_tensor(k), np.float32)
+    else:
+        raise FileNotFoundError(f"no HF checkpoint under {model_dir}")
+    if prefix_strip:
+        merged = {(k[len(prefix_strip):] if k.startswith(prefix_strip)
+                   else k): v for k, v in merged.items()}
+    return merged
+
+
+def bloom_params_from_torch(sd: Dict[str, np.ndarray], cfg,
+                            scan_layers: bool = True) -> dict:
+    """HF Bloom state dict -> our BloomLM param tree.
+
+    HF fused QKV rows are HEAD-MAJOR interleaved [n, 3, d]
+    (modeling_bloom.py BloomAttention._reshape: view(b, s, n, 3, d)) —
+    our qkv_kernel is [H, n, 3, d], so the map is transpose + reshape.
+    Accepts keys with or without the ``transformer.`` prefix (BloomModel
+    vs BloomForCausalLM checkpoints)."""
+    h = cfg.hidden_size
+    n = cfg.num_attention_heads
+    d = cfg.head_dim
+    L = cfg.num_hidden_layers
+    if "transformer.word_embeddings.weight" in sd:
+        sd = {k[len("transformer."):] if k.startswith("transformer.")
+              else k: v for k, v in sd.items()}
+
+    def layer(i):
+        t = f"h.{i}."
+        return {
+            "ln1_scale": sd[t + "input_layernorm.weight"],
+            "ln1_bias": sd[t + "input_layernorm.bias"],
+            "ln2_scale": sd[t + "post_attention_layernorm.weight"],
+            "ln2_bias": sd[t + "post_attention_layernorm.bias"],
+            "attn": {
+                # [3H, H] -> [H, 3H] -> [H, n, 3, d] (head-major rows)
+                "qkv_kernel": sd[
+                    t + "self_attention.query_key_value.weight"
+                ].T.reshape(h, n, 3, d),
+                "qkv_bias": sd[
+                    t + "self_attention.query_key_value.bias"
+                ].reshape(n, 3, d),
+                "out_kernel": sd[t + "self_attention.dense.weight"
+                                 ].T.reshape(n, d, h),
+                "out_bias": sd[t + "self_attention.dense.bias"],
+            },
+            "mlp": {
+                "fc1_kernel": sd[t + "mlp.dense_h_to_4h.weight"].T,
+                "fc1_bias": sd[t + "mlp.dense_h_to_4h.bias"],
+                "fc2_kernel": sd[t + "mlp.dense_4h_to_h.weight"].T,
+                "fc2_bias": sd[t + "mlp.dense_4h_to_h.bias"],
+            },
+        }
+
+    layers = [layer(i) for i in range(L)]
+    if scan_layers:
+        import jax
+
+        layer_tree = jax.tree.map(lambda *xs: np.stack(xs), *layers)
+    else:
+        layer_tree = {f"layers_{i}": layers[i] for i in range(L)}
+
+    decoder = {
+        "emb_ln_scale": sd["word_embeddings_layernorm.weight"],
+        "emb_ln_bias": sd["word_embeddings_layernorm.bias"],
+        "ln_f_scale": sd["ln_f.weight"],
+        "ln_f_bias": sd["ln_f.bias"],
+    }
+    if scan_layers:
+        decoder["layers"] = layer_tree
+    else:
+        decoder.update(layer_tree)
+    emb = sd["word_embeddings.weight"]
+    if emb.shape[0] < cfg.vocab_size:
+        emb = np.concatenate([
+            emb, np.zeros((cfg.vocab_size - emb.shape[0], emb.shape[1]),
+                          emb.dtype)])
+    return {
+        "word_embeddings": {"embedding": emb[:cfg.vocab_size]},
+        "decoder": decoder,
+    }
+
+
 def resize_pos_embed(posemb: np.ndarray, num_patches_new: int) -> np.ndarray:
     """[1, 1+N_old, D] -> [1, 1+N_new, D], bilinear over the patch grid
     (reference vision_transformer.py:731-749)."""
@@ -321,6 +430,49 @@ def merge_into(params: dict, imported: dict, prefix="") -> int:
             params[k] = jnp.asarray(v, dtype=tgt.dtype)
             count += 1
     return count
+
+
+def import_owl(params: dict, cfg, model_dir: str) -> dict:
+    """Import an HF mPLUG-Owl checkpoint directory into an initialized
+    MPLUGOwlVideo param tree (models/owl.py).
+
+    The language model side (``language_model.transformer.*`` — HF Bloom)
+    imports oracle-exactly via :func:`bloom_params_from_torch`
+    (tests/test_bloom.py pins the math).  Vision/abstractor tensors merge
+    shape-checked best-effort: the external repo's module internals are
+    not vendored here, so any tensor whose name/shape does not line up is
+    reported, not silently dropped.
+    """
+    import copy
+
+    sd = load_hf_torch_state(model_dir)
+    params = copy.copy(params)
+
+    lm = {k[len("language_model."):]: v for k, v in sd.items()
+          if k.startswith("language_model.")}
+    if lm:
+        dec = bloom_params_from_torch(lm, cfg.text,
+                                      scan_layers=cfg.text.scan_layers)
+        n = merge_into(params["text_decoder"], dec)
+        print(f"imported {n} Bloom decoder tensors from {model_dir}",
+              flush=True)
+
+    vis = {k[len("vision_model."):]: v for k, v in sd.items()
+           if k.startswith("vision_model.")}
+    if vis:
+        vp = vision_params_from_torch(vis, cfg.vision)
+        n = merge_into(params["visual_encoder"], vp)
+        print(f"imported {n} vision tensors (best-effort)", flush=True)
+
+    missed = [k for k in sd
+              if k.startswith("abstractor.") or k.startswith(
+                  "query_tokens")]
+    if missed:
+        print(f"NOTE: {len(missed)} abstractor tensors present in the "
+              f"checkpoint need a hand-mapped port (external-module "
+              f"naming); run tools/map_owl_abstractor.py or finetune "
+              f"from init.", flush=True)
+    return params
 
 
 def import_all(params: dict, cfg, src_spec) -> dict:

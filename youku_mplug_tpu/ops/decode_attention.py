@@ -46,6 +46,7 @@ import functools
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
@@ -53,7 +54,7 @@ NEG_INF = float(jnp.finfo(jnp.float32).min)
 
 
 def _kernel(meta_ref, q_ref, kv_ref, o_ref, acc_ref, m_ref, l_ref,
-            *, block_k, scale, n, bb, nb):
+            *, block_k, scale, n, bb, nb, alibi_slopes=None):
     bi = pl.program_id(0)
     j = pl.program_id(1)
     nj = pl.num_programs(1)
@@ -78,6 +79,24 @@ def _kernel(meta_ref, q_ref, kv_ref, o_ref, acc_ref, m_ref, l_ref,
     ones_row = jnp.ones((1, block_k), jnp.float32)
     ki_col = j * block_k + jax.lax.broadcasted_iota(
         jnp.int32, (block_k, n), 0)  # key positions down the rows
+    # ALiBi (Bloom decode): the slope ladder is an analytic function of
+    # the head index (2^(-8(h+1)/c) with a half-step ladder past the
+    # closest power of two c — models/bloom.py alibi_slopes), so the
+    # per-head bias slope_h * j is generated from iota + scalar
+    # constants in-register: zero extra operands, zero HBM traffic.
+    # Absolute key positions are correct under front-padding by softmax
+    # shift-invariance (models/bloom.py module docstring).
+    alibi_row = None
+    if alibi_slopes is not None:
+        import math as _math
+
+        c = 2 ** _math.floor(_math.log2(n))
+        h_iota = jax.lax.broadcasted_iota(jnp.int32, (block_k, n), 1)
+        hf32 = h_iota.astype(jnp.float32)
+        expo = jnp.where(h_iota < c, -8.0 * (hf32 + 1.0) / c,
+                         -4.0 * (1.0 + 2.0 * (hf32 - c)) / c)
+        slope_row = jnp.exp2(expo)                        # [bk, n]
+        alibi_row = slope_row * ki_col.astype(jnp.float32)
 
     for t in range(bb):  # static unroll over the cell's samples
         clen = meta_ref[1 + bi * bb + t]
@@ -93,6 +112,8 @@ def _kernel(meta_ref, q_ref, kv_ref, o_ref, acc_ref, m_ref, l_ref,
             s = jax.lax.dot_general(
                 kk * q2, seg_nd_n, (((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32) * scale  # [bk, n]
+            if alibi_row is not None:
+                s = s + alibi_row
             allowed = (ki_col <= clen) & (ki_col >= vfrom)
             s = jnp.where(allowed, s, NEG_INF)
             m_prev = m_ref[pl.ds(t, 1), :]                   # [1, n]
@@ -148,6 +169,7 @@ def decode_attention_supported(m: int) -> bool:
 
 def decode_attention(q, ckv, n_heads, layer_idx, cache_len,
                      valid_from=None, *, scale=None,
+                     alibi_slopes=None,
                      interpret: bool = False):
     """Single-token attention against layer ``layer_idx`` of the stacked
     packed interleaved cache, read in place.
@@ -157,7 +179,9 @@ def decode_attention(q, ckv, n_heads, layer_idx, cache_len,
     M % 64 == 0; n_heads: head count n; layer_idx: scalar int;
     cache_len: scalar or [B] (query position — keys at <= cache_len
     attend); valid_from: optional [B] (front-padding mask,
-    generation._build_prefix).  Returns [B, n*d] in q.dtype.
+    generation._build_prefix); alibi_slopes: optional [n] per-head ALiBi
+    slopes (Bloom), folded into the score tile as compile-time
+    constants.  Returns [B, n*d] in q.dtype.
     """
     _, bsz, m, nd2 = ckv.shape
     nd = nd2 // 2
@@ -206,9 +230,18 @@ def decode_attention(q, ckv, n_heads, layer_idx, cache_len,
             pltpu.VMEM((bb, n), jnp.float32),
         ],
     )
+    if alibi_slopes is not None:
+        alibi_slopes = tuple(float(s) for s in np.asarray(alibi_slopes))
+        assert len(alibi_slopes) == n
+        # the kernel regenerates the ladder analytically from the head
+        # index — verify the caller's slopes ARE that ladder
+        from youku_mplug_tpu.models.bloom import alibi_slopes as _ladder
+
+        assert np.allclose(alibi_slopes, _ladder(n), rtol=1e-6), \
+            "decode_attention only supports the standard ALiBi ladder"
     return pl.pallas_call(
         functools.partial(_kernel, block_k=block_k, scale=scale, n=n,
-                          bb=bb, nb=bsz),
+                          bb=bb, nb=bsz, alibi_slopes=alibi_slopes),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((bsz, nd), q.dtype),
         cost_estimate=pl.CostEstimate(

@@ -37,6 +37,7 @@ from typing import Optional
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax.experimental import pallas as pl
 
 NEG_INF = float(jnp.finfo(jnp.float32).min)
@@ -422,8 +423,18 @@ def packed_supported(n_heads: int, head_dim: int) -> bool:
     return _strip_geometry(n_heads, head_dim)[0] is not None
 
 
-def _fwd_kernel_packed(q_ref, k_ref, v_ref, o_ref, lse_ref, *, scale,
-                       causal, period, block_k, g, diag=False):
+def _fwd_kernel_packed(*refs, scale, causal, period, block_k, g,
+                       diag=False, alibi=False):
+    # alibi: a leading [1, 128] slopes ref (lanes 0..g-1 hold this
+    # strip's per-head ALiBi slopes); bias slope_h * key_position is
+    # computed from block indices in-register — zero extra HBM traffic.
+    # ALiBi implies causal (Bloom decoder), so the diag/period paths
+    # never see it.
+    if alibi:
+        sl_ref, q_ref, k_ref, v_ref, o_ref, lse_ref = refs
+    else:
+        sl_ref = None
+        q_ref, k_ref, v_ref, o_ref, lse_ref = refs
     # refs carry block_b samples per grid cell (batch-blocked cells: at
     # short S one sample is ~1-2 us of MXU work against ~2-3 us of fixed
     # cell overhead — same lesson as the decode kernel).
@@ -465,6 +476,8 @@ def _fwd_kernel_packed(q_ref, k_ref, v_ref, o_ref, lse_ref, *, scale,
                 s = jax.lax.dot_general(
                     q[:, sl], kk[:, sl], (((1,), (1,)), ((), ())),
                     preferred_element_type=jnp.float32) * scale
+                if sl_ref is not None:
+                    s = s + sl_ref[0, h] * ki.astype(jnp.float32)
                 if causal or period:
                     s = jnp.where(mask, s, NEG_INF)
                 m_new = jnp.maximum(ms[h], jnp.max(s, axis=1, keepdims=True))
@@ -610,7 +623,18 @@ def _interleave(parts, b):
     return stacked.reshape((b,) + parts[0].shape[1:])
 
 
-def _fwd_packed(q, k, v, n, *, scale, causal, period, block_q, block_k):
+def _slopes_operand(alibi_slopes, n, g):
+    """[n//g, 128] fp32 slopes array (lane 0..g-1 of row h_ hold strip
+    h_'s per-head slopes; 128-lane padded for Mosaic tile alignment) and
+    its per-strip BlockSpec."""
+    sl = np.zeros((n // g, 128), np.float32)
+    sl[:, :g] = np.asarray(alibi_slopes, np.float32).reshape(n // g, g)
+    spec = pl.BlockSpec((1, 128), lambda b_, h_, i: (h_, 0))
+    return jnp.asarray(sl), spec
+
+
+def _fwd_packed(q, k, v, n, *, scale, causal, period, block_q, block_k,
+                alibi_slopes=None):
     b, sq, nd = q.shape
     d = nd // n
     g, w = _cell_geometry(n, d)
@@ -664,11 +688,16 @@ def _fwd_packed(q, k, v, n, *, scale, causal, period, block_q, block_k):
     else:
         kv_spec = pl.BlockSpec((bb, sk, w), lambda b_, h_, i: (b_, 0, h_))
     kv_work = block_k if diag else (sk * (0.5 if causal else 1.0))
+    extra_in, extra_specs = (), []
+    if alibi_slopes is not None:
+        sl, sl_spec = _slopes_operand(alibi_slopes, n, g)
+        extra_in, extra_specs = (sl,), [sl_spec]
     return pl.pallas_call(
         functools.partial(_fwd_kernel_packed, scale=scale, causal=causal,
-                          period=period, block_k=block_k, g=g, diag=diag),
+                          period=period, block_k=block_k, g=g, diag=diag,
+                          alibi=alibi_slopes is not None),
         grid=grid,
-        in_specs=[
+        in_specs=extra_specs + [
             pl.BlockSpec((bb, block_q, w), lambda b_, h_, i: (b_, i, h_)),
             kv_spec,
             kv_spec,
@@ -688,12 +717,20 @@ def _fwd_packed(q, k, v, n, *, scale, causal, period, block_q, block_k):
                                * q.dtype.itemsize),
             transcendentals=int(b * n * sq * kv_work),
         ),
-    )(q, k, v)
+    )(*extra_in, q, k, v)
 
 
-def _bwd_dq_kernel_packed(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
-                          dq_ref, *, scale, causal, period, block_k, g,
-                          diag=False):
+def _bwd_dq_kernel_packed(*refs, scale, causal, period, block_k, g,
+                          diag=False, alibi=False):
+    # alibi bias is additive and independent of q/k/v, so the gradient
+    # math is unchanged — only the probability reconstruction p needs
+    # the same biased scores as the forward.
+    if alibi:
+        (sl_ref, q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
+         dq_ref) = refs
+    else:
+        sl_ref = None
+        q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref, dq_ref = refs
     block_b, bq, w = q_ref.shape
     d = w // g
     sk = k_ref.shape[1]
@@ -730,6 +767,8 @@ def _bwd_dq_kernel_packed(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
                 s = jax.lax.dot_general(
                     q[:, sl], kk[:, sl], (((1,), (1,)), ((), ())),
                     preferred_element_type=jnp.float32) * scale
+                if sl_ref is not None:
+                    s = s + sl_ref[0, h] * ki.astype(jnp.float32)
                 if causal or period:
                     s = jnp.where(mask, s, NEG_INF)
                 p = jnp.exp(s - lse[:, h:h + 1])
@@ -749,9 +788,15 @@ def _bwd_dq_kernel_packed(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
         dq_ref[s_idx] = dq.astype(dq_ref.dtype)
 
 
-def _bwd_dkv_kernel_packed(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
-                           dk_ref, dv_ref, *, scale, causal, period, block_q,
-                           g, diag=False):
+def _bwd_dkv_kernel_packed(*refs, scale, causal, period, block_q,
+                           g, diag=False, alibi=False):
+    if alibi:
+        (sl_ref, q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
+         dk_ref, dv_ref) = refs
+    else:
+        sl_ref = None
+        (q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
+         dk_ref, dv_ref) = refs
     block_b, bk, w = k_ref.shape
     d = w // g
     sq = q_ref.shape[1]
@@ -786,6 +831,8 @@ def _bwd_dkv_kernel_packed(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
                 s = jax.lax.dot_general(
                     q[:, sl], k[:, sl], (((1,), (1,)), ((), ())),
                     preferred_element_type=jnp.float32) * scale
+                if sl_ref is not None:
+                    s = s + sl_ref[0, h] * ki.astype(jnp.float32)
                 if causal or period:
                     s = jnp.where(mask, s, NEG_INF)
                 p = jnp.exp(s - lse[:, h:h + 1])
@@ -893,7 +940,8 @@ def _bwd_packed_multi(n, scale, causal, period, block_q, block_k, m,
     return dq, dk, dv
 
 
-def _bwd_packed(n, scale, causal, period, block_q, block_k, res, grad):
+def _bwd_packed(n, scale, causal, period, block_q, block_k, res, grad,
+                alibi_slopes=None):
     q, k, v, out, lse = res
     b, sq, nd = q.shape
     d = nd // n
@@ -911,6 +959,10 @@ def _bwd_packed(n, scale, causal, period, block_q, block_k, res, grad):
         return _bwd_packed_multi(n, scale, causal, period, block_q,
                                  block_k, m, q, k, v, do, lse, delta)
     bb = _pick_block_b(b, block_k if diag else max(sk, sq), w, arrays=16)
+    extra_in, extra_specs = (), []
+    if alibi_slopes is not None:
+        sl, sl_spec = _slopes_operand(alibi_slopes, n, g)
+        extra_in, extra_specs = (sl,), [sl_spec]
     if diag:
         dq_kv_spec = pl.BlockSpec((bb, block_k, w),
                                   lambda b_, h_, i: (b_, i, h_))
@@ -918,9 +970,10 @@ def _bwd_packed(n, scale, causal, period, block_q, block_k, res, grad):
         dq_kv_spec = pl.BlockSpec((bb, sk, w), lambda b_, h_, i: (b_, 0, h_))
     dq = pl.pallas_call(
         functools.partial(_bwd_dq_kernel_packed, scale=scale, causal=causal,
-                          period=period, block_k=block_k, g=g, diag=diag),
+                          period=period, block_k=block_k, g=g, diag=diag,
+                          alibi=alibi_slopes is not None),
         grid=(b // bb, n // g, sq // block_q),
-        in_specs=[
+        in_specs=extra_specs + [
             pl.BlockSpec((bb, block_q, w), lambda b_, h_, i: (b_, i, h_)),
             dq_kv_spec,
             dq_kv_spec,
@@ -933,7 +986,7 @@ def _bwd_packed(n, scale, causal, period, block_q, block_k, res, grad):
         out_specs=pl.BlockSpec((bb, block_q, w),
                                lambda b_, h_, i: (b_, i, h_)),
         out_shape=jax.ShapeDtypeStruct((b, sq, nd), q.dtype),
-    )(q, k, v, do, lse, delta)
+    )(*extra_in, q, k, v, do, lse, delta)
 
     if diag:
         dkv_q_spec = pl.BlockSpec((bb, block_q, w),
@@ -947,9 +1000,10 @@ def _bwd_packed(n, scale, causal, period, block_q, block_k, res, grad):
     dk, dv = pl.pallas_call(
         functools.partial(_bwd_dkv_kernel_packed, scale=scale,
                           causal=causal, period=period, block_q=block_q,
-                          g=g, diag=diag),
+                          g=g, diag=diag,
+                          alibi=alibi_slopes is not None),
         grid=(b // bb, n // g, sk // block_k),
-        in_specs=[
+        in_specs=extra_specs + [
             dkv_q_spec,
             pl.BlockSpec((bb, block_k, w), lambda b_, h_, j: (b_, j, h_)),
             pl.BlockSpec((bb, block_k, w), lambda b_, h_, j: (b_, j, h_)),
@@ -965,20 +1019,24 @@ def _bwd_packed(n, scale, causal, period, block_q, block_k, res, grad):
             jax.ShapeDtypeStruct((b, sk, nd), k.dtype),
             jax.ShapeDtypeStruct((b, sk, nd), v.dtype),
         ],
-    )(q, k, v, do, lse, delta)
+    )(*extra_in, q, k, v, do, lse, delta)
     return dq, dk, dv
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6, 7, 8))
-def _flash_packed(q, k, v, n, scale, causal, period, block_q, block_k):
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6, 7, 8, 9))
+def _flash_packed(q, k, v, n, scale, causal, period, block_q, block_k,
+                  alibi_slopes=None):
     out, _ = _fwd_packed(q, k, v, n, scale=scale, causal=causal,
-                         period=period, block_q=block_q, block_k=block_k)
+                         period=period, block_q=block_q, block_k=block_k,
+                         alibi_slopes=alibi_slopes)
     return out
 
 
-def _flash_packed_fwd(q, k, v, n, scale, causal, period, block_q, block_k):
+def _flash_packed_fwd(q, k, v, n, scale, causal, period, block_q, block_k,
+                      alibi_slopes=None):
     out, lse = _fwd_packed(q, k, v, n, scale=scale, causal=causal,
-                           period=period, block_q=block_q, block_k=block_k)
+                           period=period, block_q=block_q, block_k=block_k,
+                           alibi_slopes=alibi_slopes)
     # name the lse residual so remat policies can save it — otherwise the
     # backward re-runs the forward flash kernel just to rebuild lse
     from jax.ad_checkpoint import checkpoint_name
@@ -986,8 +1044,10 @@ def _flash_packed_fwd(q, k, v, n, scale, causal, period, block_q, block_k):
     return out, (q, k, v, out, lse)
 
 
-def _flash_packed_bwd(n, scale, causal, period, block_q, block_k, res, g):
-    return _bwd_packed(n, scale, causal, period, block_q, block_k, res, g)
+def _flash_packed_bwd(n, scale, causal, period, block_q, block_k,
+                      alibi_slopes, res, g):
+    return _bwd_packed(n, scale, causal, period, block_q, block_k, res, g,
+                       alibi_slopes=alibi_slopes)
 
 
 _flash_packed.defvjp(_flash_packed_fwd, _flash_packed_bwd)
@@ -996,14 +1056,19 @@ _flash_packed.defvjp(_flash_packed_fwd, _flash_packed_bwd)
 def flash_attention_packed(q, k, v, n_heads: int, *, causal: bool = False,
                            period: int = 0,
                            scale: Optional[float] = None,
-                           block_q: int = 512, block_k: int = 512):
+                           block_q: int = 512, block_k: int = 512,
+                           alibi_slopes=None):
     """Flash attention over packed [B, S, n_heads*d] layouts (no head
     transposes).  Sq must equal Sk when causal.
 
     Mosaic lane blocks must be 128-divisible, so heads with d < 128 are
     packed g = 128 // d per strip and computed as g independent online
     softmaxes inside one grid cell (d=64: two heads per strip — the hot
-    decoder/vision geometry)."""
+    decoder/vision geometry).
+
+    alibi_slopes: optional [n_heads] per-head ALiBi slopes (Bloom);
+    requires causal.  The bias slope_h * key_position is generated
+    in-kernel from block indices — no bias tensor ever touches HBM."""
     b, sq, nd = q.shape
     # NOTE (measured negative result): folding period-aligned chunks into
     # the batch dim ([16,1568,w] -> [112,224,w], 7x fewer score flops and
@@ -1019,6 +1084,10 @@ def flash_attention_packed(q, k, v, n_heads: int, *, causal: bool = False,
             f"got n={n_heads}, d={d} — use flash_attention instead")
     if scale is None:
         scale = d ** -0.5
+    if alibi_slopes is not None:
+        assert causal, "alibi requires causal attention"
+        assert len(alibi_slopes) == n_heads
+        alibi_slopes = tuple(float(s) for s in np.asarray(alibi_slopes))
     sk = k.shape[1]
     if period and not causal and sq == sk:
         # period-aligned block-diagonal mode: groups never straddle
@@ -1039,4 +1108,4 @@ def flash_attention_packed(q, k, v, n_heads: int, *, causal: bool = False,
         bq = min(_pick_block(sq), block_q)
         bk = min(_pick_block(sk), block_k)
     return _flash_packed(q, k, v, n_heads, float(scale), bool(causal),
-                         int(period), bq, bk)
+                         int(period), bq, bk, alibi_slopes)

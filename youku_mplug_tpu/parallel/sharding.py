@@ -56,6 +56,35 @@ GPT3_SHARDING_RULES: ShardingRules = (
 )
 
 
+# Bloom / mPLUG-Owl tensor-parallel rules (models/bloom.py, models/owl.py).
+# Bloom's fused QKV is HEAD-MAJOR [H, n, 3, d] (heads at dim 1, matching
+# the HF checkpoint layout) — different from GPT-3's [H, 3, n, d], hence
+# a separate rule set.  Abstractor q/k/v projections are column-parallel
+# on the output dim, its out projection row-parallel.
+BLOOM_SHARDING_RULES: ShardingRules = (
+    (r".*word_embeddings/embedding$", P("model", None)),
+    # matches both MPLUGOwlVideo's text_decoder/decoder/... and a bare
+    # BloomLM's decoder/... paths; vision blocks never contain 'decoder/'
+    (r".*decoder/.*attn/qkv_kernel$", P(None, "model", None, None)),
+    (r".*decoder/.*attn/qkv_bias$", P("model", None, None)),
+    (r".*attn/out_kernel$", P("model", None, None)),
+    # vision ViT fused qkv keeps the GPT-3 [D, 3, n, d] layout
+    (r".*attn/qkv_kernel$", P(None, None, "model", None)),
+    (r".*/mlp/fc1_kernel$", P(None, "model")),
+    (r".*/mlp/fc1_bias$", P("model")),
+    (r".*/mlp/fc2_kernel$", P("model", None)),
+    # visual abstractor (owl.py OwlAbstractorLayer: [d, d] projections)
+    (r".*abstractor.*/(q|k|v)_kernel$", P(None, "model")),
+    (r".*abstractor.*/(q|k|v)_bias$", P("model")),
+    (r".*abstractor.*/out_kernel$", P("model", None)),
+    # per-frame ViT (same layout as the TimeSformer rules)
+    (r".*attn/q_bias$", P("model", None)),
+    (r".*attn/v_bias$", P("model", None)),
+    (r".*attn/proj_kernel$", P("model", None, None)),
+    (r".*", P()),
+)
+
+
 def _match(path: str, rules: ShardingRules) -> P:
     for pattern, spec in rules:
         if re.match(pattern, path):
