@@ -121,7 +121,9 @@ def main():
 
     # experiment knobs (env overrides live HERE, not in model code)
     remat_env = os.environ.get("BENCH_REMAT", "1")
+    preset = os.environ.get("BENCH_PRESET", "1.3B")  # "1.3B" | "2.7B"
     cfg = ge._flagship_cfg(
+        size=preset,
         scan_layers=os.environ.get("BENCH_SCAN", "1") == "1",
         remat=remat_env != "0",
         remat_policy=(remat_env
@@ -208,7 +210,8 @@ def main():
           f"model flops {flops/1e12:.2f} TF, loss {float(m['loss']):.3f}",
           file=sys.stderr)
     print(json.dumps({
-        "metric": "pretrain_mfu_1.3b",
+        "metric": ("pretrain_mfu_1.3b" if preset == "1.3B"
+                   else f"pretrain_mfu_{preset.lower()}"),
         "value": round(mfu, 4),
         "unit": "mfu",
         "vs_baseline": round(mfu / 0.40, 4),

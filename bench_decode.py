@@ -52,7 +52,16 @@ def main():
     lm_params = params["text_decoder"]
 
     beam = int(os.environ.get("BENCH_DECODE_BEAM", "1"))
-    prompt = jnp.full((batch, prompt_len), 5, jnp.int32)
+    # BENCH_DECODE_PROMPT=rand: independent random prompt tokens per
+    # sample — the NON-repetitive acceptance protocol for speculative
+    # rows (constant prompts + synthetic weights fall into greedy loops
+    # that flatter ngram acceptance; VERDICT r3 item 8).
+    if os.environ.get("BENCH_DECODE_PROMPT", "const") == "rand":
+        prompt = jax.random.randint(jax.random.key(7),
+                                    (batch, prompt_len), 4,
+                                    cfg.text.vocab_size, jnp.int32)
+    else:
+        prompt = jnp.full((batch, prompt_len), 5, jnp.int32)
     plen = jnp.full((batch,), prompt_len, jnp.int32)
     gcfg = GenerationConfig(max_new_tokens=new_tokens, beam_size=beam,
                             do_sample=False, eos_id=-1, pad_id=0)
@@ -136,19 +145,24 @@ def main():
 
     toks = batch * new_tokens  # emitted tokens (beam compute is k-fold)
     rate = toks / dt
-    # roofline: bf16 decoder params streamed once per decode step
-    n_params = sum(x.size for x in jax.tree.leaves(lm_params))
-    bytes_per_step = n_params * 2
+    # roofline: the RESIDENT decoder bytes streamed once per decode step
+    # (bf16: 2 B/param; int8: 1 B + per-channel scales) — so the int8 row
+    # is judged against its own, ~2x higher, bound
+    bytes_per_step = sum(x.size * x.dtype.itemsize
+                         for x in jax.tree.leaves(lm_vars))
     hbm_bw = 819e9  # v5e
     roofline = batch * hbm_bw / bytes_per_step
     print(f"# {toks} tokens in {dt*1000:.0f} ms "
           f"({dt/new_tokens*1000:.1f} ms/step, batch {batch}); "
-          f"roofline {roofline:.0f} tok/s", file=sys.stderr)
+          f"weight-stream roofline {roofline:.0f} tok/s "
+          f"({bytes_per_step/1e9:.2f} GB/step, int8={int(use_int8)})",
+          file=sys.stderr)
     print(json.dumps({
         "metric": "decode_tokens_per_sec",
         "value": round(rate, 1),
         "unit": "tok/s",
         "vs_baseline": round(rate / roofline, 4),
+        "int8": use_int8,
         **telemetry,
     }))
 

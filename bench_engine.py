@@ -18,6 +18,17 @@ all — its generate loop is per-sample, per-token
 
 Knobs: BENCH_ENGINE_SLOTS(16) / _REQUESTS(2*slots) / _TOKENS(64) /
 _K(64) / _INT8(1).
+
+Arrival mode (BENCH_ENGINE_ARRIVAL=poisson): Poisson arrivals with
+mixed prompt lengths, simulated in DEVICE-STEP time (arrivals indexed
+by decode step, not wall clock — on the tunneled dev chip every
+dispatch pays ~1s of relay RPC, so wall-clock arrival simulation would
+measure the relay).  Reports sustained tok/s (converted via the
+measured per-step device time), mean slot occupancy, and p50/p99
+per-request latency, against a static-batch baseline (groups of
+``slots`` requests decoded lock-step; later groups queue) computed on
+the SAME arrival draws.  Knobs: _RATE (expected arrivals per decode
+step, default 0.35), _ARR_REQUESTS (total, default 96).
 """
 
 from __future__ import annotations
@@ -34,6 +45,96 @@ if os.environ.get("JAX_PLATFORMS") == "cpu":
     # the dev-box sitecustomize force-selects the remote-TPU plugin at
     # import; honor an explicit CPU request (local smoke runs)
     jax.config.update("jax_platforms", "cpu")
+
+
+def arrival_benchmark(lm, lm_vars, query_embeds, slots, new_tokens,
+                      step_ms_fn):
+    """Poisson-arrival continuous-batching benchmark in device-step time.
+
+    Simulates arrivals indexed by decode step (relay-RPC-independent;
+    see module docstring), measures sustained tokens/step, mean slot
+    occupancy and per-request latency percentiles, and computes the
+    static-batch baseline on the SAME arrival draws.
+    """
+    from youku_mplug_tpu.models.generation import GenerationConfig
+    from youku_mplug_tpu.serving.engine import ServingEngine
+
+    rate = float(os.environ.get("BENCH_ENGINE_RATE", "0.35"))
+    n_req = int(os.environ.get("BENCH_ENGINE_ARR_REQUESTS", "96"))
+    buckets = (8, 16, 32)
+    rng = np.random.default_rng(11)
+    gaps = rng.exponential(1.0 / rate, size=n_req)
+    arrivals = np.floor(np.cumsum(gaps)).astype(int)
+    plens = rng.choice(buckets, size=n_req)
+    prompts = [list(rng.integers(5, 1000, p)) for p in plens]
+
+    nq = query_embeds.shape[0]
+    max_len = int(np.ceil((nq + max(buckets) + new_tokens + 2) / 64) * 64)
+    gcfg = GenerationConfig(max_new_tokens=new_tokens, do_sample=False,
+                            eos_id=-1, pad_id=0)
+    eng = ServingEngine(lm, lm_vars, num_slots=slots, max_len=max_len,
+                        prefill_buckets=buckets, config=gcfg,
+                        rng=jax.random.key(3))
+
+    # map engine rid -> request index (submit order == arrival order)
+    finish_step = {}
+    occupancy = []
+    submitted = 0
+    step = 0
+    total_tokens = 0
+    rid_to_idx = {}
+    while len(finish_step) < n_req and step < 100000:
+        while submitted < n_req and arrivals[submitted] <= step:
+            rid = eng.submit(prompts[submitted],
+                             query_embeds=jnp.asarray(query_embeds))
+            rid_to_idx[rid] = submitted
+            submitted += 1
+        fin = eng.step()
+        occupancy.append(sum(s is not None for s in eng._slots))
+        for f in fin:
+            i = rid_to_idx[f.rid]
+            finish_step[i] = step
+            total_tokens += len(f.tokens)
+        step += 1
+
+    lat_steps = np.asarray(
+        [finish_step[i] - arrivals[i] + 1 for i in range(n_req)], float)
+    step_ms = step_ms_fn()
+    tok_s = total_tokens / step * 1e3 / step_ms
+
+    # static-batch baseline on the same draws: groups of `slots`
+    # requests decoded lock-step for new_tokens steps (every prompt
+    # padded to the longest bucket, as a static batcher must); a group
+    # starts when the previous finishes AND its last member has arrived.
+    t_free = 0
+    static_lat = np.zeros(n_req)
+    static_total_steps = 0
+    for g0 in range(0, n_req, slots):
+        idx = np.arange(g0, min(g0 + slots, n_req))
+        start = max(t_free, int(arrivals[idx].max()))
+        end = start + new_tokens
+        static_lat[idx] = end - arrivals[idx] + 1
+        t_free = end
+        static_total_steps = end
+    static_tok_s = (n_req * new_tokens / max(static_total_steps, 1)
+                    * 1e3 / step_ms)
+
+    def pct(a, p):
+        return float(np.percentile(a, p))
+
+    return {
+        "metric": "engine_poisson_tokens_per_sec",
+        "value": round(tok_s, 1), "unit": "tok/s",
+        "vs_baseline": round(tok_s / max(static_tok_s, 1e-9), 4),
+        "static_tok_per_sec": round(static_tok_s, 1),
+        "rate_per_step": rate, "requests": n_req, "slots": slots,
+        "mean_occupancy": round(float(np.mean(occupancy)), 2),
+        "p50_latency_ms": round(pct(lat_steps, 50) * step_ms, 1),
+        "p99_latency_ms": round(pct(lat_steps, 99) * step_ms, 1),
+        "static_p50_latency_ms": round(pct(static_lat, 50) * step_ms, 1),
+        "static_p99_latency_ms": round(pct(static_lat, 99) * step_ms, 1),
+        "step_ms": round(step_ms, 3),
+    }
 
 
 def main():
@@ -120,6 +221,14 @@ def main():
     ms_1 = median_dispatch_ms(1)
     step_ms = max((ms_k - ms_1) / max(k - 1, 1), 1e-6)
     dev_tok_s = slots * 1e3 / step_ms
+
+    if os.environ.get("BENCH_ENGINE_ARRIVAL", "") == "poisson":
+        rec = arrival_benchmark(lm, lm_vars, query_embeds, slots,
+                                new_tokens, step_ms_fn=lambda: step_ms)
+        print(f"# poisson arrival mode; per-step device time "
+              f"{step_ms:.2f} ms (two-point fit)", flush=True)
+        print(json.dumps(rec), flush=True)
+        return
 
     # weight-stream roofline at batch=slots (same convention as
     # bench_decode.py): every decode step streams the resident decoder

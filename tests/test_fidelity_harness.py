@@ -9,7 +9,7 @@ against the torch reference twin.
 
 The always-on run uses the tiny preset; the full 1.3B shape
 (hidden 2048 / 24L / 51200V, ~25 GB RAM, minutes of CPU) runs with
-FULL_SHAPE_FIDELITY=1 and was executed on 2026-08-18 (see PARITY.md
+FULL_SHAPE_FIDELITY=1 and was executed on 2026-08-19 (see PARITY.md
 "Full-shape import fidelity").
 """
 

@@ -499,11 +499,22 @@ def test_flash_attention_packed_multi_ref(rng, m, causal):
     with mock.patch.object(
             pl, "pallas_call",
             functools.partial(pl.pallas_call, interpret=True)), \
-            mock.patch.object(fa, "_MULTI_REF", m):
-        assert fa._pick_multi(b, s, n * d, 8) == m
+            mock.patch.object(fa, "_MULTI_REF", m), \
+            mock.patch.object(fa, "_pick_multi",
+                              mock.Mock(wraps=fa._pick_multi)) as spy:
+        assert spy(b, s, n * d, 8) == m
+        spy.reset_mock()
         got = fa.flash_attention_packed(q, k, v, n, causal=causal)
         gg = jax.grad(loss(lambda q_, k_, v_: fa.flash_attention_packed(
             q_, k_, v_, n, causal=causal)), argnums=(0, 1, 2))(q, k, v)
+        if causal:
+            # the dispatch guard must short-circuit BEFORE consulting
+            # _pick_multi (multi-ref causal crashes Mosaic on hardware;
+            # interpret-mode numerics alone would not catch a removed
+            # guard)
+            spy.assert_not_called()
+        else:
+            assert spy.called
     np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                rtol=2e-3, atol=2e-3)
     for a, b_ in zip(gg, gw):

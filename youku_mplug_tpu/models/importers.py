@@ -464,14 +464,17 @@ def import_owl(params: dict, cfg, model_dir: str) -> dict:
         n = merge_into(params["visual_encoder"], vp)
         print(f"imported {n} vision tensors (best-effort)", flush=True)
 
-    missed = [k for k in sd
-              if k.startswith("abstractor.") or k.startswith(
-                  "query_tokens")]
+    missed = sorted(k for k in sd
+                    if k.startswith("abstractor.")
+                    or k.startswith("query_tokens"))
     if missed:
-        print(f"NOTE: {len(missed)} abstractor tensors present in the "
-              f"checkpoint need a hand-mapped port (external-module "
-              f"naming); run tools/map_owl_abstractor.py or finetune "
-              f"from init.", flush=True)
+        # the external repo's abstractor module naming is not vendored
+        # here (zero-egress build); surface the tensor names so a user
+        # with the checkpoint can extend this map — or finetune the
+        # abstractor from init on top of the exactly-imported Bloom.
+        print(f"NOTE: {len(missed)} abstractor tensors in the checkpoint "
+              f"have no automatic map (external-module naming); first "
+              f"few: {missed[:4]}", flush=True)
     return params
 
 
