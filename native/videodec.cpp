@@ -160,8 +160,17 @@ int vd_read_frames(void* handle, const long* indices, int n, int out_w,
   if (out_h <= 0) out_h = h->height;
   if (!h->sws || h->sws_w != out_w || h->sws_h != out_h) {
     if (h->sws) sws_freeContext(h->sws);
+    // FAST_BILINEAR when actually rescaling (decode_short_side): the
+    // output feeds training augmentation that re-resamples anyway
+    // (RandomResizedCrop), so bicubic's quality edge is thrown away —
+    // fast bilinear halves the scaler cost at production resolutions.
+    // Same-dims calls take swscale's unscaled convert path regardless
+    // of the flag.
+    const int sws_flags = (out_w == h->width && out_h == h->height)
+                              ? SWS_BICUBIC
+                              : SWS_FAST_BILINEAR;
     h->sws = sws_getContext(h->width, h->height, h->codec->pix_fmt, out_w,
-                            out_h, AV_PIX_FMT_RGB24, SWS_BICUBIC, nullptr,
+                            out_h, AV_PIX_FMT_RGB24, sws_flags, nullptr,
                             nullptr, nullptr);
     h->sws_w = out_w;
     h->sws_h = out_h;
@@ -217,11 +226,26 @@ int vd_read_frames(void* handle, const long* indices, int n, int out_w,
   size_t oi = 0;
   unsigned char* last_frame_at = nullptr;
   bool sought_back = false;  // guards against seek landing past target
+  // GOP catch-up decode-skip: while the next wanted index is further
+  // ahead than any codec reorder window, non-reference frames (B
+  // frames on real corpora) need not be decoded at all — they can
+  // never influence a later frame's pixels, so every DELIVERED frame
+  // stays bit-identical to a full decode.  Within kReorder of the
+  // target, full decode resumes so a wanted non-ref frame is never
+  // discarded.  (The reference's decord decodes every catch-up frame:
+  // dataset/video_utils/utils.py:97-117.)
+  const long kReorder = 16;
   while (oi < order.size()) {
     // forward-seek across large gaps between consecutive wanted indices
     if (!sought_back && h->next_frame_idx >= 0 &&
         order[oi].first >= h->next_frame_idx + kSeekGap) {
       seek_to(order[oi].first);
+    }
+    if (can_index && h->next_frame_idx >= 0 &&
+        order[oi].first - h->next_frame_idx > kReorder) {
+      h->codec->skip_frame = AVDISCARD_NONREF;
+    } else {
+      h->codec->skip_frame = AVDISCARD_DEFAULT;
     }
     int ret = next_frame(h);
     if (ret != 0) break;  // EOF/error: pad below
