@@ -176,7 +176,15 @@ class VisionAttention(nn.Module):
     lora_alpha: float = 16.0
 
     @nn.compact
-    def __call__(self, x, deterministic=True):
+    def __call__(self, x, deterministic=True, post_kernel=None,
+                 post_bias=None):
+        """post_kernel/post_bias: an optional trailing [C, C] affine to
+        FOLD into the output projection at trace time — (x@P)@T ==
+        x@(P@T) exactly, so a caller's follow-up matmul (the
+        TimeSformer temporal_fc) collapses into proj: one fewer
+        [tokens, C] matmul + HBM round-trip per call.  The weight
+        product runs in fp32 once per forward (~1 GFLOP at ViT-B —
+        noise) and autodiff routes grads to both factors."""
         from youku_mplug_tpu.ops.lora import lora_delta, lora_pair
 
         d = self.dim // self.num_heads
@@ -195,6 +203,18 @@ class VisionAttention(nn.Module):
                              3 * n * d, init_std=self.init_std)
         lora_proj = lora_pair(self, "proj", self.lora_rank, n * d,
                               self.dim, init_std=self.init_std)
+
+        if post_kernel is not None:
+            # fold the trailing affine into proj (docstring); LoRA's
+            # additive delta lands after proj and would need its own @T,
+            # so callers only fuse with lora_rank == 0
+            assert self.lora_rank == 0, "post_kernel fusion requires no LoRA"
+            pk32 = post_kernel.astype(jnp.float32)
+            proj_kernel = jnp.einsum(
+                "ndc,ce->nde", proj_kernel.astype(jnp.float32), pk32)
+            proj_bias = proj_bias.astype(jnp.float32) @ pk32
+            if post_bias is not None:
+                proj_bias = proj_bias + post_bias.astype(jnp.float32)
 
         lead = x.shape[:-2]
         s = x.shape[-2]
@@ -417,22 +437,34 @@ class SpaceTimeBlock(nn.Module):
                 g = cand
                 break
         xt = xt.reshape(b, n_p // g, g * t, c)
-        xt = VisionAttention(
-            c, cfg.num_heads, init_std=cfg.init_std, proj_scale=1.0,
-            attn_drop=cfg.attn_drop_rate, attn_impl=cfg.attn_impl,
-            block_period=t if g > 1 else 0,
-            period_flash=cfg.temporal_flash,
-            lora_rank=cfg.lora_rank, lora_alpha=cfg.lora_alpha,
-            name="temporal_attn")(xt, deterministic)
-        xt = xt.reshape(b, n_p, t, c)
         temporal_fc_kernel = self.param(
             "temporal_fc_kernel",
             (nn.initializers.zeros if self.layer_id > 1
              else _trunc_normal(cfg.init_std)), (c, c))
         temporal_fc_bias = self.param(
             "temporal_fc_bias", nn.initializers.zeros, (c,))
-        xt = _mm(xt, temporal_fc_kernel.astype(xt.dtype))
-        xt = xt + temporal_fc_bias.astype(xt.dtype)
+        # fold temporal_fc into the attention's output projection —
+        # (attn@proj)@tfc == attn@(proj@tfc) exactly, saving one
+        # [B*N*T, C] matmul + HBM round-trip per block (LoRA's additive
+        # delta would need its own @tfc, so adapters keep the two-matmul
+        # form)
+        fuse = cfg.lora_rank == 0
+        t_attn = VisionAttention(
+            c, cfg.num_heads, init_std=cfg.init_std, proj_scale=1.0,
+            attn_drop=cfg.attn_drop_rate, attn_impl=cfg.attn_impl,
+            block_period=t if g > 1 else 0,
+            period_flash=cfg.temporal_flash,
+            lora_rank=cfg.lora_rank, lora_alpha=cfg.lora_alpha,
+            name="temporal_attn")
+        if fuse:
+            xt = t_attn(xt, deterministic,
+                        post_kernel=temporal_fc_kernel,
+                        post_bias=temporal_fc_bias)
+            xt = xt.reshape(b, n_p, t, c)
+        else:
+            xt = t_attn(xt, deterministic).reshape(b, n_p, t, c)
+            xt = _mm(xt, temporal_fc_kernel.astype(xt.dtype))
+            xt = xt + temporal_fc_bias.astype(xt.dtype)
         xt = x + xt  # residual, [B, N, T, C]
 
         # --- spatial attention: per frame, cls repeated per frame -----
