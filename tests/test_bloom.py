@@ -256,3 +256,46 @@ def test_decode_kernel_alibi_matches_reference_interpret(cfg):
     ref = ref.transpose(0, 2, 1, 3).reshape(b, nd)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
                                atol=2e-5, rtol=2e-5)
+
+
+def test_serving_engine_and_lookup_with_bloom(cfg):
+    """The serving stack (continuous-batching engine + prompt-lookup
+    speculative generate) drives BloomLM through the shared
+    embed/init_cache/decode_step surface: engine output must equal the
+    plain batched generate, and lookup decoding must be token-exact."""
+    from youku_mplug_tpu.models.generation import GenerationConfig, generate
+    from youku_mplug_tpu.serving.engine import ServingEngine
+    from youku_mplug_tpu.serving.speculative import (
+        ngram_speculative_generate,
+    )
+
+    model = BloomLM(cfg, policy=FP32_POLICY)
+    rng = np.random.default_rng(5)
+    prompts = [list(rng.integers(4, V, size=6)),
+               list(rng.integers(4, V, size=4))]
+    params = model.init(jax.random.key(1),
+                        tokens=jnp.asarray([prompts[0]]))["params"]
+    gcfg = GenerationConfig(max_new_tokens=6, eos_id=-1,
+                            pad_id=cfg.pad_id, beam_size=1)
+
+    # oracle: batched greedy generate
+    pad = max(len(p) for p in prompts)
+    ids = np.full((2, pad), cfg.pad_id, np.int32)
+    for i, p in enumerate(prompts):
+        ids[i, :len(p)] = p
+    lens = jnp.asarray([len(p) for p in prompts])
+    want = np.asarray(generate(model, params, jnp.asarray(ids), lens,
+                               config=gcfg)["sequences"])
+
+    eng = ServingEngine(model, params, num_slots=2, max_len=128,
+                        prefill_buckets=(8,), config=gcfg,
+                        rng=jax.random.key(2))
+    rids = [eng.submit(p) for p in prompts]
+    fin = {f.rid: f.tokens for f in eng.run_to_completion()}
+    for i, rid in enumerate(rids):
+        np.testing.assert_array_equal(np.asarray(fin[rid]), want[i])
+
+    spec = ngram_speculative_generate(
+        model, params, jnp.asarray(ids), lens, config=gcfg,
+        speculate_len=3, ngram=2)
+    np.testing.assert_array_equal(np.asarray(spec["sequences"]), want)

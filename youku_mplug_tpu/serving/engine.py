@@ -82,7 +82,7 @@ class ServingEngine:
         self._rng = rng if rng is not None else jax.random.key(0)
 
         self.cache = model.apply(_variables(params), num_slots, max_len,
-                                 method=GPT3LM.init_cache)
+                                 method=type(model).init_cache)
         self.cache_len = np.zeros((num_slots,), np.int32)
         self.valid_from = np.zeros((num_slots,), np.int32)
         self.pos_offset = np.zeros((num_slots,), np.int32)
@@ -139,7 +139,7 @@ class ServingEngine:
             self.config.pad_id)
         logits, sub = model.apply(
             _variables(params), embeds, sub, jnp.int32(0), valid_from,
-            pos_offset, method=GPT3LM.decode_step)
+            pos_offset, method=type(model).decode_step)
         cache = jax.tree.map(
             lambda c, s_: jax.lax.dynamic_update_slice_in_dim(
                 c, s_.astype(c.dtype), slot, axis=1),
@@ -154,10 +154,10 @@ class ServingEngine:
         lands at a masked position and is overwritten on slot reuse)."""
         model, params = self.model, self.params
         emb = model.apply(_variables(params), last_token[:, None],
-                          method=GPT3LM.embed)
+                          method=type(model).embed)
         logits, cache = model.apply(
             _variables(params), emb, cache, cache_len, valid_from,
-            pos_offset, method=GPT3LM.decode_step)
+            pos_offset, method=type(model).decode_step)
         return cache, self._pick(logits, rng)
 
     def _decode_many_impl(self, k, cache, cache_len, valid_from,
@@ -175,10 +175,10 @@ class ServingEngine:
         def body(carry, rng_step):
             cache, cache_len, last = carry
             emb = model.apply(_variables(params), last[:, None],
-                              method=GPT3LM.embed)
+                              method=type(model).embed)
             logits, cache = model.apply(
                 _variables(params), emb, cache, cache_len, valid_from,
-                pos_offset, method=GPT3LM.decode_step)
+                pos_offset, method=type(model).decode_step)
             nxt = self._pick(logits, rng_step)
             return (cache, cache_len + 1, nxt), nxt
 
@@ -206,10 +206,10 @@ class ServingEngine:
         contract."""
         model, params = self.model, self.params
         chunk = jnp.concatenate([last_token[:, None], drafts], axis=1)
-        emb = model.apply(_variables(params), chunk, method=GPT3LM.embed)
+        emb = model.apply(_variables(params), chunk, method=type(model).embed)
         logits, cache = model.apply(
             _variables(params), emb, cache, cache_len, valid_from,
-            pos_offset, True, method=GPT3LM.decode_step)
+            pos_offset, True, method=type(model).decode_step)
         greedy = jnp.argmax(logits.astype(jnp.float32),
                             -1).astype(jnp.int32)       # [B, k+1]
         return cache, greedy

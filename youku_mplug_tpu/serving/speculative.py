@@ -119,10 +119,10 @@ def speculative_generate(model: GPT3LM, params, draft_model: GPT3LM,
     embeds, valid_from, pos_offset = _build_prefix(
         model, params, prompt_ids, prompt_len, query_embeds, config.pad_id)
     t_cache = model.apply(_variables(params), b, cache_len_cap,
-                          method=GPT3LM.init_cache)
+                          method=type(model).init_cache)
     t_logits, t_cache = model.apply(
         _variables(params), embeds, t_cache, jnp.int32(0),
-        valid_from, pos_offset, method=GPT3LM.decode_step)
+        valid_from, pos_offset, method=type(model).decode_step)
 
     # ---- draft prefill (text prompt only) ---------------------------
     d_embeds, d_valid_from, d_pos_offset = _build_prefix(
@@ -130,10 +130,10 @@ def speculative_generate(model: GPT3LM, params, draft_model: GPT3LM,
         config.pad_id)
     d_cache = draft_model.apply(_variables(draft_params), b,
                                 d_prefix_len + max_new + k + 1,
-                                method=GPT3LM.init_cache)
+                                method=type(draft_model).init_cache)
     _, d_cache = draft_model.apply(
         _variables(draft_params), d_embeds, d_cache, jnp.int32(0),
-        d_valid_from, d_pos_offset, method=GPT3LM.decode_step)
+        d_valid_from, d_pos_offset, method=type(draft_model).decode_step)
 
     if sample:
         rng, sub = jax.random.split(rng)
@@ -171,10 +171,10 @@ def speculative_generate(model: GPT3LM, params, draft_model: GPT3LM,
         def d_step(carry, step_rng):
             cache, length, tok = carry
             emb = draft_model.apply(_variables(draft_params),
-                                    tok[:, None], method=GPT3LM.embed)
+                                    tok[:, None], method=type(draft_model).embed)
             logits, cache = draft_model.apply(
                 _variables(draft_params), emb, cache, length,
-                d_valid_from, d_pos_offset, method=GPT3LM.decode_step)
+                d_valid_from, d_pos_offset, method=type(draft_model).decode_step)
             if sample:
                 probs = t_probs(logits)
                 nxt = jax.random.categorical(
@@ -194,10 +194,10 @@ def speculative_generate(model: GPT3LM, params, draft_model: GPT3LM,
 
         # ---- 2. target verifies the chunk in one step ----------------
         chunk = jnp.concatenate([st["last"][:, None], drafts], axis=1)
-        emb = model.apply(_variables(params), chunk, method=GPT3LM.embed)
+        emb = model.apply(_variables(params), chunk, method=type(model).embed)
         logits, t_cache = model.apply(
             _variables(params), emb, st["t_cache"], st["t_len"],
-            valid_from, pos_offset, True, method=GPT3LM.decode_step)
+            valid_from, pos_offset, True, method=type(model).decode_step)
         idx = jnp.arange(k + 1)[None, :]
         if sample:
             rng, a_rng = jax.random.split(rng)
@@ -353,10 +353,10 @@ def ngram_speculative_generate(model: GPT3LM, params, prompt_ids,
     embeds, valid_from, pos_offset = _build_prefix(
         model, params, prompt_ids, prompt_len, query_embeds, config.pad_id)
     t_cache = model.apply(_variables(params), b, cache_len_cap,
-                          method=GPT3LM.init_cache)
+                          method=type(model).init_cache)
     t_logits, t_cache = model.apply(
         _variables(params), embeds, t_cache, jnp.int32(0),
-        valid_from, pos_offset, method=GPT3LM.decode_step)
+        valid_from, pos_offset, method=type(model).decode_step)
     first = jnp.argmax(t_logits.astype(jnp.float32), -1).astype(jnp.int32)
 
     # history buffer: [pad x k_i | prompt | committed tokens]; prompt is
@@ -389,10 +389,10 @@ def ngram_speculative_generate(model: GPT3LM, params, prompt_ids,
         drafts = _ngram_propose(st["hist"], cur, ngram, k, valid_from)
 
         chunk = jnp.concatenate([st["last"][:, None], drafts], axis=1)
-        emb = model.apply(_variables(params), chunk, method=GPT3LM.embed)
+        emb = model.apply(_variables(params), chunk, method=type(model).embed)
         logits, t_cache = model.apply(
             _variables(params), emb, st["t_cache"], st["t_len"],
-            valid_from, pos_offset, True, method=GPT3LM.decode_step)
+            valid_from, pos_offset, True, method=type(model).decode_step)
         greedy = jnp.argmax(logits.astype(jnp.float32),
                             -1).astype(jnp.int32)              # [B, k+1]
         agree = drafts == greedy[:, :k]
