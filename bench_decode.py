@@ -48,7 +48,15 @@ def main():
     # visual prefix (queries through the abstractor), like run_caption
     query_embeds = model.apply(
         {"params": params}, video, method=MPLUGVideo.encode_video)[1]
-    lm = GPT3LM(cfg.text, policy=model.policy)
+    # BENCH_KV_INT8=1: quantized int8 KV cache (ops/kv_cache.py) — halves
+    # decode-time cache streaming, independent of weight quantization
+    kv_int8 = os.environ.get("BENCH_KV_INT8", "0") == "1"
+    text_cfg = cfg.text
+    if kv_int8:
+        import dataclasses as _dc
+
+        text_cfg = _dc.replace(text_cfg, kv_cache_dtype="int8")
+    lm = GPT3LM(text_cfg, policy=model.policy)
     lm_params = params["text_decoder"]
 
     beam = int(os.environ.get("BENCH_DECODE_BEAM", "1"))
@@ -163,6 +171,7 @@ def main():
         "unit": "tok/s",
         "vs_baseline": round(rate / roofline, 4),
         "int8": use_int8,
+        "kv_int8": kv_int8,
         **telemetry,
     }))
 

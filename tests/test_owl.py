@@ -199,6 +199,30 @@ def test_generate_instruct_e2e(owl_setup):
     assert np.abs(la - lb).max() > 1e-6
 
 
+def test_engine_serving_matches_generate(owl_setup):
+    """The continuous-batching engine (prompt_embeds submission — the
+    deployment path, run_instruct --engine) must produce token-identical
+    greedy output to the lock-step batched generate, with and without
+    prompt-lookup speculative steps."""
+    cfg, mesh, model, batch, video, params = owl_setup
+    from youku_mplug_tpu.cli.run_instruct import serve_instruct
+    from youku_mplug_tpu.models.generation import GenerationConfig
+
+    gcfg = GenerationConfig(max_new_tokens=5, eos_id=cfg.text.eos_id,
+                            pad_id=cfg.text.pad_id, beam_size=1)
+    with jax.set_mesh(mesh):
+        want = np.asarray(generate_instruct(
+            model, params, video, jnp.asarray(batch["input_ids"]),
+            jnp.asarray(batch["media_mask"]),
+            jnp.asarray(batch["prompt_len"]), gcfg)["sequences"])
+        got = serve_instruct(model, params, video, batch, gcfg,
+                             num_slots=2)
+        got_lk = serve_instruct(model, params, video, batch, gcfg,
+                                num_slots=2, lookup_k=3)
+    np.testing.assert_array_equal(got, want)
+    np.testing.assert_array_equal(got_lk, want)
+
+
 def test_run_instruct_cli_smoke(tmp_path):
     from youku_mplug_tpu.cli import run_instruct
 

@@ -77,6 +77,16 @@ def parser() -> argparse.ArgumentParser:
     p.add_argument("--seed", type=int, default=42)
     p.add_argument("--max_new_tokens", type=int, default=0,
                    help="override config")
+    p.add_argument("--engine", action="store_true",
+                   help="serve through the continuous-batching engine "
+                        "(slot pool + per-request admission) instead of "
+                        "one lock-step batched generate — the deployment "
+                        "path; token-identical for greedy decoding")
+    p.add_argument("--num_slots", type=int, default=4,
+                   help="--engine slot-pool size")
+    p.add_argument("--lookup_k", type=int, default=0,
+                   help="--engine: k>0 adds prompt-lookup speculative "
+                        "steps (greedy-only, token-exact)")
     return p
 
 
@@ -138,6 +148,57 @@ def load_videos(args, raw_cfg, rows):
     return np.stack(clips)
 
 
+def serve_instruct(model, params, clips, batch, gen_cfg, *,
+                   num_slots=4, lookup_k=0, rng=None):
+    """Instruct inference through the continuous-batching engine: videos
+    are encoded and spliced into prompt embeddings in one batch, then
+    each request is admitted to the slot pool as slots free (the
+    deployment path — serving/engine.py).  Greedy output is token-
+    identical to ``generate_instruct`` (tested: tests/test_owl.py).
+
+    Returns sequences [B, max_new_tokens] right-padded with pad_id.
+    """
+    from youku_mplug_tpu.models.bloom import BloomLM
+    from youku_mplug_tpu.models.owl import MPLUGOwlVideo
+    from youku_mplug_tpu.serving.engine import ServingEngine
+
+    if gen_cfg.beam_size > 1:
+        raise ValueError("--engine serves beam_size=1 (greedy/sample); "
+                         "use the batched generate path for beam search")
+    input_ids = np.asarray(batch["input_ids"])
+    media_mask = np.asarray(batch["media_mask"])
+    prompt_len = np.asarray(batch["prompt_len"])
+    b = input_ids.shape[0]
+
+    qf = model.apply({"params": params}, jnp.asarray(clips),
+                     method=MPLUGOwlVideo.encode_video)
+    embeds = np.asarray(model.apply(
+        {"params": params}, jnp.asarray(input_ids),
+        jnp.asarray(media_mask), qf, method=MPLUGOwlVideo.spliced_embeds))
+
+    decoder = BloomLM(model.cfg.text, policy=model.policy)
+    longest = int(prompt_len.max())
+    bucket = 8
+    while bucket < longest:
+        bucket *= 2
+    eng = ServingEngine(
+        decoder, params["text_decoder"], num_slots=min(num_slots, b),
+        max_len=bucket + gen_cfg.max_new_tokens + 2,
+        prefill_buckets=(bucket,), config=gen_cfg, rng=rng)
+    rid_to_row = {}
+    for i in range(b):
+        n = int(prompt_len[i])
+        rid = eng.submit(list(input_ids[i, :n]),
+                         prompt_embeds=embeds[i, :n])
+        rid_to_row[rid] = i
+
+    seqs = np.full((b, gen_cfg.max_new_tokens), gen_cfg.pad_id, np.int32)
+    for fin in eng.run_to_completion(lookup_k=lookup_k):
+        toks = fin.tokens[:gen_cfg.max_new_tokens]
+        seqs[rid_to_row[fin.rid], :len(toks)] = toks
+    return seqs
+
+
 def main(args):
     cfg, raw_cfg = load_owl_config(args.config)
     policy = FP32_POLICY if args.fp32 else DEFAULT_POLICY
@@ -193,13 +254,18 @@ def main(args):
 
         clips = normalize_clip(jnp.asarray(video),
                                dtype=policy.compute_dtype)
-        out = generate_instruct(
-            model, params, clips, jnp.asarray(batch["input_ids"]),
-            jnp.asarray(batch["media_mask"]),
-            jnp.asarray(batch["prompt_len"]), gen_cfg,
-            rng=jax.random.key(args.seed + 1))
-
-    seqs = np.asarray(out["sequences"])
+        if args.engine:
+            seqs = serve_instruct(
+                model, params, clips, batch, gen_cfg,
+                num_slots=args.num_slots, lookup_k=args.lookup_k,
+                rng=jax.random.key(args.seed + 1))
+        else:
+            out = generate_instruct(
+                model, params, clips, jnp.asarray(batch["input_ids"]),
+                jnp.asarray(batch["media_mask"]),
+                jnp.asarray(batch["prompt_len"]), gen_cfg,
+                rng=jax.random.key(args.seed + 1))
+            seqs = np.asarray(out["sequences"])
     results = []
     for r, seq in zip(rows, seqs):
         keep = seq[(seq != cfg.text.pad_id) & (seq != cfg.text.eos_id)]

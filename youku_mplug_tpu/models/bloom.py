@@ -111,6 +111,9 @@ class BloomConfig:
     # decode attention: "pallas" (in-place stacked-cache kernel,
     # alibi=True) | "gather" (dynamic_index_in_dim + XLA einsum)
     decode_attn_impl: str = "pallas"
+    # KV-cache storage: "auto" (compute dtype) | "int8" (per-(token,
+    # head) quantized — ops/kv_cache.py; same contract as GPT3Config)
+    kv_cache_dtype: str = "auto"
     lora_rank: int = 0
     lora_alpha: float = 16.0
     lora_targets: tuple = ("qkv", "out", "fc1", "fc2")
@@ -272,23 +275,14 @@ class BloomAttention(nn.Module):
         kvp = jnp.concatenate(
             [qkv5[..., 1, :].reshape(b_, s_, n * d),
              qkv5[..., 2, :].reshape(b_, s_, n * d)], axis=-1)
+        from youku_mplug_tpu.ops import kv_cache as kvc
         full_stack = isinstance(cache, tuple)
         idx = cache_len
         new_cache = None
         if full_stack:
             ckvf, lidx = cache
-            m = ckvf.shape[2]
-            if jnp.ndim(cache_len) == 1:
-                kvp_c = kvp.astype(ckvf.dtype)
-
-                def wrf(bi, c):
-                    row = jax.lax.dynamic_slice_in_dim(kvp_c, bi, 1, axis=0)
-                    return jax.lax.dynamic_update_slice(
-                        c, row[None], (lidx, bi, idx[bi], 0))
-                ckvf = jax.lax.fori_loop(0, b_, wrf, ckvf)
-            else:
-                ckvf = jax.lax.dynamic_update_slice(
-                    ckvf, kvp.astype(ckvf.dtype)[None], (lidx, 0, idx, 0))
+            m = kvc.cache_width(ckvf, axis=2)
+            ckvf = kvc.cache_write(ckvf, kvp, n, idx, lidx)
             new_cache = ckvf
             from youku_mplug_tpu.ops.decode_attention import (
                 decode_attention,
@@ -298,27 +292,18 @@ class BloomAttention(nn.Module):
                     and jax.default_backend() == "tpu"
                     and decode_attention_supported(m)):
                 qp = qkv5[:, 0, :, 0, :].reshape(b_, n * d)
+                quant = kvc.is_quantized(ckvf)
                 out_p = decode_attention(
-                    qp, ckvf, n, lidx, idx, valid_from,
-                    alibi_slopes=slopes)[:, None]
+                    qp, ckvf["kv"] if quant else ckvf, n, lidx, idx,
+                    valid_from, alibi_slopes=slopes,
+                    kv_scales=ckvf["scale"] if quant else None)[:, None]
                 return out_proj(out_p.reshape(b_, 1, n, d)), new_cache
-            ckv = jax.lax.dynamic_index_in_dim(ckvf, lidx, 0,
-                                               keepdims=False)
+            ckv = kvc.layer_dequant(kvc.layer_slice(ckvf, lidx), n,
+                                    kvp.dtype)
         else:
-            ckv = cache
-            m = ckv.shape[1]
-            if jnp.ndim(cache_len) == 1:
-                kvp_c = kvp.astype(ckv.dtype)
-
-                def wr(bi, c):
-                    row = jax.lax.dynamic_slice_in_dim(kvp_c, bi, 1, axis=0)
-                    return jax.lax.dynamic_update_slice(
-                        c, row, (bi, idx[bi], 0))
-                ckv = jax.lax.fori_loop(0, b_, wr, ckv)
-            else:
-                ckv = jax.lax.dynamic_update_slice(
-                    ckv, kvp.astype(ckv.dtype), (0, idx, 0))
-            new_cache = ckv
+            m = kvc.cache_width(cache, axis=1)
+            new_cache = kvc.cache_write(cache, kvp, n, idx)
+            ckv = kvc.layer_dequant(new_cache, n, kvp.dtype)
 
         q = jnp.moveaxis(qkv5[..., 0, :], 2, 1)  # [B,n,S,d]
         ckh = jnp.moveaxis(ckv[..., :n * d].reshape(b_, m, n, d), 2, 1)
@@ -561,11 +546,14 @@ class BloomLM(nn.Module):
         return out
 
     def init_cache(self, batch, max_len, dtype=None):
+        from youku_mplug_tpu.ops.kv_cache import make_cache
+
         cfg = self.config
         dtype = dtype or self.policy.compute_dtype
         max_len = -(-max_len // 128) * 128
-        return jnp.zeros((cfg.num_hidden_layers, batch, max_len,
-                          2 * cfg.hidden_size), dtype)
+        return make_cache(cfg.num_hidden_layers, batch, max_len,
+                          cfg.hidden_size, cfg.num_attention_heads, dtype,
+                          quantized=cfg.kv_cache_dtype == "int8")
 
     def decode_step(self, input_embeds, cache, cache_len, valid_from=None,
                     position_offset=None, return_all=False):

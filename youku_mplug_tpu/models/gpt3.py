@@ -94,6 +94,11 @@ class GPT3Config:
     # layer index (ops/decode_attention.py; TPU only, cache width % 128);
     # "gather" — dynamic_index_in_dim layer-slice copy + XLA einsum.
     decode_attn_impl: str = "pallas"
+    # KV-cache storage: "auto" (policy compute dtype, bf16 on TPU) or
+    # "int8" (per-(token, head) symmetric quantization, ops/kv_cache.py
+    # — halves decode cache traffic and doubles servable context; the
+    # pallas decode kernel dequantizes per-block in VMEM)
+    kv_cache_dtype: str = "auto"
     # pair-scan: scan over L/2 two-layer bodies, rematerializing only the
     # FIRST layer of each pair (skip-remat — the decoder analog of the
     # vision half/third policies: spend HBM headroom to halve backward
@@ -298,35 +303,23 @@ class GPT3Attention(nn.Module):
             # returning an updated layer slice for the scan to copy back
             # whole (~1 ms/token of pure write-back at 1.3B B=16,
             # BENCHLOG), and attention reads the layer's keys in place.
+            # Cache writes/reads go through ops/kv_cache.py: per-sample
+            # write positions use a fori_loop of dynamic_update_slices
+            # (a vmap'd DUS lowers to a scatter whose TPU lowering
+            # transposes the WHOLE stacked cache to batch-minor layout
+            # and back — two ~1.6 GB copy fusions per step, measured
+            # 239 ms/step vs 5 ms lock-step at 1.3B/B=16/M=512); an
+            # int8 cache ({"kv","scale"} pytree) quantizes on the way
+            # in and the pallas kernel dequantizes per-block in VMEM.
+            from youku_mplug_tpu.ops import kv_cache as kvc
             kvp = qkv[..., n * d:]  # [B, S, 2*n*d] — K|V, contiguous
             full_stack = isinstance(cache, tuple)
             s = s_
             idx = cache_len
             if full_stack:
                 ckvf, lidx = cache
-                m = ckvf.shape[2]
-                if jnp.ndim(cache_len) == 1:
-                    # per-sample write positions (continuous batching).
-                    # NOT a vmap'd dynamic_update_slice: that lowers to a
-                    # scatter whose TPU lowering transposes the WHOLE
-                    # stacked cache to batch-minor layout and back (two
-                    # ~1.6 GB copy fusions per step) and serializes the
-                    # row writes — measured 239 ms/step vs 5 ms lock-step
-                    # at 1.3B/B=16/M=512.  A fori_loop of per-sample
-                    # dynamic_update_slices keeps the carry layout and
-                    # updates in place: B tiny row writes.
-                    kvp_c = kvp.astype(ckvf.dtype)
-
-                    def wrf(bi, c):
-                        row = jax.lax.dynamic_slice_in_dim(
-                            kvp_c, bi, 1, axis=0)        # [1, S, 2nd]
-                        return jax.lax.dynamic_update_slice(
-                            c, row[None], (lidx, bi, idx[bi], 0))
-                    ckvf = jax.lax.fori_loop(0, b_, wrf, ckvf)
-                else:
-                    ckvf = jax.lax.dynamic_update_slice(
-                        ckvf, kvp.astype(ckvf.dtype)[None],
-                        (lidx, 0, idx, 0))
+                m = kvc.cache_width(ckvf, axis=2)
+                ckvf = kvc.cache_write(ckvf, kvp, n, idx, lidx)
                 new_cache = ckvf
                 from youku_mplug_tpu.ops.decode_attention import (
                     decode_attention,
@@ -337,9 +330,13 @@ class GPT3Attention(nn.Module):
                         and decode_attention_supported(m)):
                     # in-place stacked-cache read: no layer gather copy,
                     # per-sample length-bounded key streaming
+                    quant = kvc.is_quantized(ckvf)
                     out_p = decode_attention(
-                        qkv[:, 0, :n * d], ckvf, n, lidx, idx,
-                        valid_from)[:, None]  # [B, 1, n*d]
+                        qkv[:, 0, :n * d],
+                        ckvf["kv"] if quant else ckvf, n, lidx, idx,
+                        valid_from,
+                        kv_scales=ckvf["scale"] if quant else None,
+                    )[:, None]  # [B, 1, n*d]
                     y = jnp.einsum("bsnd,ndh->bsh",
                                    out_p.reshape(b_, 1, n, d),
                                    out_kernel.astype(out_p.dtype))
@@ -351,27 +348,12 @@ class GPT3Attention(nn.Module):
                         y = y + ld
                     y = y + out_bias.astype(y.dtype)
                     return y, new_cache
-                ckv = jax.lax.dynamic_index_in_dim(ckvf, lidx, 0,
-                                                   keepdims=False)
+                ckv = kvc.layer_dequant(kvc.layer_slice(ckvf, lidx), n,
+                                        dtype)
             else:
-                ckv = cache  # [B, M, 2*n*d]
-                m = ckv.shape[1]
-                if jnp.ndim(cache_len) == 1:
-                    # same in-place per-sample row writes as the stacked
-                    # path above (vmap'd DUS == layout-transposing
-                    # scatter on TPU)
-                    kvp_c = kvp.astype(ckv.dtype)
-
-                    def wr(bi, c):
-                        row = jax.lax.dynamic_slice_in_dim(
-                            kvp_c, bi, 1, axis=0)        # [1, S, 2nd]
-                        return jax.lax.dynamic_update_slice(
-                            c, row, (bi, idx[bi], 0))
-                    ckv = jax.lax.fori_loop(0, b_, wr, ckv)
-                else:
-                    ckv = jax.lax.dynamic_update_slice(
-                        ckv, kvp.astype(ckv.dtype), (0, idx, 0))
-                new_cache = ckv
+                m = kvc.cache_width(cache, axis=1)  # [B, M, 2*n*d]
+                new_cache = kvc.cache_write(cache, kvp, n, idx)
+                ckv = kvc.layer_dequant(new_cache, n, dtype)
             q = jnp.moveaxis(
                 qkv[..., :n * d].reshape(b_, s_, n, d), 2, 1)  # [B,n,S,d]
             ckh = jnp.moveaxis(
@@ -792,14 +774,19 @@ class GPT3LM(nn.Module):
     def init_cache(self, batch, max_len, dtype=None):
         """Packed interleaved KV cache [L, B, M, 2*n*d], each row =
         [K | V] lanes (see GPT3Attention decode path: one contiguous
-        write per token, single-DMA kernel reads)."""
+        write per token, single-DMA kernel reads).  With
+        ``config.kv_cache_dtype == "int8"``: the quantized
+        {"kv", "scale"} pytree (ops/kv_cache.py)."""
+        from youku_mplug_tpu.ops.kv_cache import make_cache
+
         cfg = self.config
         dtype = dtype or self.policy.compute_dtype
         # round the cache width up to the pallas decode-attention block
         # granule; extra slots are never written and always masked
         max_len = -(-max_len // 128) * 128
-        return jnp.zeros((cfg.num_hidden_layers, batch, max_len,
-                          2 * cfg.hidden_size), dtype)
+        return make_cache(cfg.num_hidden_layers, batch, max_len,
+                          cfg.hidden_size, cfg.num_attention_heads, dtype,
+                          quantized=cfg.kv_cache_dtype == "int8")
 
     def decode_step(self, input_embeds, cache, cache_len, valid_from=None,
                     position_offset=None, return_all=False):

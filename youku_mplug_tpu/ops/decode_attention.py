@@ -53,8 +53,19 @@ from jax.experimental.pallas import tpu as pltpu
 NEG_INF = float(jnp.finfo(jnp.float32).min)
 
 
-def _kernel(meta_ref, q_ref, kv_ref, o_ref, acc_ref, m_ref, l_ref,
-            *, block_k, scale, n, bb, nb, alibi_slopes=None):
+def _kernel(meta_ref, q_ref, kv_ref, *rest, block_k, scale, n, bb, nb,
+            alibi_slopes=None, quantized=False):
+    if quantized:
+        # int8 cache: per-(token, head) dequant scales ride as a fourth
+        # operand (ops/kv_cache.py layout).  The per-row-per-head scale
+        # commutes with the segment-reduce matmuls, so dequant is one
+        # [block_k, n] elementwise multiply on the score tile (K) and
+        # one on the probability tile (V) — the int8 rows never expand
+        # to float in VMEM.
+        sc_ref, o_ref, acc_ref, m_ref, l_ref = rest
+    else:
+        sc_ref = None
+        o_ref, acc_ref, m_ref, l_ref = rest
     bi = pl.program_id(0)
     j = pl.program_id(1)
     nj = pl.num_programs(1)
@@ -112,6 +123,8 @@ def _kernel(meta_ref, q_ref, kv_ref, o_ref, acc_ref, m_ref, l_ref,
             s = jax.lax.dot_general(
                 kk * q2, seg_nd_n, (((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32) * scale  # [bk, n]
+            if sc_ref is not None:
+                s = s * sc_ref[0, t, :, :n]       # K dequant, [bk, n]
             if alibi_row is not None:
                 s = s + alibi_row
             allowed = (ki_col <= clen) & (ki_col >= vfrom)
@@ -124,9 +137,11 @@ def _kernel(meta_ref, q_ref, kv_ref, o_ref, acc_ref, m_ref, l_ref,
                 ones_row, p, (((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32)
             l_ref[pl.ds(t, 1), :] = l_ref[pl.ds(t, 1), :] * alpha + l_sum
-            # broadcast p to packed lanes, weight V, reduce rows on MXU
+            # broadcast p to packed lanes, weight V, reduce rows on MXU;
+            # V dequant folds into p first (same per-head commutation)
+            pq = p if sc_ref is None else p * sc_ref[0, t, :, n:]
             p_exp = jax.lax.dot_general(                     # [bk, nd]
-                p, seg_n_nd, (((1,), (0,)), ((), ())),
+                pq, seg_n_nd, (((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32)
             vv = kv_ref[0, t, :, nd:].astype(jnp.float32)    # [bk, nd]
             pv = jax.lax.dot_general(                        # [1, nd]
@@ -169,7 +184,7 @@ def decode_attention_supported(m: int) -> bool:
 
 def decode_attention(q, ckv, n_heads, layer_idx, cache_len,
                      valid_from=None, *, scale=None,
-                     alibi_slopes=None,
+                     alibi_slopes=None, kv_scales=None,
                      interpret: bool = False):
     """Single-token attention against layer ``layer_idx`` of the stacked
     packed interleaved cache, read in place.
@@ -181,7 +196,9 @@ def decode_attention(q, ckv, n_heads, layer_idx, cache_len,
     attend); valid_from: optional [B] (front-padding mask,
     generation._build_prefix); alibi_slopes: optional [n] per-head ALiBi
     slopes (Bloom), folded into the score tile as compile-time
-    constants.  Returns [B, n*d] in q.dtype.
+    constants; kv_scales: optional [L, B, M, 2*n] f32 per-(token, head)
+    dequant scales for an int8 ``ckv`` (ops/kv_cache.py).  Returns
+    [B, n*d] in q.dtype.
     """
     _, bsz, m, nd2 = ckv.shape
     nd = nd2 // 2
@@ -202,6 +219,10 @@ def decode_attention(q, ckv, n_heads, layer_idx, cache_len,
         valid_from.astype(jnp.int32),
     ])
 
+    quantized = kv_scales is not None
+    if quantized:
+        assert ckv.dtype == jnp.int8, ckv.dtype
+        assert kv_scales.shape == ckv.shape[:3] + (2 * n,), kv_scales.shape
     bb, block_k = _pick_geometry(bsz, m, nd, ckv.dtype.itemsize)
     nj = m // block_k
 
@@ -216,13 +237,16 @@ def decode_attention(q, ckv, n_heads, layer_idx, cache_len,
         return (meta_ref[0], bi, jnp.clip(j, lo // block_k, hi // block_k),
                 0)
 
+    in_specs = [
+        pl.BlockSpec((bb, nd), lambda bi, j, meta_ref: (bi, 0)),
+        pl.BlockSpec((1, bb, block_k, nd2), kv_index),
+    ]
+    if quantized:
+        in_specs.append(pl.BlockSpec((1, bb, block_k, 2 * n), kv_index))
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(bsz // bb, nj),
-        in_specs=[
-            pl.BlockSpec((bb, nd), lambda bi, j, meta_ref: (bi, 0)),
-            pl.BlockSpec((1, bb, block_k, nd2), kv_index),
-        ],
+        in_specs=in_specs,
         out_specs=pl.BlockSpec((bb, nd), lambda bi, j, meta_ref: (bi, 0)),
         scratch_shapes=[
             pltpu.VMEM((bb, nd), jnp.float32),
@@ -239,15 +263,18 @@ def decode_attention(q, ckv, n_heads, layer_idx, cache_len,
 
         assert np.allclose(alibi_slopes, _ladder(n), rtol=1e-6), \
             "decode_attention only supports the standard ALiBi ladder"
+    operands = (meta, q, ckv) + ((kv_scales,) if quantized else ())
     return pl.pallas_call(
         functools.partial(_kernel, block_k=block_k, scale=scale, n=n,
-                          bb=bb, nb=bsz, alibi_slopes=alibi_slopes),
+                          bb=bb, nb=bsz, alibi_slopes=alibi_slopes,
+                          quantized=quantized),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((bsz, nd), q.dtype),
         cost_estimate=pl.CostEstimate(
             flops=int(4 * bsz * m * nd),
-            bytes_accessed=int(bsz * m * nd2 * ckv.dtype.itemsize),
+            bytes_accessed=int(bsz * m * nd2 * ckv.dtype.itemsize
+                               + (bsz * m * 2 * n * 4 if quantized else 0)),
             transcendentals=int(bsz * m * n),
         ),
         interpret=interpret,
-    )(meta, q, ckv)
+    )(*operands)

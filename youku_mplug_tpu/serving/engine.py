@@ -124,11 +124,14 @@ class ServingEngine:
         return jax.random.categorical(rng, logits).astype(jnp.int32)
 
     def _prefill_impl(self, cache, slot, prompt_ids, prompt_len,
-                      query_embeds, rng):
+                      query_embeds, rng, prompt_embeds=None):
         """Run one request's prompt into its slot's cache slice.
 
         prompt_ids [1, P] right-padded; prompt_len [1]; query_embeds
-        [1, nq, H] or None.  Returns (cache, first_token, valid_from).
+        [1, nq, H] or None; prompt_embeds [1, P, H] or None (pre-built
+        prompt embeddings, e.g. video query features spliced at media
+        positions — the mPLUG-Owl instruct path).  Returns
+        (cache, first_token, valid_from).
         """
         model, params = self.model, self.params
         sub = jax.tree.map(
@@ -136,7 +139,7 @@ class ServingEngine:
             cache)
         embeds, valid_from, pos_offset = _build_prefix(
             model, params, prompt_ids, prompt_len, query_embeds,
-            self.config.pad_id)
+            self.config.pad_id, prompt_embeds)
         logits, sub = model.apply(
             _variables(params), embeds, sub, jnp.int32(0), valid_from,
             pos_offset, method=type(model).decode_step)
@@ -238,12 +241,20 @@ class ServingEngine:
 
     def submit(self, prompt_ids: Sequence[int],
                query_embeds: Optional[jax.Array] = None,
-               max_new_tokens: Optional[int] = None) -> int:
+               max_new_tokens: Optional[int] = None,
+               prompt_embeds: Optional[jax.Array] = None) -> int:
         """Enqueue a request. prompt_ids: true tokens (no padding);
-        query_embeds: optional [nq, H] visual prefix. Returns request id."""
+        query_embeds: optional [nq, H] visual prefix; prompt_embeds:
+        optional [len(prompt_ids), H] pre-built prompt embeddings that
+        REPLACE the token-embedding lookup (media features already
+        spliced in — the Owl instruct path).  Returns request id."""
+        if prompt_embeds is not None:
+            assert prompt_embeds.shape[0] == len(prompt_ids), (
+                "prompt_embeds rows must match prompt_ids length")
         rid = next(self._rid)
         self._queue.append((rid, list(prompt_ids), query_embeds,
-                            max_new_tokens or self.config.max_new_tokens))
+                            max_new_tokens or self.config.max_new_tokens,
+                            prompt_embeds))
         return rid
 
     def _bucket(self, n: int) -> int:
@@ -261,16 +272,24 @@ class ServingEngine:
         for slot in range(self.num_slots):
             if self._slots[slot] is not None or not self._queue:
                 continue
-            rid, ids, qe, max_new = self._queue.popleft()
+            rid, ids, qe, max_new, pe = self._queue.popleft()
             p = self._bucket(len(ids))
             nq = 0 if qe is None else qe.shape[0]
             padded = np.full((1, p), self.config.pad_id, np.int32)
             padded[0, :len(ids)] = ids
             qe_dev = None if qe is None else jnp.asarray(qe)[None]
+            pe_dev = None
+            if pe is not None:
+                # right-pad to the bucket width; _build_prefix right-
+                # aligns by the true length and zero-masks the padding
+                pe = np.asarray(pe)
+                pe_dev = np.zeros((1, p, pe.shape[-1]), pe.dtype)
+                pe_dev[0, :len(ids)] = pe
+                pe_dev = jnp.asarray(pe_dev)
             self.cache, first, vf = self._prefill(
                 self.cache, jnp.int32(slot), jnp.asarray(padded),
                 jnp.asarray([len(ids)], jnp.int32), qe_dev,
-                self._next_rng())
+                self._next_rng(), pe_dev)
             first = int(first)
             self.cache_len[slot] = nq + p
             self.valid_from[slot] = int(vf)
