@@ -37,7 +37,10 @@ def main():
 
     batch = int(os.environ.get("BENCH_DECODE_BATCH", "8"))
     new_tokens = int(os.environ.get("BENCH_DECODE_TOKENS", "64"))
-    prompt_len = 16
+    # long-context protocol (int8-KV A/B): at prompt_len ~1024 the KV
+    # stream rivals the weight stream, which is the regime the int8
+    # cache exists for (ops/kv_cache.py)
+    prompt_len = int(os.environ.get("BENCH_DECODE_PROMPT_LEN", "16"))
 
     cfg = ge._flagship_cfg(
         scan_layers=os.environ.get("BENCH_SCAN", "1") == "1")

@@ -162,7 +162,16 @@ def main():
     query_embeds = np.asarray(model.apply(
         {"params": params}, video, method=MPLUGVideo.encode_video)[1][0])
 
-    lm = GPT3LM(cfg.text, policy=model.policy)
+    # BENCH_KV_INT8=1: int8 KV cache — at 16 slots x max_len~512 the
+    # bf16 cache stream rivals the int8 weight stream, so this is the
+    # engine's biggest per-step byte lever (ops/kv_cache.py)
+    kv_int8 = os.environ.get("BENCH_KV_INT8", "0") == "1"
+    text_cfg = cfg.text
+    if kv_int8:
+        import dataclasses as _dc
+
+        text_cfg = _dc.replace(text_cfg, kv_cache_dtype="int8")
+    lm = GPT3LM(text_cfg, policy=model.policy)
     lm_vars = params["text_decoder"]
     if use_int8:
         from youku_mplug_tpu.ops.quant import quantize_gpt3_decoder
@@ -241,6 +250,7 @@ def main():
         "unit": "tok/s", "vs_baseline": round(tok_s / roof, 4),
         "device_tok_per_sec": round(dev_tok_s, 1),
         "device_vs_roofline": round(dev_tok_s / roof, 4),
+        "kv_int8": kv_int8,
         "step_ms": round(step_ms, 3)}), flush=True)
     print(f"# {total} tokens in {dt:.2f}s, slots={slots} req={n_req} "
           f"k={k} int8={int(use_int8)} max_len={max_len}; "

@@ -51,6 +51,34 @@ def test_cache_write_scalar_and_per_sample():
             np.asarray(kvp)[b], atol=0.05, rtol=0.02)
 
 
+def test_cache_scatter_write_matches_fallback_interpret():
+    """The pallas scatter-write kernel (TPU continuous-batching hot
+    path) must produce exactly the fori_loop fallback's cache — both
+    leaves, in place, untouched rows preserved."""
+    rng = np.random.default_rng(7)
+    L, B, M, n, d = 3, 4, 32, 4, 8
+    W = 2 * n * d
+    idx = jnp.asarray([0, 3, 7, 31], jnp.int32)
+    lidx = jnp.int32(1)
+    kvp = jnp.asarray(rng.standard_normal((B, 1, W)), jnp.float32)
+    # bf16-style float leaf
+    base = jnp.asarray(rng.standard_normal((L, B, M, W)), jnp.float32)
+    want = kvc._write_rows(base, kvp, lidx, idx, per_sample=True)
+    got = kvc.cache_scatter_write(base, kvp[:, 0], idx, lidx,
+                                  interpret=True)
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+    # int8 pair: scatter == single-loop fallback on both leaves
+    rk, rs = kvc.quantize_rows(kvp, n)
+    bkv = jnp.asarray(rng.integers(-5, 5, (L, B, M, W)), jnp.int8)
+    bsc = jnp.asarray(rng.standard_normal((L, B, M, 2 * n)), jnp.float32)
+    wk, ws = kvc._write_rows_quant(bkv, bsc, rk, rs, lidx, idx,
+                                   per_sample=True)
+    gk, gs = kvc.cache_scatter_write(bkv, rk[:, 0], idx, lidx, csc=bsc,
+                                     rows_sc=rs[:, 0], interpret=True)
+    np.testing.assert_array_equal(np.asarray(gk), np.asarray(wk))
+    np.testing.assert_array_equal(np.asarray(gs), np.asarray(ws))
+
+
 def test_decode_kernel_int8_matches_dequant_reference_interpret():
     """The in-kernel per-block dequant must equal running the fp kernel
     on the host-dequantized cache — the scale commutes exactly with the
