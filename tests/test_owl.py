@@ -35,6 +35,7 @@ from youku_mplug_tpu.runtime.precision import FP32_POLICY
 
 V = 128
 NQ = 4
+NM = NQ + 1  # num_media_tokens: queries + the vit_eos token
 
 
 def tiny_cfg():
@@ -118,7 +119,8 @@ def owl_setup():
     tk = WhitespaceTokenizer(V)
     prompts = [format_prompt("what is this ?"),
                format_prompt("describe the longer video please")]
-    batch = build_instruct_batch(prompts, tk, NQ, pad_id=cfg.text.pad_id)
+    assert cfg.num_media_tokens == NM
+    batch = build_instruct_batch(prompts, tk, NM, pad_id=cfg.text.pad_id)
     rng = np.random.default_rng(0)
     video = jnp.asarray(rng.standard_normal((2, 3, 2, 16, 16)), jnp.float32)
     with jax.set_mesh(mesh):

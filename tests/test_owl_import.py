@@ -1,0 +1,221 @@
+"""Owl abstractor checkpoint import: deterministic, bit-exact, fail-loud.
+
+The external mPLUG-Owl checkpoint (reference README.md:111-148,
+``MAGAer13/mplug-youku-bloomz-7b``) stores the visual abstractor as a
+``MplugOwlVisualAbstractor*`` module tree.  These tests synthesize a
+checkpoint in that exact naming, round-trip it through
+``importers.import_owl`` / ``owl_abstractor_params_from_torch``, and pin
+
+- bit-exact tensor placement (kernels transposed, norms to scale/bias),
+- naming-drift fallback (q_proj/fc1-style names still map),
+- FAIL-LOUD behavior: any unconsumed abstractor tensor raises instead of
+  leaving the abstractor at random init (the silent-noise failure mode).
+"""
+
+import numpy as np
+import pytest
+
+from youku_mplug_tpu.models.bloom import BloomConfig
+from youku_mplug_tpu.models.importers import (
+    import_owl,
+    owl_abstractor_params_from_torch,
+)
+from youku_mplug_tpu.models.owl import (
+    MPLUGOwlVideo,
+    MPLUGOwlVideoConfig,
+    OwlAbstractorConfig,
+)
+from youku_mplug_tpu.models.vision import VisionConfig
+from youku_mplug_tpu.runtime.precision import FP32_POLICY
+
+D = 32       # abstractor hidden
+F = 64       # abstractor intermediate
+NL = 2       # abstractor layers
+NQ = 4
+HTXT = 32    # text hidden
+DV = 32      # vision embed dim
+TMAX = 8
+
+
+def owl_cfg():
+    return MPLUGOwlVideoConfig(
+        vision=VisionConfig(img_size=16, patch_size=8, embed_dim=DV,
+                            depth=1, num_heads=4, num_frames=2,
+                            attn_impl="xla", clip_model=True),
+        abstractor=OwlAbstractorConfig(
+            hidden_size=D, num_layers=NL, num_heads=4,
+            intermediate_size=F, num_queries=NQ, max_frames=TMAX),
+        text=BloomConfig(vocab_size=64, hidden_size=HTXT,
+                         num_hidden_layers=1, num_attention_heads=4,
+                         attn_impl="xla", decode_attn_impl="gather"))
+
+
+def external_abstractor_sd(rng, t_frames=TMAX):
+    """A state dict in the external MplugOwlVisualAbstractor naming
+    (keys WITHOUT the top-level 'abstractor.' prefix, as
+    owl_abstractor_params_from_torch receives them)."""
+    sd = {}
+    r = lambda *s: rng.standard_normal(s).astype(np.float32)  # noqa: E731
+    sd["query_tokens"] = r(1, NQ, D)
+    for i in range(NL):
+        p = f"encoder.layers.{i}.crossattention."
+        for nrm in ("norm1", "normk"):
+            sd[p + nrm + ".weight"] = r(D)
+            sd[p + nrm + ".bias"] = r(D)
+        for proj in ("query", "key", "value"):
+            sd[p + "attention." + proj + ".weight"] = r(D, D)
+            sd[p + "attention." + proj + ".bias"] = r(D)
+        sd[p + "output.out_proj.weight"] = r(D, D)
+        sd[p + "output.out_proj.bias"] = r(D)
+        sd[p + "output.norm2.weight"] = r(D)
+        sd[p + "output.norm2.bias"] = r(D)
+        for w, shp in (("w1", (F, D)), ("w2", (D, F)), ("w3", (F, D))):
+            sd[p + "output.mlp." + w + ".weight"] = r(*shp)
+            sd[p + "output.mlp." + w + ".bias"] = r(shp[0])
+        sd[p + "output.mlp.ffn_ln.weight"] = r(F)
+        sd[p + "output.mlp.ffn_ln.bias"] = r(F)
+    sd["visual_fc.weight"] = r(HTXT, D)
+    sd["visual_fc.bias"] = r(HTXT)
+    sd["vit_eos"] = r(1, 1, HTXT)
+    sd["temporal_position_embeddings"] = r(t_frames, DV)
+    return sd
+
+
+def test_mapper_bit_exact(rng):
+    cfg = owl_cfg()
+    sd = external_abstractor_sd(rng)
+    out = owl_abstractor_params_from_torch(sd, cfg.abstractor)
+
+    ab = out["abstractor"]
+    np.testing.assert_array_equal(ab["query_embeds"], sd["query_tokens"])
+    np.testing.assert_array_equal(
+        ab["temporal_embed"], sd["temporal_position_embeddings"])
+    np.testing.assert_array_equal(
+        out["visual_fc"]["kernel"], sd["visual_fc.weight"].T)
+    np.testing.assert_array_equal(
+        out["visual_fc"]["bias"], sd["visual_fc.bias"])
+    np.testing.assert_array_equal(out["vit_eos"], sd["vit_eos"])
+    for i in range(NL):
+        p = f"encoder.layers.{i}.crossattention."
+        lt = ab[f"layers_{i}"]
+        np.testing.assert_array_equal(
+            lt["q_kernel"], sd[p + "attention.query.weight"].T)
+        np.testing.assert_array_equal(
+            lt["k_bias"], sd[p + "attention.key.bias"])
+        np.testing.assert_array_equal(
+            lt["v_kernel"], sd[p + "attention.value.weight"].T)
+        np.testing.assert_array_equal(
+            lt["out_kernel"], sd[p + "output.out_proj.weight"].T)
+        np.testing.assert_array_equal(
+            lt["norm_q"]["scale"], sd[p + "norm1.weight"])
+        np.testing.assert_array_equal(
+            lt["norm_kv"]["bias"], sd[p + "normk.bias"])
+        np.testing.assert_array_equal(
+            lt["norm_mlp"]["scale"], sd[p + "output.norm2.weight"])
+        np.testing.assert_array_equal(
+            lt["mlp"]["w1_kernel"], sd[p + "output.mlp.w1.weight"].T)
+        np.testing.assert_array_equal(
+            lt["mlp"]["w2_kernel"], sd[p + "output.mlp.w2.weight"].T)
+        np.testing.assert_array_equal(
+            lt["mlp"]["w3_bias"], sd[p + "output.mlp.w3.bias"])
+        np.testing.assert_array_equal(
+            lt["mlp"]["ffn_ln"]["scale"],
+            sd[p + "output.mlp.ffn_ln.weight"])
+
+
+def test_temporal_embed_resized(rng):
+    cfg = owl_cfg()
+    sd = external_abstractor_sd(rng, t_frames=4)  # checkpoint has 4 frames
+    out = owl_abstractor_params_from_torch(sd, cfg.abstractor)
+    assert out["abstractor"]["temporal_embed"].shape == (TMAX, DV)
+
+
+def test_fallback_naming_drift(rng):
+    """q_proj/fc1-style names (naming drift across releases) map through
+    the keyword classifier to the same targets."""
+    cfg = owl_cfg()
+    r = lambda *s: rng.standard_normal(s).astype(np.float32)  # noqa: E731
+    wq = r(D, D)
+    w1 = r(F, D)
+    sd = {
+        "encoder.layers.0.crossattention.attention.q_proj.weight": wq,
+        "encoder.layers.0.crossattention.output.mlp.fc1.weight": w1,
+    }
+    out = owl_abstractor_params_from_torch(sd, cfg.abstractor)
+    lt = out["abstractor"]["layers_0"]
+    np.testing.assert_array_equal(lt["q_kernel"], wq.T)
+    np.testing.assert_array_equal(lt["mlp"]["w1_kernel"], w1.T)
+
+
+def test_unconsumed_tensor_raises(rng):
+    cfg = owl_cfg()
+    sd = external_abstractor_sd(rng)
+    sd["encoder.layers.0.crossattention.mystery_block.weight"] = (
+        rng.standard_normal((D, D)).astype(np.float32))
+    with pytest.raises(ValueError, match="no mapping"):
+        owl_abstractor_params_from_torch(sd, cfg.abstractor)
+    sd2 = {"totally_unknown.weight":
+           rng.standard_normal((3, 3)).astype(np.float32)}
+    with pytest.raises(ValueError, match="no mapping"):
+        owl_abstractor_params_from_torch(sd2, cfg.abstractor)
+
+
+def test_layer_out_of_range_raises(rng):
+    cfg = owl_cfg()
+    sd = {f"encoder.layers.{NL}.crossattention.norm1.weight":
+          rng.standard_normal(D).astype(np.float32)}
+    with pytest.raises(ValueError, match="num_layers"):
+        owl_abstractor_params_from_torch(sd, cfg.abstractor)
+
+
+def test_import_owl_end_to_end(rng, tmp_path):
+    """Full-path round trip: torch-save an external-named checkpoint,
+    import into an initialized MPLUGOwlVideo tree, verify tensors landed
+    AND the model forward consumes them (no orphan init values)."""
+    torch = pytest.importorskip("torch")
+    import jax
+    import jax.numpy as jnp
+
+    cfg = owl_cfg()
+    model = MPLUGOwlVideo(cfg, policy=FP32_POLICY)
+    B, S, T = 1, 8, 2
+    video = jnp.zeros((B, 3, T, 16, 16), jnp.float32)
+    ids = jnp.ones((B, S), jnp.int32)
+    media = jnp.zeros((B, S), jnp.int32).at[:, 1:1 + cfg.num_media_tokens
+                                            ].set(1)
+    params = model.init(jax.random.key(0), video, ids,
+                        jnp.ones_like(ids), media,
+                        jnp.zeros_like(ids))["params"]
+
+    sd = {("abstractor." + k if not k.startswith("query_tokens") else k): v
+          for k, v in external_abstractor_sd(rng).items()}
+    torch.save({k: torch.from_numpy(np.asarray(v))
+                for k, v in sd.items()},
+               tmp_path / "pytorch_model.bin")
+
+    imported = import_owl(params, cfg, str(tmp_path))
+    np.testing.assert_array_equal(
+        np.asarray(imported["abstractor"]["query_embeds"]),
+        sd["query_tokens"])
+    np.testing.assert_array_equal(
+        np.asarray(imported["vit_eos"]), sd["abstractor.vit_eos"])
+    np.testing.assert_array_equal(
+        np.asarray(imported["abstractor"]["layers_1"]["mlp"]["w3_kernel"]),
+        sd["abstractor.encoder.layers.1.crossattention.output.mlp.w3"
+           ".weight"].T)
+
+    # the imported abstractor must change the visual conditioning
+    qf_init = model.apply({"params": params}, video,
+                          method=MPLUGOwlVideo.encode_video)
+    qf_imp = model.apply({"params": imported}, video,
+                         method=MPLUGOwlVideo.encode_video)
+    assert qf_imp.shape == (B, cfg.num_media_tokens, HTXT)
+    assert float(np.abs(np.asarray(qf_imp - qf_init)).max()) > 1e-6
+    assert np.isfinite(np.asarray(qf_imp)).all()
+
+    # an extra unmapped tensor in the file fails the whole import
+    sd["abstractor.rogue.weight"] = np.zeros((2, 2), np.float32)
+    torch.save({k: torch.from_numpy(np.asarray(v)) for k, v in sd.items()},
+               tmp_path / "pytorch_model.bin")
+    with pytest.raises(ValueError, match="no mapping"):
+        import_owl(params, cfg, str(tmp_path))

@@ -221,8 +221,7 @@ def main(args):
     for p in prompts:
         assert VIDEO_PLACEHOLDER in p, f"prompt lacks {VIDEO_PLACEHOLDER}"
 
-    nq = cfg.abstractor.num_queries
-    batch = build_instruct_batch(prompts, tokenizer, nq,
+    batch = build_instruct_batch(prompts, tokenizer, cfg.num_media_tokens,
                                  pad_id=cfg.text.pad_id)
     video = load_videos(args, raw_cfg, rows)
 

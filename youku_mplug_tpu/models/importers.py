@@ -432,21 +432,206 @@ def merge_into(params: dict, imported: dict, prefix="") -> int:
     return count
 
 
+# canonical external abstractor naming (MplugOwlVisualAbstractor* module
+# tree, the MAGAer13/mplug-owl* checkpoint family): per-layer suffix ->
+# (our param path under abstractor/layers_{i}, transpose-linear-weight?)
+_OWL_LAYER_MAP = {
+    "crossattention.norm1": ("norm_q", False),
+    "crossattention.normk": ("norm_kv", False),
+    "crossattention.attention.query": ("q", True),
+    "crossattention.attention.key": ("k", True),
+    "crossattention.attention.value": ("v", True),
+    "crossattention.output.out_proj": ("out", True),
+    "crossattention.output.norm2": ("norm_mlp", False),
+    "crossattention.output.mlp.w1": ("mlp/w1", True),
+    "crossattention.output.mlp.w2": ("mlp/w2", True),
+    "crossattention.output.mlp.w3": ("mlp/w3", True),
+    "crossattention.output.mlp.ffn_ln": ("mlp/ffn_ln", False),
+}
+
+# fallback keyword classifier for naming drift between checkpoint
+# releases: ordered (so 'normk' wins over 'k'); each entry is
+# (keyword set matched against '.'-split name tokens, target, linear?)
+_OWL_FALLBACK = (
+    ({"norm1"}, "norm_q", False),
+    ({"normk"}, "norm_kv", False),
+    ({"norm_k"}, "norm_kv", False),
+    ({"norm2"}, "norm_mlp", False),
+    ({"ffn_ln"}, "mlp/ffn_ln", False),
+    ({"w1"}, "mlp/w1", True),
+    ({"w2"}, "mlp/w2", True),
+    ({"w3"}, "mlp/w3", True),
+    ({"fc1"}, "mlp/w1", True),
+    ({"fc2"}, "mlp/w2", True),
+    ({"query"}, "q", True),
+    ({"q_proj"}, "q", True),
+    ({"key"}, "k", True),
+    ({"k_proj"}, "k", True),
+    ({"value"}, "v", True),
+    ({"v_proj"}, "v", True),
+    ({"out_proj"}, "out", True),
+    ({"o_proj"}, "out", True),
+    ({"dense"}, "out", True),
+)
+
+_OWL_LAYER_RE = re.compile(r"(?:^|\.)layers?[._](\d+)\.")
+
+
+def _owl_assign(tree: dict, path: str, value, *, linear: bool,
+                is_weight: bool):
+    """Place one external tensor at ``path`` ('a/b/c') in ``tree``.
+
+    linear weights transpose [out, in] -> [in, out] and land at
+    '<path>_kernel'/'<path>_bias'; LayerNorms land at '<path>/scale' and
+    '<path>/bias' (vision.LayerNormFP32 naming)."""
+    parts = path.split("/")
+    if linear:
+        leaf = parts[-1] + ("_kernel" if is_weight else "_bias")
+        value = value.T if is_weight else value
+        parts = parts[:-1] + [leaf]
+    else:
+        parts = parts + ["scale" if is_weight else "bias"]
+    node = tree
+    for p in parts[:-1]:
+        node = node.setdefault(p, {})
+    node[parts[-1]] = value
+
+
+def owl_abstractor_params_from_torch(sd: Dict[str, np.ndarray],
+                                     abst_cfg) -> dict:
+    """External mPLUG-Owl abstractor tensors -> a partial MPLUGOwlVideo
+    param tree {'abstractor': ..., 'visual_fc': ..., 'vit_eos': ...}.
+
+    Deterministic and FAIL-LOUD: every input tensor must be consumed by
+    the canonical name map (_OWL_LAYER_MAP — the published
+    MplugOwlVisualAbstractor module tree) or the keyword fallback
+    (_OWL_FALLBACK, for naming drift across releases); anything left
+    over raises ValueError listing the unconsumed names, so a real
+    checkpoint can never silently leave the abstractor at random init
+    (the round-4 failure mode this replaces).
+
+    Handled outside the per-layer map: ``query_tokens`` [1, nq, d] (the
+    learnable queries live on the top-level external model),
+    ``visual_fc``/``vit_eos`` (inside the external abstractor module),
+    and any ``*temporal*`` embedding [T, d] or [1, T, d] (the mPLUG-video
+    variant), frame-count-resized to ``abst_cfg.max_frames``.
+    """
+    out: dict = {"abstractor": {}}
+    unconsumed = []
+    for name, v in sorted(sd.items()):
+        base = name[:-len(".weight")] if name.endswith(".weight") else (
+            name[:-len(".bias")] if name.endswith(".bias") else name)
+        is_weight = name.endswith(".weight")
+
+        # ---- top-level (non-layer) tensors -------------------------------
+        tokens = set(re.split(r"[._]", name))
+        if "query_tokens" in name or "query_embeds" in name:
+            q = np.asarray(v)
+            if q.ndim == 2:
+                q = q[None]
+            if q.shape != (1, abst_cfg.num_queries, abst_cfg.hidden_size):
+                raise ValueError(
+                    f"{name}: query tokens shape {q.shape} != "
+                    f"(1, {abst_cfg.num_queries}, {abst_cfg.hidden_size})")
+            out["abstractor"]["query_embeds"] = q
+            continue
+        if "visual_fc" in name:
+            # flax Dense naming: kernel/bias ([in, out] kernel)
+            node = out.setdefault("visual_fc", {})
+            if is_weight:
+                node["kernel"] = np.asarray(v).T
+            else:
+                node["bias"] = np.asarray(v)
+            continue
+        if "vit_eos" in name:
+            out["vit_eos"] = np.asarray(v).reshape(1, 1, -1)
+            continue
+        if "temporal" in tokens or "temporal" in name:
+            t = np.asarray(v)
+            if t.ndim == 2:
+                t = t[None]
+            t = resize_temporal_embed(t, abst_cfg.max_frames)
+            out["abstractor"]["temporal_embed"] = t[0]
+            continue
+
+        # ---- per-layer tensors -------------------------------------------
+        m = _OWL_LAYER_RE.search(base)
+        if m is None:
+            unconsumed.append(name)
+            continue
+        li = int(m.group(1))
+        if li >= abst_cfg.num_layers:
+            raise ValueError(
+                f"{name}: layer {li} >= num_layers {abst_cfg.num_layers}")
+        suffix = base[m.end():]
+        layer_tree = out["abstractor"].setdefault(f"layers_{li}", {})
+        hit = _OWL_LAYER_MAP.get(suffix)
+        if hit is None:
+            toks = set(re.split(r"[._]", suffix)) | {suffix.split(".")[-1]}
+            for kws, target, linear in _OWL_FALLBACK:
+                if kws & toks:
+                    hit = (target, linear)
+                    break
+        if hit is None:
+            unconsumed.append(name)
+            continue
+        target, linear = hit
+        _owl_assign(layer_tree, target, np.asarray(v), linear=linear,
+                    is_weight=is_weight)
+
+    if unconsumed:
+        raise ValueError(
+            "abstractor import: %d tensor(s) have no mapping — refusing "
+            "to continue with a partially-imported abstractor (it would "
+            "silently produce noise visual conditioning). Unconsumed: %s"
+            % (len(unconsumed), ", ".join(sorted(unconsumed))))
+    return out
+
+
+def merge_exact(params: dict, imported: dict, prefix="") -> int:
+    """Like :func:`merge_into` but FAIL-LOUD: every imported leaf must
+    have a matching target key (and shape) in ``params``."""
+    import jax.numpy as jnp
+
+    count = 0
+    for k, v in imported.items():
+        if k not in params:
+            raise ValueError(f"no target param at {prefix}{k} "
+                             f"(model tree has: {sorted(params)})")
+        if isinstance(v, dict):
+            count += merge_exact(params[k], v, prefix + k + "/")
+        else:
+            tgt = params[k]
+            if tuple(np.shape(v)) != tuple(np.shape(tgt)):
+                raise ValueError(
+                    f"shape mismatch at {prefix}{k}: "
+                    f"{np.shape(v)} vs {np.shape(tgt)}")
+            params[k] = jnp.asarray(v, dtype=tgt.dtype)
+            count += 1
+    return count
+
+
 def import_owl(params: dict, cfg, model_dir: str) -> dict:
     """Import an HF mPLUG-Owl checkpoint directory into an initialized
     MPLUGOwlVideo param tree (models/owl.py).
 
     The language model side (``language_model.transformer.*`` — HF Bloom)
     imports oracle-exactly via :func:`bloom_params_from_torch`
-    (tests/test_bloom.py pins the math).  Vision/abstractor tensors merge
-    shape-checked best-effort: the external repo's module internals are
-    not vendored here, so any tensor whose name/shape does not line up is
-    reported, not silently dropped.
+    (tests/test_bloom.py pins the math).  The abstractor side imports
+    through the deterministic fail-loud mapper
+    :func:`owl_abstractor_params_from_torch` — an unconsumed or
+    unmappable abstractor tensor raises instead of leaving the visual
+    conditioning at random init.  Vision tensors merge via the shared
+    TimeSformer/CLIP converter.
     """
-    import copy
+    def _copy_tree(d):
+        # deep-copy the dict structure, share the array leaves (deepcopy
+        # would duplicate device buffers — 14 GB for the 7B checkpoint)
+        return {k: _copy_tree(v) if isinstance(v, dict) else v
+                for k, v in d.items()}
 
     sd = load_hf_torch_state(model_dir)
-    params = copy.copy(params)
+    params = _copy_tree(params)
 
     lm = {k[len("language_model."):]: v for k, v in sd.items()
           if k.startswith("language_model.")}
@@ -462,19 +647,20 @@ def import_owl(params: dict, cfg, model_dir: str) -> dict:
     if vis:
         vp = vision_params_from_torch(vis, cfg.vision)
         n = merge_into(params["visual_encoder"], vp)
-        print(f"imported {n} vision tensors (best-effort)", flush=True)
+        print(f"imported {n} vision tensors", flush=True)
 
-    missed = sorted(k for k in sd
-                    if k.startswith("abstractor.")
-                    or k.startswith("query_tokens"))
-    if missed:
-        # the external repo's abstractor module naming is not vendored
-        # here (zero-egress build); surface the tensor names so a user
-        # with the checkpoint can extend this map — or finetune the
-        # abstractor from init on top of the exactly-imported Bloom.
-        print(f"NOTE: {len(missed)} abstractor tensors in the checkpoint "
-              f"have no automatic map (external-module naming); first "
-              f"few: {missed[:4]}", flush=True)
+    abst = {k: v for k, v in sd.items()
+            if k.startswith("abstractor.") or k.startswith("query_tokens")}
+    if abst:
+        stripped = {(k[len("abstractor."):] if k.startswith("abstractor.")
+                     else k): v for k, v in abst.items()}
+        ap = owl_abstractor_params_from_torch(stripped, cfg.abstractor)
+        if "vit_eos" in ap and not cfg.use_vit_eos:
+            raise ValueError(
+                "checkpoint carries vit_eos but cfg.use_vit_eos=False")
+        n = merge_exact(params, ap)
+        print(f"imported {n} abstractor tensors (exact, fail-loud)",
+              flush=True)
     return params
 
 

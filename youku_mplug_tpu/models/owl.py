@@ -23,19 +23,35 @@ Re-designed here as three flax modules over the existing stacks:
   ``where``).
 
 Splice contract: callers expand ``<|video|>`` in the tokenized prompt to
-``num_queries`` placeholder positions and pass ``media_mask`` marking
-them; the k-th marked position receives the k-th query feature.  The
+``cfg.num_media_tokens`` placeholder positions (``num_queries`` query
+features plus the trailing ``vit_eos`` token) and pass ``media_mask``
+marking them; the k-th marked position receives the k-th media feature.  The
 Bloom embedding layernorm then runs over the spliced sequence — matching
 the HF path, where inputs_embeds (video features included) pass through
 ``word_embeddings_layernorm`` (modeling_bloom.py BloomModel.forward).
 
-Design note (documented divergence): the external repo's abstractor
-internals are not vendored here (zero-egress build); the abstractor is a
-clean-room design to the published description (learnable queries,
-cross-attention over visual features, 6 layers on ViT-L width).  Its
-checkpoint importer is therefore shape-checked best-effort
-(importers.load_hf_torch_state + merge_into), while the Bloom decoder
-side is oracle-exact (tests/test_bloom.py).
+Design note: the external repo's abstractor code is not vendored here
+(zero-egress build); this is a clean-room reimplementation of the
+published ``MplugOwlVisualAbstractorModel`` architecture so real
+checkpoints (``MAGAer13/mplug-youku-bloomz-7b``) import tensor-exactly
+via importers.owl_abstractor_params_from_torch.  The structure preserved
+per-layer (external modeling_mplug_owl.py naming in parentheses):
+
+- pre-LN on queries (``norm1``) and on visual features (``normk``);
+  keys/values are ``cat([normed_queries, normed_visual])``,
+- the attention residual adds onto the NORMED queries — the external
+  forward reassigns ``hidden_states = norm1(hidden_states)`` before
+  passing it as the residual input ("HACK we apply norm on q and k"),
+  a trained-in quirk the checkpoint weights expect,
+- separate ``query``/``key``/``value`` projections + ``out_proj``,
+- a gated-SiLU MLP (``w2(ffn_ln(silu(w1 x) * w3 x))`` with the
+  LayerNorm on the INTERMEDIATE width) behind ``norm2``,
+- no final LayerNorm; ``visual_fc`` projects to the LM width and a
+  learnable ``vit_eos`` token is appended, so one video contributes
+  ``num_queries + 1`` embedding positions to the spliced sequence.
+
+The Bloom decoder side is oracle-exact (tests/test_bloom.py); the
+abstractor import round-trip is pinned by tests/test_owl_import.py.
 """
 
 from __future__ import annotations
@@ -50,7 +66,6 @@ import jax.numpy as jnp
 from youku_mplug_tpu.models.bloom import BloomConfig, BloomLM
 from youku_mplug_tpu.models.vision import (
     LayerNormFP32,
-    Mlp,
     VisionConfig,
     VisionTransformer,
 )
@@ -77,9 +92,38 @@ class OwlAbstractorConfig:
         return self.hidden_size // self.num_heads
 
 
+class OwlAbstractorMlp(nn.Module):
+    """Gated-SiLU MLP with the LayerNorm on the INTERMEDIATE width:
+    ``w2(ffn_ln(silu(w1 x) * w3 x))`` — the external
+    MplugOwlVisualAbstractorMLP structure, preserved so checkpoint
+    tensors (w1/w2/w3/ffn_ln) map one-to-one."""
+
+    dim: int
+    hidden: int
+    init_std: float = 0.02
+    ln_eps: float = 1e-6
+
+    @nn.compact
+    def __call__(self, x):
+        init = nn.initializers.normal(stddev=self.init_std)
+        w1 = self.param("w1_kernel", init, (self.dim, self.hidden))
+        b1 = self.param("w1_bias", nn.initializers.zeros, (self.hidden,))
+        w3 = self.param("w3_kernel", init, (self.dim, self.hidden))
+        b3 = self.param("w3_bias", nn.initializers.zeros, (self.hidden,))
+        w2 = self.param("w2_kernel", init, (self.hidden, self.dim))
+        b2 = self.param("w2_bias", nn.initializers.zeros, (self.dim,))
+        dt = x.dtype
+        h = (jax.nn.silu(x @ w1.astype(dt) + b1.astype(dt))
+             * (x @ w3.astype(dt) + b3.astype(dt)))
+        h = LayerNormFP32(self.hidden, self.ln_eps, name="ffn_ln")(h)
+        return h @ w2.astype(dt) + b2.astype(dt)
+
+
 class OwlAbstractorLayer(nn.Module):
     """One abstractor block: queries attend [queries ; visual] (fused
-    self+cross attention), then an MLP — both pre-LN with fp32 islands."""
+    self+cross attention), then the gated MLP — both pre-LN with fp32
+    islands.  The attention residual adds onto the NORMED queries,
+    matching the external forward (see module docstring)."""
 
     cfg: OwlAbstractorConfig
 
@@ -114,11 +158,14 @@ class OwlAbstractorLayer(nn.Module):
         out = dot_product_attention(heads(q), heads(k), heads(v))
         out = out.transpose(0, 2, 1, 3).reshape(b, nq, d)
         out = jnp.einsum("bqd,de->bqe", out, wo.astype(dt)) + bo.astype(dt)
-        x = x + out
+        # residual base is q_in (the normed queries), not x — the
+        # external forward's trained-in quirk
+        x = q_in + out
 
         mlp_in = LayerNormFP32(d, cfg.ln_eps, name="norm_mlp")(x)
-        x = x + Mlp(d, cfg.intermediate_size, init_std=cfg.init_std,
-                    name="mlp")(mlp_in)
+        x = x + OwlAbstractorMlp(d, cfg.intermediate_size,
+                                 init_std=cfg.init_std, ln_eps=cfg.ln_eps,
+                                 name="mlp")(mlp_in)
         return x
 
 
@@ -155,7 +202,8 @@ class OwlVisualAbstractor(nn.Module):
         for i in range(cfg.num_layers):
             q = OwlAbstractorLayer(cfg, name=f"layers_{i}")(
                 q, x, deterministic=deterministic)
-        q = LayerNormFP32(d, cfg.ln_eps, name="norm_out")(q)
+        # no final LayerNorm: the external abstractor feeds the last
+        # encoder layer's output straight into visual_fc
         return q
 
 
@@ -166,6 +214,14 @@ class MPLUGOwlVideoConfig:
         num_heads=16, clip_model=True)
     abstractor: OwlAbstractorConfig = OwlAbstractorConfig()
     text: BloomConfig = BloomConfig()
+    # append the learnable vit_eos token after visual_fc (the external
+    # abstractor model does; each video then occupies num_queries + 1
+    # positions in the spliced sequence)
+    use_vit_eos: bool = True
+
+    @property
+    def num_media_tokens(self) -> int:
+        return self.abstractor.num_queries + (1 if self.use_vit_eos else 0)
 
 
 def splice_media(tok_emb, query_features, media_mask):
@@ -216,19 +272,30 @@ class MPLUGOwlVideo(nn.Module):
             kernel_init=nn.initializers.normal(
                 stddev=cfg.abstractor.init_std),
             name="visual_fc")
+        if cfg.use_vit_eos:
+            self.vit_eos = self.param(
+                "vit_eos",
+                nn.initializers.normal(stddev=cfg.abstractor.init_std),
+                (1, 1, cfg.text.hidden_size))
         self.text_decoder = BloomLM(cfg.text, policy=self.policy,
                                     name="text_decoder")
 
     def encode_video(self, video, deterministic=True):
         """video [B, C, T, Himg, Wimg] (the repo clip convention,
-        ops/preprocess.normalize_clip) -> query features [B, nq, H_text].
+        ops/preprocess.normalize_clip) -> media features
+        [B, num_media_tokens, H_text] (queries + the vit_eos token).
         Frames fold into the batch for one MXU-friendly ViT sweep."""
         b, c, t, hh, ww = video.shape
         frames = video.transpose(0, 2, 1, 3, 4).reshape(b * t, c, hh, ww)
         _, feats = self.visual_encoder(frames, deterministic=deterministic)
         feats = feats.reshape(b, t, feats.shape[1], feats.shape[2])
         q = self.abstractor(feats, deterministic=deterministic)
-        return self.visual_fc(q)
+        q = self.visual_fc(q)
+        if self.cfg.use_vit_eos:
+            eos = jnp.broadcast_to(
+                self.vit_eos.astype(q.dtype), (b, 1, q.shape[-1]))
+            q = jnp.concatenate([q, eos], axis=1)
+        return q
 
     def spliced_embeds(self, input_ids, media_mask, query_features):
         tok_emb = self.text_decoder.embed(input_ids)
@@ -257,8 +324,8 @@ def generate_instruct(task_model: MPLUGOwlVideo, params, video, input_ids,
     """Video instruction inference: encode + splice + batched decode
     (reference README.md:135-143 model.generate over the Human/AI
     prompt).  input_ids [B, P] right-padded with the ``<|video|>``
-    placeholder already expanded to num_queries media positions;
-    prompt_len [B] true lengths (media positions included)."""
+    placeholder already expanded to cfg.num_media_tokens media
+    positions; prompt_len [B] true lengths (media positions included)."""
     from youku_mplug_tpu.models.generation import generate
 
     qf = task_model.apply({"params": params}, video,

@@ -73,10 +73,16 @@ BLOOM_SHARDING_RULES: ShardingRules = (
     (r".*/mlp/fc1_kernel$", P(None, "model")),
     (r".*/mlp/fc1_bias$", P("model")),
     (r".*/mlp/fc2_kernel$", P("model", None)),
-    # visual abstractor (owl.py OwlAbstractorLayer: [d, d] projections)
+    # visual abstractor (owl.py OwlAbstractorLayer: [d, d] projections;
+    # gated MLP w1/w3 column-parallel, w2 row-parallel — ffn_ln sits on
+    # the sharded intermediate width, GSPMD inserts the reduction)
     (r".*abstractor.*/(q|k|v)_kernel$", P(None, "model")),
     (r".*abstractor.*/(q|k|v)_bias$", P("model")),
     (r".*abstractor.*/out_kernel$", P("model", None)),
+    (r".*abstractor.*/mlp/(w1|w3)_kernel$", P(None, "model")),
+    (r".*abstractor.*/mlp/(w1|w3)_bias$", P("model")),
+    (r".*abstractor.*/mlp/w2_kernel$", P("model", None)),
+    (r".*abstractor.*/mlp/ffn_ln/(scale|bias)$", P("model")),
     # per-frame ViT (same layout as the TimeSformer rules)
     (r".*attn/q_bias$", P("model", None)),
     (r".*attn/v_bias$", P("model", None)),
