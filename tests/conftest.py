@@ -82,6 +82,7 @@ _SLOW_TESTS = {
     "test_instruct_loss_and_grads",
     "test_generate_instruct_e2e",
     "test_run_instruct_cli_smoke",
+    "test_instruct_finetune_e2e",
     "test_mplug_pretrain_and_heads",
     "test_gpt2_coca",
     "test_prefix_decoder_parity",

@@ -87,7 +87,178 @@ def parser() -> argparse.ArgumentParser:
     p.add_argument("--lookup_k", type=int, default=0,
                    help="--engine: k>0 adds prompt-lookup speculative "
                         "steps (greedy-only, token-exact)")
+    # ---- instruction finetuning (reference README.md:111-133) --------
+    p.add_argument("--train", action="store_true",
+                   help="instruction-finetune instead of inference: "
+                        "response-masked LM loss, frozen Bloom (+LoRA "
+                        "when text_overrides.lora_rank > 0), trainable "
+                        "abstractor/visual_fc/vit_eos")
+    p.add_argument("--train_jsonl", default="",
+                   help="rows {'video','question','answer'} "
+                        "(or 'prompt' pre-formatted)")
+    p.add_argument("--resume", default="",
+                   help="run dir (or checkpoints dir) to resume from")
+    p.add_argument("--max_steps", type=int, default=-1,
+                   help="cap steps per epoch (smoke tests)")
+    p.add_argument("--save_ckpt_freq", type=int, default=1)
+    p.add_argument("--auto_resume_iter", action="store_true", default=True)
+    p.add_argument("--log_freq", type=int, default=10)
+    p.add_argument("--profile_dir", default="")
     return p
+
+
+def build_train_loader(args, cfg, raw_cfg):
+    from youku_mplug_tpu.data.instruct import InstructJsonlDataset
+    from youku_mplug_tpu.data.loader import ShardedLoader
+    from youku_mplug_tpu.data.transforms import train_transform
+
+    t = int(raw_cfg.get("num_frames", 8))
+    res = cfg.vision.img_size
+    if args.synthetic_data:
+        from youku_mplug_tpu.data.datasets import SyntheticVideoDataset
+
+        ds = SyntheticVideoDataset(
+            length=int(raw_cfg.get("synthetic_length", 16)),
+            num_frames=t, size=res)
+    else:
+        src = args.train_jsonl or raw_cfg.get("train_file", "")
+        if not src:
+            raise SystemExit("--train needs --train_jsonl or train_file")
+        ds = InstructJsonlDataset(
+            src, raw_cfg.get("video_root", ""),
+            transform=train_transform(res), num_frames=t, train=True,
+            seed=args.seed,
+            decode_short_side=int(raw_cfg.get("decode_short_side", 0)))
+    return ShardedLoader(ds, int(raw_cfg.get("batch_size", 2)),
+                         shuffle=True, seed=args.seed,
+                         num_workers=int(raw_cfg.get("num_workers", 2)))
+
+
+def make_instruct_batch(runner, raw):
+    """Collated loader rows -> instruct_loss inputs.  Accepts both the
+    jsonl schema (question/answer) and the synthetic caption schema
+    (text -> answer under a fixed question)."""
+    from youku_mplug_tpu.data.instruct import build_instruct_train_batch
+
+    if "question" in raw:
+        pairs = list(zip(raw["question"], raw["answer"]))
+    else:
+        pairs = [("What is shown in the video ?", txt)
+                 for txt in raw["text"]]
+    cfg = runner.model.cfg
+    text = build_instruct_train_batch(
+        pairs, runner.tokenizer, cfg.num_media_tokens,
+        pad_id=cfg.text.pad_id, eos_id=cfg.text.eos_id,
+        max_length=int(runner.cfg.get("max_length", 0)))
+    return {"video": raw["video"], **text}
+
+
+def train_main(args):
+    """Instruction finetune loop (reference README.md:111-133 — the
+    mPLUG-Owl finetune recipe): frozen ViT + frozen Bloom (LoRA adapters
+    train when cfg.text.lora_rank > 0), trainable visual abstractor /
+    visual_fc / vit_eos, response-masked LM loss
+    (models/owl.instruct_loss), orbax checkpoints + resume, NaN-skip
+    train step — the same trainer stack as the downstream runners."""
+    import time
+
+    from youku_mplug_tpu.cli import common
+    from youku_mplug_tpu.optim.factory import OptimizerConfig
+    from youku_mplug_tpu.train.checkpoint import CheckpointManager
+    from youku_mplug_tpu.train.metrics import TensorboardLogger
+    from youku_mplug_tpu.train.state import create_train_state
+    from youku_mplug_tpu.train.trainer import make_train_step
+
+    cfg, raw_cfg = load_owl_config(args.config)
+    policy = FP32_POLICY if args.fp32 else DEFAULT_POLICY
+    mesh = make_mesh(MeshConfig(**(raw_cfg.get("mesh") or {})))
+    model = MPLUGOwlVideo(cfg, policy=policy)
+    tokenizer = build_tokenizer(args, cfg)
+    loader = build_train_loader(args, cfg, raw_cfg)
+    epochs = int(raw_cfg.get("epochs", 3))
+    niter = len(loader) if args.max_steps <= 0 else min(
+        len(loader), args.max_steps)
+
+    opt_kw = dict(raw_cfg.get("optimizer") or {})
+    opt_kw.setdefault("lr", 1e-4)
+    for k in ("epochs", "niter_per_ep", "freeze_text_decoder",
+              "freeze_vit"):
+        opt_kw.pop(k, None)
+    opt_cfg = OptimizerConfig(
+        **opt_kw, epochs=epochs, niter_per_ep=max(niter, 1),
+        freeze_text_decoder=bool(raw_cfg.get("freeze_text_decoder", True)),
+        freeze_vit=bool(raw_cfg.get("freeze_vit", True)))
+
+    res = cfg.vision.img_size
+    t = int(raw_cfg.get("num_frames", 8))
+    dummy_video = jnp.zeros((1, 3, t, res, res), jnp.float32)
+    dummy_ids = jnp.ones((1, 8), jnp.int32)
+    rng = jax.random.key(args.seed)
+    with jax.set_mesh(mesh):
+        params = model.init(rng, dummy_video, dummy_ids,
+                            jnp.ones_like(dummy_ids),
+                            jnp.zeros_like(dummy_ids),
+                            jnp.zeros_like(dummy_ids))["params"]
+        params = shard_params(params, mesh, BLOOM_SHARDING_RULES)
+        if args.hf_checkpoint:
+            from youku_mplug_tpu.models.importers import import_owl
+
+            params = import_owl(params, cfg, args.hf_checkpoint)
+            params = shard_params(params, mesh, BLOOM_SHARDING_RULES)
+        state, tx, schedule = create_train_state(
+            params, opt_cfg,
+            frozen_dtype=None if args.fp32 else policy.compute_dtype)
+
+    os.makedirs(args.output_dir, exist_ok=True)
+    ckpt = CheckpointManager(os.path.join(args.output_dir, "checkpoints"))
+    tb = TensorboardLogger(os.path.join(args.output_dir, "tb"),
+                           enabled=jax.process_index() == 0)
+    start_epoch = 0
+    ckpt_src = ckpt
+    if args.resume and os.path.abspath(args.resume) != os.path.abspath(
+            args.output_dir):
+        src = os.path.join(args.resume, "checkpoints")
+        ckpt_src = CheckpointManager(
+            src if os.path.isdir(src) else args.resume)
+    step = ckpt_src.latest_step()
+    if step is not None:
+        with jax.set_mesh(mesh):
+            state = common.restore_with_resize(ckpt_src, step, state, mesh)
+        meta = ckpt_src.restore_metadata(step) or {}
+        start_epoch = int(meta.get("epoch", 0))
+        print(f"resumed from step {step} (epoch {start_epoch})",
+              flush=True)
+
+    runner = common.Runner(
+        args=args, cfg=raw_cfg, mesh=mesh, model=model,
+        tokenizer=tokenizer, state=state, tx=tx, schedule=schedule,
+        ckpt=ckpt, tb=tb, start_epoch=start_epoch)
+
+    dtype = policy.compute_dtype
+
+    def loss_fn(params, batch, rng, step):
+        video = normalize_clip(batch["video"], dtype=dtype)
+        return model.apply(
+            {"params": params}, video, batch["input_ids"],
+            batch["attention_mask"], batch["media_mask"],
+            batch["prompt_mask"], deterministic=False,
+            rngs={"dropout": rng}, method=MPLUGOwlVideo.instruct_loss)
+
+    train_step = jax.jit(
+        make_train_step(loss_fn, tx,
+                        update_freq=int(raw_cfg.get("update_freq", 1))),
+        donate_argnums=(0,))
+    rng = jax.random.key(args.seed)
+    for epoch in range(start_epoch, epochs):
+        loader.set_epoch(epoch)
+        t0 = time.time()
+        stats = common.train_one_epoch(
+            runner, loader, make_instruct_batch, train_step, epoch,
+            jax.random.fold_in(rng, epoch))
+        common.save_epoch(runner, epoch)
+        common.write_log(args, {"epoch": epoch, **stats,
+                                "epoch_time": time.time() - t0})
+    return runner
 
 
 def load_owl_config(path: str) -> tuple:
@@ -200,6 +371,8 @@ def serve_instruct(model, params, clips, batch, gen_cfg, *,
 
 
 def main(args):
+    if args.train:
+        return train_main(args)
     cfg, raw_cfg = load_owl_config(args.config)
     policy = FP32_POLICY if args.fp32 else DEFAULT_POLICY
     mesh = make_mesh(MeshConfig(**(raw_cfg.get("mesh") or {})))

@@ -94,6 +94,102 @@ def build_instruct_batch(prompts: Sequence[str], tokenizer,
             "prompt_len": prompt_len}
 
 
+def build_instruct_train_batch(examples: Sequence[Tuple[str, str]],
+                               tokenizer, num_queries: int, pad_id: int,
+                               eos_id: int, max_length: int = 0):
+    """Batch of (question-or-prompt, answer) pairs for instruction
+    finetuning (reference README.md:111-133 — the mPLUG-Owl finetune
+    recipe's response-masked LM objective).
+
+    Each row is ``[prompt tokens (media expanded) ; answer tokens ; eos]``
+    right-padded.  Returns dict(input_ids, attention_mask, media_mask,
+    prompt_mask — all [B, S] int32): ``prompt_mask`` covers the
+    instruction span (media positions included) so
+    models/owl.instruct_targets supervises ONLY the answer tokens + eos.
+    ``max_length`` > 0 truncates answers (never the prompt) to fit.
+    """
+    rows = []
+    for q, a in examples:
+        prompt = q if VIDEO_PLACEHOLDER in q else format_prompt(q)
+        p_ids, p_media = expand_video_prompt(prompt, tokenizer,
+                                             num_queries)
+        if sum(p_media) != num_queries:
+            raise ValueError(
+                f"prompt must contain exactly one {VIDEO_PLACEHOLDER}: "
+                f"{prompt[:80]!r}")
+        a_ids = list(tokenizer.encode(a, add_special_tokens=False))
+        a_ids.append(eos_id)
+        if max_length and len(p_ids) + len(a_ids) > max_length:
+            keep = max(1, max_length - len(p_ids))
+            a_ids = a_ids[:keep - 1] + [eos_id]
+        rows.append((p_ids, p_media, a_ids))
+
+    s_max = max(len(p) + len(a) for p, _, a in rows)
+    b = len(rows)
+    input_ids = np.full((b, s_max), pad_id, np.int32)
+    attention = np.zeros((b, s_max), np.int32)
+    media_mask = np.zeros((b, s_max), np.int32)
+    prompt_mask = np.zeros((b, s_max), np.int32)
+    for i, (p_ids, p_media, a_ids) in enumerate(rows):
+        n_p, n = len(p_ids), len(p_ids) + len(a_ids)
+        input_ids[i, :n_p] = p_ids
+        input_ids[i, n_p:n] = a_ids
+        attention[i, :n] = 1
+        media_mask[i, :n_p] = p_media
+        prompt_mask[i, :n_p] = 1
+    return {"input_ids": input_ids, "attention_mask": attention,
+            "media_mask": media_mask, "prompt_mask": prompt_mask}
+
+
+class InstructJsonlDataset:
+    """File-backed instruct-finetune dataset: jsonl rows
+    ``{"video": path, "question": text, "answer": text}`` (``"prompt"``
+    may replace "question" for pre-formatted conversations).  Decodes
+    ``num_frames`` per clip like the other video datasets."""
+
+    def __init__(self, jsonl_path: str, video_root: str = "",
+                 transform=None, num_frames: int = 8, train: bool = True,
+                 seed: int = 0, decode_short_side: int = 0):
+        import json
+        import os
+
+        with open(jsonl_path) as f:
+            self.rows = [json.loads(ln) for ln in f if ln.strip()]
+        self.video_root = video_root
+        self.transform = transform
+        self.num_frames = num_frames
+        self.train = train
+        self.seed = seed
+        self.decode_short_side = decode_short_side
+        self._epoch = 0
+        self._join = os.path.join
+
+    def set_epoch(self, epoch):
+        self._epoch = epoch
+
+    def __len__(self):
+        return len(self.rows)
+
+    def __getitem__(self, index):
+        from youku_mplug_tpu.data.video_decode import read_frames
+
+        r = self.rows[index]
+        rng = np.random.default_rng(
+            (self.seed, self._epoch, index) if self.train
+            else (self.seed, index))
+        path = r["video"]
+        if self.video_root:
+            path = self._join(self.video_root, path)
+        frames = read_frames(path, num_frames=self.num_frames,
+                             sample="rand" if self.train else "middle",
+                             rng=rng, short_side=self.decode_short_side)
+        if self.transform is not None:
+            frames = self.transform(frames, rng=rng)
+        return {"video": frames,
+                "question": r.get("prompt") or r.get("question", ""),
+                "answer": r.get("answer", ""), "index": index}
+
+
 class WhitespaceTokenizer:
     """Minimal tokenizer for tests and synthetic runs: whitespace tokens
     hashed into a fixed vocabulary.  Satisfies the encode/decode protocol
