@@ -54,7 +54,7 @@ _SLOW_MODULES = {
     "test_e2e_downstream", "test_e2e_pretrain", "test_serving",
     "test_tasks", "test_multihost", "test_speculative",
     "test_accuracy_smoke", "test_bert_mplug",
-    "test_lora", "test_bloom", "test_generation",
+    "test_lora", "test_bloom", "test_generation", "test_metric_parity",
 }
 _SLOW_TESTS = {
     "test_batched_greedy_matches_unpadded_oracle",
