@@ -60,6 +60,13 @@ def _stub_modules():
         sys.modules["timm.models.layers"] = layers
         sys.modules["timm.models.registry"] = registry
 
+    if "ftfy" not in sys.modules:
+        # identity fix_text: parity tests feed well-formed text, so the
+        # mojibake repair is a no-op on both sides
+        ftfy = _mk("ftfy")
+        ftfy.fix_text = lambda t: t
+        sys.modules["ftfy"] = ftfy
+
     if "addict" not in sys.modules:
         addict = _mk("addict")
 
