@@ -14,9 +14,12 @@ feeds optax's ``scale_by_learning_rate`` (optax accepts a schedule
 callable, and a host-computed float works the same via
 ``optax.inject_hyperparams``).
 
-The noise resampling loop uses ``torch.Generator`` when torch is present
-(bit-exact vs the reference's seeding, scheduler.py:88-105) and falls
-back to numpy's Philox otherwise (same distribution, different draws).
+The noise resampling loop uses ``torch.Generator`` — bit-exact vs the
+reference's seeding (scheduler.py:88-105) and deliberately the ONLY
+implementation: one config yields one noise trajectory in every
+environment (a silent numpy fallback would diverge; torch-cpu is a
+host-side dependency of the importers already).  Absent torch, using
+lr noise raises with a clear message instead of changing the draws.
 """
 
 from __future__ import annotations
@@ -29,25 +32,20 @@ def _noise_value(noise_type: str, noise_pct: float, noise_std: float,
                  seed: int, t: int) -> float:
     try:
         import torch
+    except ImportError as e:  # pragma: no cover - torch is in the image
+        raise ImportError(
+            "scheduler lr noise reproduces the reference's "
+            "torch.Generator draws bit-exactly and requires torch-cpu; "
+            "install torch or disable noise_range_t") from e
 
-        g = torch.Generator()
-        g.manual_seed(seed + t)
-        if noise_type == "normal":
-            while True:
-                noise = torch.randn(1, generator=g).item()
-                if abs(noise) < noise_pct:
-                    return noise
-        return 2 * (torch.rand(1, generator=g).item() - 0.5) * noise_pct
-    except ImportError:  # pragma: no cover - torch is in the test image
-        import numpy as np
-
-        rng = np.random.Generator(np.random.Philox(seed + t))
-        if noise_type == "normal":
-            while True:
-                noise = float(rng.standard_normal())
-                if abs(noise) < noise_pct:
-                    return noise
-        return 2 * (float(rng.random()) - 0.5) * noise_pct
+    g = torch.Generator()
+    g.manual_seed(seed + t)
+    if noise_type == "normal":
+        while True:
+            noise = torch.randn(1, generator=g).item()
+            if abs(noise) < noise_pct:
+                return noise
+    return 2 * (torch.rand(1, generator=g).item() - 0.5) * noise_pct
 
 
 class _NoiseMixin:
