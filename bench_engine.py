@@ -231,6 +231,51 @@ def main():
     step_ms = max((ms_k - ms_1) / max(k - 1, 1), 1e-6)
     dev_tok_s = slots * 1e3 / step_ms
 
+    lookup = int(os.environ.get("BENCH_ENGINE_LOOKUP", "0"))
+    if lookup:
+        # speculative-stacked engine: prompt-lookup proposals + one
+        # chunked verify per round (step_lookup), repetitive-content
+        # protocol like bench_decode's ngram case.  Per-round RPC is
+        # constant on the relay, so wall(step_lookup) - wall(step(1))
+        # isolates the verify-vs-step device delta; effective device
+        # tok/s = slots x committed/round / (step_ms + delta).
+        big = GenerationConfig(max_new_tokens=10 ** 6, do_sample=False,
+                               eos_id=-1, pad_id=0)
+        eng = ServingEngine(lm, lm_vars, num_slots=slots, max_len=max_len,
+                            prefill_buckets=(prompt_len,), config=big,
+                            rng=jax.random.key(3))
+        pattern = rng.integers(5, 1000, 4)
+        prompt = list(np.tile(pattern, prompt_len // 4 + 1)[:prompt_len])
+        for _ in range(slots):
+            eng.submit(list(prompt), query_embeds=jnp.asarray(query_embeds))
+        eng.step_lookup(lookup)  # admit + prefill + warm the verify k
+        times, commits = [], []
+        budget = (max_len - prompt_len - nq - 4) // (lookup + 1) - 2
+        for _ in range(min(8, max(1, budget))):
+            before = sum(len(s.tokens) for s in eng._slots
+                         if s is not None)
+            t = time.time()
+            eng.step_lookup(lookup)
+            times.append((time.time() - t) * 1e3)
+            commits.append(sum(len(s.tokens) for s in eng._slots
+                               if s is not None) - before)
+        round_ms = sorted(times)[len(times) // 2]
+        delta_ms = max(round_ms - ms_1, 0.0)
+        toks_round = float(np.mean(commits)) / slots
+        eff_ms = step_ms + delta_ms
+        eff_tok_s = slots * toks_round * 1e3 / eff_ms
+        print(json.dumps({
+            "metric": "engine_lookup_tokens_per_sec",
+            "value": round(eff_tok_s, 1), "unit": "tok/s (device est)",
+            "vs_baseline": round(eff_tok_s / dev_tok_s, 3),
+            "lookup_k": lookup,
+            "committed_per_round_per_slot": round(toks_round, 2),
+            "round_device_ms_est": round(eff_ms, 3),
+            "plain_step_ms": round(step_ms, 3),
+            "plain_device_tok_per_sec": round(dev_tok_s, 1)}),
+            flush=True)
+        return
+
     if os.environ.get("BENCH_ENGINE_ARRIVAL", "") == "poisson":
         rec = arrival_benchmark(lm, lm_vars, query_embeds, slots,
                                 new_tokens, step_ms_fn=lambda: step_ms)
