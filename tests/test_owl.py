@@ -285,6 +285,38 @@ def test_instruct_finetune_e2e(tmp_path):
     assert int(runner2.state.step) == 4
     assert runner2.start_epoch == 2
 
+    # ---- export -> serve loop (tools/export_serving.py --owl) --------
+    # LoRA merges into the Bloom base, optional int8; run_instruct
+    # --serving_ckpt loads the exported artifact and the engine path
+    # stays token-identical to batched generate.
+    import sys as _sys
+
+    from tools import export_serving
+
+    argv = _sys.argv
+    try:
+        for dest, extra in ((str(tmp_path / "srv_bf16"), []),
+                            (str(tmp_path / "srv_int8"), ["--int8"])):
+            _sys.argv = ["x", "--run_dir", str(out_dir), "--config",
+                         str(cfg_path), "--dest", dest, "--owl"] + extra
+            export_serving.main()
+    finally:
+        _sys.argv = argv
+
+    def infer(extra):
+        a = run_instruct.parser().parse_args([
+            "--config", str(cfg_path), "--output_dir",
+            str(tmp_path / "srv_out"), "--synthetic_data", "--question",
+            "what is shown ?", "--fp32", "--max_new_tokens", "4"] + extra)
+        return run_instruct.main(a)
+
+    bf = infer(["--serving_ckpt", str(tmp_path / "srv_bf16")])
+    i8 = infer(["--serving_ckpt", str(tmp_path / "srv_int8")])
+    bf_e = infer(["--serving_ckpt", str(tmp_path / "srv_bf16"),
+                  "--engine"])
+    assert bf[0]["answer"] and i8[0]["answer"]
+    assert bf_e[0]["answer"] == bf[0]["answer"]  # engine == generate
+
 
 def test_run_instruct_cli_smoke(tmp_path):
     from youku_mplug_tpu.cli import run_instruct

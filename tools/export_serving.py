@@ -8,6 +8,13 @@ points (cli/serve.py, bench_decode.py) can load directly.
 Usage:
   python tools/export_serving.py --run_dir OUT --config cfg.yaml \
       --dest OUT/serving [--int8] [--int8_embedding]
+
+``--owl`` exports a ``run_instruct --train`` checkpoint instead (the
+mPLUG-Video BloomZ instruct finetune): the YAML is the owl config
+(text_overrides/abstractor blocks), Bloom LoRA adapters merge into the
+base decoder kernels, and --int8 quantizes the Bloom decoder (same
+kernel names as GPT-3, same quantizer).  Serve the result with
+``run_instruct --serving_ckpt DEST``.
 """
 import argparse
 import os
@@ -26,14 +33,25 @@ def main():
                     help="int8-quantize the decoder kernels")
     ap.add_argument("--int8_embedding", action="store_true",
                     help="also quantize the tied embedding (serving only)")
+    ap.add_argument("--owl", action="store_true",
+                    help="the run is a run_instruct --train (BloomZ "
+                         "video-instruct) finetune")
     args = ap.parse_args()
 
     import jax
-    from youku_mplug_tpu.config import load_config
     from youku_mplug_tpu.ops.lora import merge_lora
     from youku_mplug_tpu.train.checkpoint import CheckpointManager
 
-    rc = load_config(args.config)
+    if args.owl:
+        from youku_mplug_tpu.cli.run_instruct import load_owl_config
+
+        owl_cfg, _ = load_owl_config(args.config)
+        text_cfg, vis_cfg = owl_cfg.text, owl_cfg.vision
+    else:
+        from youku_mplug_tpu.config import load_config
+
+        rc = load_config(args.config)
+        text_cfg, vis_cfg = rc.model.text, rc.model.vision
     ckpt = CheckpointManager(os.path.join(args.run_dir, "checkpoints"))
     step = ckpt.latest_step()
     if step is None:
@@ -46,11 +64,11 @@ def main():
     # merge each tower with its OWN rank/alpha: text and vision adapters
     # may be configured differently, and a single global merge would fold
     # the text scale into the vision kernels (and vice versa)
-    rank = rc.model.text.lora_rank or rc.model.vision.lora_rank
+    rank = text_cfg.lora_rank or vis_cfg.lora_rank
     if rank:
         params = dict(params)
-        for tower, tc in (("text_decoder", rc.model.text),
-                          ("visual_encoder", rc.model.vision)):
+        for tower, tc in (("text_decoder", text_cfg),
+                          ("visual_encoder", vis_cfg)):
             if tc.lora_rank and tower in params:
                 params[tower] = merge_lora(
                     params[tower], tc.lora_rank, tc.lora_alpha)

@@ -70,6 +70,10 @@ def parser() -> argparse.ArgumentParser:
     p.add_argument("--question", default="", help="one-off question")
     p.add_argument("--hf_checkpoint", default="",
                    help="HF-format checkpoint dir to import")
+    p.add_argument("--serving_ckpt", default="",
+                   help="orbax serving checkpoint dir from "
+                        "tools/export_serving.py --owl (LoRA merged, "
+                        "optionally int8) — used instead of init/HF")
     p.add_argument("--tokenizer", default="",
                    help="HF tokenizer dir/file (BloomTokenizerFast)")
     p.add_argument("--synthetic_data", action="store_true")
@@ -320,7 +324,7 @@ def load_videos(args, raw_cfg, rows):
 
 
 def serve_instruct(model, params, clips, batch, gen_cfg, *,
-                   num_slots=4, lookup_k=0, rng=None):
+                   num_slots=4, lookup_k=0, rng=None, qscales=None):
     """Instruct inference through the continuous-batching engine: videos
     are encoded and spliced into prompt embeddings in one batch, then
     each request is admitted to the slot pool as slots free (the
@@ -341,19 +345,24 @@ def serve_instruct(model, params, clips, batch, gen_cfg, *,
     prompt_len = np.asarray(batch["prompt_len"])
     b = input_ids.shape[0]
 
-    qf = model.apply({"params": params}, jnp.asarray(clips),
+    task_vars = {"params": params}
+    if qscales:
+        task_vars["qscales"] = {"text_decoder": qscales}
+    qf = model.apply(task_vars, jnp.asarray(clips),
                      method=MPLUGOwlVideo.encode_video)
     embeds = np.asarray(model.apply(
-        {"params": params}, jnp.asarray(input_ids),
+        task_vars, jnp.asarray(input_ids),
         jnp.asarray(media_mask), qf, method=MPLUGOwlVideo.spliced_embeds))
 
     decoder = BloomLM(model.cfg.text, policy=model.policy)
+    dec_vars = ({"params": params["text_decoder"], "qscales": qscales}
+                if qscales else params["text_decoder"])
     longest = int(prompt_len.max())
     bucket = 8
     while bucket < longest:
         bucket *= 2
     eng = ServingEngine(
-        decoder, params["text_decoder"], num_slots=min(num_slots, b),
+        decoder, dec_vars, num_slots=min(num_slots, b),
         max_len=bucket + gen_cfg.max_new_tokens + 2,
         prefill_buckets=(bucket,), config=gen_cfg, rng=rng)
     rid_to_row = {}
@@ -374,6 +383,13 @@ def main(args):
     if args.train:
         return train_main(args)
     cfg, raw_cfg = load_owl_config(args.config)
+    if args.serving_ckpt:
+        # export_serving merged the adapters into the base kernels; the
+        # serving model must not expect lora_* params
+        cfg = dataclasses.replace(
+            cfg,
+            text=dataclasses.replace(cfg.text, lora_rank=0),
+            vision=dataclasses.replace(cfg.vision, lora_rank=0))
     policy = FP32_POLICY if args.fp32 else DEFAULT_POLICY
     mesh = make_mesh(MeshConfig(**(raw_cfg.get("mesh") or {})))
     model = MPLUGOwlVideo(cfg, policy=policy)
@@ -402,14 +418,30 @@ def main(args):
     t = int(raw_cfg.get("num_frames", 8))
     res = cfg.vision.img_size
     dummy_video = jnp.zeros((1, 3, t, res, res), policy.compute_dtype)
+    qscales = None
     with jax.set_mesh(mesh):
-        params = model.init(
-            rng, dummy_video, batch["input_ids"][:1],
-            np.ones_like(batch["input_ids"][:1]),
-            batch["media_mask"][:1],
-            np.zeros_like(batch["input_ids"][:1]))["params"]
-        params = shard_params(params, mesh, BLOOM_SHARDING_RULES)
-        if args.hf_checkpoint:
+        if args.serving_ckpt:
+            from youku_mplug_tpu.train.checkpoint import CheckpointManager
+
+            sc = CheckpointManager(args.serving_ckpt)
+            step = sc.latest_step()
+            if step is None:
+                raise SystemExit(
+                    f"no serving checkpoint under {args.serving_ckpt}")
+            raw = sc.restore_raw(step)
+            params = raw["params"]
+            qscales = (raw.get("qscales") or {}).get("text_decoder")
+            params = shard_params(params, mesh, BLOOM_SHARDING_RULES)
+            print(f"loaded serving checkpoint step {step} "
+                  f"(int8={qscales is not None})", flush=True)
+        else:
+            params = model.init(
+                rng, dummy_video, batch["input_ids"][:1],
+                np.ones_like(batch["input_ids"][:1]),
+                batch["media_mask"][:1],
+                np.zeros_like(batch["input_ids"][:1]))["params"]
+            params = shard_params(params, mesh, BLOOM_SHARDING_RULES)
+        if args.hf_checkpoint and not args.serving_ckpt:
             from youku_mplug_tpu.models.importers import import_owl
 
             params = import_owl(params, cfg, args.hf_checkpoint)
@@ -430,13 +462,13 @@ def main(args):
             seqs = serve_instruct(
                 model, params, clips, batch, gen_cfg,
                 num_slots=args.num_slots, lookup_k=args.lookup_k,
-                rng=jax.random.key(args.seed + 1))
+                rng=jax.random.key(args.seed + 1), qscales=qscales)
         else:
             out = generate_instruct(
                 model, params, clips, jnp.asarray(batch["input_ids"]),
                 jnp.asarray(batch["media_mask"]),
                 jnp.asarray(batch["prompt_len"]), gen_cfg,
-                rng=jax.random.key(args.seed + 1))
+                rng=jax.random.key(args.seed + 1), qscales=qscales)
             seqs = np.asarray(out["sequences"])
     results = []
     for r, seq in zip(rows, seqs):

@@ -320,18 +320,29 @@ class MPLUGOwlVideo(nn.Module):
 
 
 def generate_instruct(task_model: MPLUGOwlVideo, params, video, input_ids,
-                      media_mask, prompt_len, gen_config, rng=None):
+                      media_mask, prompt_len, gen_config, rng=None,
+                      qscales=None):
     """Video instruction inference: encode + splice + batched decode
     (reference README.md:135-143 model.generate over the Human/AI
     prompt).  input_ids [B, P] right-padded with the ``<|video|>``
     placeholder already expanded to cfg.num_media_tokens media
-    positions; prompt_len [B] true lengths (media positions included)."""
+    positions; prompt_len [B] true lengths (media positions included).
+
+    qscales: optional int8 dequant scales for the Bloom decoder (an
+    exported ``tools/export_serving.py --owl --int8`` checkpoint)."""
     from youku_mplug_tpu.models.generation import generate
 
-    qf = task_model.apply({"params": params}, video,
+    task_vars = {"params": params}
+    if qscales:
+        # scales live under the decoder submodule so the tied embedding
+        # (if quantized) dequants during splicing too
+        task_vars["qscales"] = {"text_decoder": qscales}
+    qf = task_model.apply(task_vars, video,
                           method=MPLUGOwlVideo.encode_video)
-    embeds = task_model.apply({"params": params}, input_ids, media_mask,
+    embeds = task_model.apply(task_vars, input_ids, media_mask,
                               qf, method=MPLUGOwlVideo.spliced_embeds)
     decoder = BloomLM(task_model.cfg.text, policy=task_model.policy)
-    return generate(decoder, params["text_decoder"], input_ids, prompt_len,
+    dec_vars = ({"params": params["text_decoder"], "qscales": qscales}
+                if qscales else params["text_decoder"])
+    return generate(decoder, dec_vars, input_ids, prompt_len,
                     prompt_embeds=embeds, config=gen_config, rng=rng)
