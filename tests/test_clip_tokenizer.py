@@ -45,6 +45,28 @@ def pair():
     return ref, CLIPTokenizer(BPE)
 
 
+def test_hf_merges_txt_format(pair, tmp_path):
+    """An HF checkpoint's merges.txt (same rows, plain text) builds an
+    identical tokenizer — openai/clip-vit-* HF downloads work as-is."""
+    import gzip
+
+    _, ours = pair
+    rows = gzip.open(BPE).read().decode("utf-8").split("\n")
+    hf_dir = tmp_path / "hf_clip"
+    hf_dir.mkdir()
+    # HF merges.txt: "#version" header + exactly the merge rows
+    (hf_dir / "merges.txt").write_text(
+        "\n".join(["#version: 0.2"] + rows[1:48894 + 1]),
+        encoding="utf-8")
+
+    from youku_mplug_tpu.models.clip_tokenizer import CLIPTokenizer
+
+    hf_tok = CLIPTokenizer(str(hf_dir))  # directory resolves merges.txt
+    assert hf_tok.encoder == ours.encoder
+    assert hf_tok.encode("a photo of a cat") == ours.encode(
+        "a photo of a cat")
+
+
 def test_vocab_identical(pair):
     ref, ours = pair
     assert ours.vocab_size == 49408

@@ -10,10 +10,12 @@ printable-unicode remapping, lowest-rank-first pair merging with the
 <|endoftext|>].  ``tokenize()`` produces the 77-token context rows CLIP
 text towers consume (models/clip.py CLIPTextTower).
 
-The merge table (``bpe_simple_vocab_16e6.txt.gz``) is DATA shipped with
-every public CLIP checkpoint, not code — it is loaded from
-``bpe_path``, the ``CLIP_BPE_PATH`` env var, or the conventional
-install locations; it is deliberately not vendored in this repo.
+The merge table is DATA shipped with every public CLIP release, not
+code — it loads from ``bpe_path``, the ``CLIP_BPE_PATH`` env var, or
+the conventional install locations, in either format: the original
+``bpe_simple_vocab_16e6.txt.gz`` or an HF checkpoint's ``merges.txt``
+(pass the file or the checkpoint directory).  It is deliberately not
+vendored in this repo.
 
 Divergence note: the published cleaner runs ``ftfy.fix_text``
 (mojibake repair) before tokenizing; ftfy is optional here — absent,
@@ -99,8 +101,25 @@ class CLIPTokenizer:
         import regex
 
         path = find_bpe_vocab(bpe_path)
-        rows = gzip.open(path).read().decode("utf-8").split("\n")
+        if os.path.isdir(path):  # HF checkpoint dir: merges.txt
+            path = os.path.join(path, "merges.txt")
+        if path.endswith(".gz"):
+            text = gzip.open(path).read().decode("utf-8")
+        else:  # HF merges.txt — same rows, same "#version" header
+            text = open(path, encoding="utf-8").read()
+        rows = text.split("\n")
+        # both formats carry a "#version" header row (the gz prefixes it
+        # with the filename); a headerless table gets a pad row so the
+        # merge slice offsets stay identical
+        if "#version" not in rows[0]:
+            rows = [""] + rows
+        # exact positional slice — every row in range occupies a vocab
+        # slot even if it splits oddly (the published table's contract)
         merges = [tuple(r.split()) for r in rows[1:_NUM_MERGES + 1]]
+        if len(merges) != _NUM_MERGES:
+            raise ValueError(
+                f"{path}: expected {_NUM_MERGES} merge rows, got "
+                f"{len(merges)} — not a CLIP merge table")
         self.rank = {m: i for i, m in enumerate(merges)}
         self.byte_enc = byte_unicode_table()
         self.byte_dec = {c: b for b, c in self.byte_enc.items()}
