@@ -105,6 +105,60 @@ def test_instruct_targets_masks_prompt_and_media():
                                   [0, 0, 0, 1, 1, 1, 0])
 
 
+def test_instruct_train_batch_masks():
+    """build_instruct_train_batch: prompt span (media included) masked
+    out, answer+eos supervised, right padding, answer truncation."""
+    from youku_mplug_tpu.data.instruct import build_instruct_train_batch
+
+    tk = WhitespaceTokenizer(V)
+    b = build_instruct_train_batch(
+        [("what is this ?", "a small cat"),
+         ("describe the video please now", "dog")],
+        tk, NM, pad_id=3, eos_id=2)
+    ids, attn = b["input_ids"], b["attention_mask"]
+    media, prompt = b["media_mask"], b["prompt_mask"]
+    assert ids.shape == attn.shape == media.shape == prompt.shape
+    assert (media.sum(axis=1) == NM).all()
+    for i in range(2):
+        n = attn[i].sum()
+        # prompt strictly precedes answer; answer ends with eos
+        p_end = prompt[i].nonzero()[0].max() + 1
+        assert prompt[i, :p_end].all() and not prompt[i, p_end:].any()
+        assert p_end < n
+        assert ids[i, n - 1] == 2          # eos supervised
+        assert (ids[i, n:] == 3).all()     # right pad
+        # media positions sit inside the prompt span
+        assert media[i, p_end:].sum() == 0
+    # loss mask derived the model's way supervises only answer tokens
+    labels, mask = instruct_targets(
+        jnp.asarray(ids), jnp.asarray(attn), jnp.asarray(media),
+        jnp.asarray(prompt))
+    m = np.asarray(mask)
+    for i in range(2):
+        n = int(attn[i].sum())
+        p_end = int(prompt[i].nonzero()[0].max() + 1)
+        # targets p_end..n-1 (the answer incl. eos) -> mask idx p_end-1..
+        assert m[i, p_end - 1:n - 1].all()
+        assert not m[i, :p_end - 1].any()
+        assert not m[i, n - 1:].any()
+
+    # truncation: answers clipped (never the prompt), eos kept
+    p_ids, _ = expand_video_prompt(format_prompt("what is this ?"), tk,
+                                   NM)
+    cap = len(p_ids) + 3  # room for 2 answer tokens + eos
+    bt = build_instruct_train_batch(
+        [("what is this ?", "a very long answer with many words here")],
+        tk, NM, pad_id=3, eos_id=2, max_length=cap)
+    n = bt["attention_mask"][0].sum()
+    assert n == cap and bt["input_ids"][0, n - 1] == 2
+    assert bt["prompt_mask"][0].sum() == len(p_ids)  # prompt intact
+    # a pre-formatted prompt with the wrong number of placeholders fails
+    with pytest.raises(ValueError):
+        build_instruct_train_batch(
+            [(format_prompt("q") + " " + VIDEO_PLACEHOLDER, "x")],
+            tk, NM, pad_id=3, eos_id=2)
+
+
 @pytest.fixture(scope="module")
 def owl_setup():
     from youku_mplug_tpu.parallel.sharding import (
