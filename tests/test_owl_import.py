@@ -219,3 +219,29 @@ def test_import_owl_end_to_end(rng, tmp_path):
                tmp_path / "pytorch_model.bin")
     with pytest.raises(ValueError, match="no mapping"):
         import_owl(params, cfg, str(tmp_path))
+
+    # fail-loud the OTHER way: a checkpoint MISSING required abstractor
+    # tensors (partial shard set) refuses to import
+    del sd["abstractor.rogue.weight"]
+    del sd["abstractor.encoder.layers.1.crossattention.attention.query"
+           ".weight"]
+    torch.save({k: torch.from_numpy(np.asarray(v)) for k, v in sd.items()},
+               tmp_path / "pytorch_model.bin")
+    with pytest.raises(ValueError, match="partial import"):
+        import_owl(params, cfg, str(tmp_path))
+    # ... and absent vit_eos with use_vit_eos=True also refuses
+    sd["abstractor.encoder.layers.1.crossattention.attention.query"
+       ".weight"] = np.asarray(
+        sd["abstractor.encoder.layers.0.crossattention.attention.query"
+           ".weight"])
+    vit_eos = sd.pop("abstractor.vit_eos")
+    torch.save({k: torch.from_numpy(np.asarray(v)) for k, v in sd.items()},
+               tmp_path / "pytorch_model.bin")
+    with pytest.raises(ValueError, match="partial import"):
+        import_owl(params, cfg, str(tmp_path))
+    # temporal_embed absent is LEGAL (image-variant checkpoints)
+    sd["abstractor.vit_eos"] = vit_eos
+    sd.pop("abstractor.temporal_position_embeddings")
+    torch.save({k: torch.from_numpy(np.asarray(v)) for k, v in sd.items()},
+               tmp_path / "pytorch_model.bin")
+    import_owl(params, cfg, str(tmp_path))

@@ -232,6 +232,7 @@ def verify(model_dir: str, preset: str, batch: int = 2, seq: int = 8,
     del sd
 
     def run(policy, tag):
+        """-> (logits, imported param tree in the policy's dtypes)."""
         model = GPT3LM(cfg, policy=policy)
         params = jax.eval_shape(
             lambda: model.init(jax.random.key(0),
@@ -253,11 +254,12 @@ def verify(model_dir: str, preset: str, batch: int = 2, seq: int = 8,
                 np.sqrt(np.mean(diff ** 2)) / max(scale, 1e-9))
             report[f"{tag}_max_abs"] = float(np.abs(diff).max())
             report[f"{tag}_logit_std"] = scale
-        return logits
+        return logits, params
 
     if check_fp32:
         run(FP32_POLICY, "fp32")
-    bf16_logits = run(Policy(param_dtype=jnp.bfloat16), "bf16")
+    policy = Policy(param_dtype=jnp.bfloat16)
+    bf16_logits, bf16_params = run(policy, "bf16")
 
     if check_int8:
         from youku_mplug_tpu.models.generation import (
@@ -266,18 +268,8 @@ def verify(model_dir: str, preset: str, batch: int = 2, seq: int = 8,
         )
         from youku_mplug_tpu.ops.quant import quantize_gpt3_decoder
 
-        policy = Policy(param_dtype=jnp.bfloat16)
         model = GPT3LM(cfg, policy=policy)
-        params = jax.eval_shape(
-            lambda: model.init(jax.random.key(0),
-                               jnp.zeros((1, 4), jnp.int32)))["params"]
-        params = jax.tree.map(lambda s: np.zeros(s.shape, s.dtype), params)
-        merge_into(params, imported)
-        params = jax.tree.map(
-            lambda x: jnp.asarray(
-                x, jnp.bfloat16
-                if np.issubdtype(np.asarray(x).dtype, np.floating)
-                else x.dtype), params)
+        params = bf16_params  # same imported bf16 tree as the bf16 run
         qparams, scales = quantize_gpt3_decoder(params)
         int8_vars = {"params": qparams, "qscales": scales}
 

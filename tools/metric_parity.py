@@ -69,9 +69,16 @@ def _exec_reference_file(relpath: str, name: str):
     return mod
 
 
+_REF_MODULES = None
+
+
 def load_reference_eval_modules():
     """-> (ref_run_cls, ref_run_itm) with utils = the real reference
-    utils module; raises ImportError if the reference tree is absent."""
+    utils module; raises ImportError if the reference tree is absent.
+    Cached: the reference files execute once per process."""
+    global _REF_MODULES
+    if _REF_MODULES is not None:
+        return _REF_MODULES
     if not os.path.isdir(os.path.join(REFERENCE, "downstream")):
         raise ImportError(f"reference tree not available at {REFERENCE}")
     import torch  # noqa: F401  (required by the reference files)
@@ -113,7 +120,8 @@ def load_reference_eval_modules():
         "optim.optim_factory", get_parameter_groups=_noop)
 
     saved = {k: sys.modules.get(k) for k in
-             list(stubs) + ["utils", "ref_run_cls", "ref_run_itm"]}
+             list(stubs) + ["utils", "ref_utils", "ref_run_cls",
+                            "ref_run_itm"]}
     try:
         sys.modules.update(stubs)
         ref_utils = _exec_reference_file("utils.py", "ref_utils")
@@ -129,7 +137,8 @@ def load_reference_eval_modules():
                 sys.modules.pop(k, None)
             else:
                 sys.modules[k] = v
-    return ref_run_cls, ref_run_itm
+    _REF_MODULES = (ref_run_cls, ref_run_itm)
+    return _REF_MODULES
 
 
 # ---------------------------------------------------------------------------

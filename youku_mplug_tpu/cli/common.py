@@ -150,10 +150,23 @@ def setup(args, niter_per_ep: int = 1000) -> Runner:
     tb = TensorboardLogger(os.path.join(args.output_dir, "tb"),
                            enabled=is_main)
 
+    state, start_epoch = resume_state(args, ckpt, state, mesh)
+
+    return Runner(args=args, cfg=cfg, mesh=mesh, model=model,
+                  tokenizer=tokenizer, state=state, tx=tx,
+                  schedule=schedule, ckpt=ckpt, tb=tb,
+                  start_epoch=start_epoch)
+
+
+def resume_state(args, ckpt: CheckpointManager, state, mesh):
+    """Shared resume wiring for every training entry point.
+
+    --resume <dir> names an external run directory (reference --resume,
+    run_cls_distributed_gpt3.py:317-340); without it, auto-resume from
+    this run's own checkpoints.  A --resume/--evaluate_only pointing at
+    a directory with no checkpoint raises instead of silently training
+    from scratch.  Returns (state, start_epoch)."""
     start_epoch = 0
-    # --resume <dir> names an external run directory (reference --resume,
-    # run_cls_distributed_gpt3.py:317-340); without it, auto-resume from
-    # this run's own checkpoints.
     ckpt_src = ckpt
     if args.resume and os.path.abspath(args.resume) != os.path.abspath(
             args.output_dir):
@@ -162,7 +175,8 @@ def setup(args, niter_per_ep: int = 1000) -> Runner:
             src_dir = args.resume  # already a checkpoints dir
         ckpt_src = CheckpointManager(src_dir)
     step = ckpt_src.latest_step()
-    if (args.resume or args.evaluate_only) and step is None:
+    if (args.resume or getattr(args, "evaluate_only", False)) \
+            and step is None:
         raise FileNotFoundError(
             f"--resume/--evaluate_only set but no checkpoint found under "
             f"{ckpt_src.directory}")
@@ -171,12 +185,9 @@ def setup(args, niter_per_ep: int = 1000) -> Runner:
             state = restore_with_resize(ckpt_src, step, state, mesh)
         meta = ckpt_src.restore_metadata(step) or {}
         start_epoch = int(meta.get("epoch", 0))
-        print(f"resumed from step {step} (epoch {start_epoch})", flush=True)
-
-    return Runner(args=args, cfg=cfg, mesh=mesh, model=model,
-                  tokenizer=tokenizer, state=state, tx=tx,
-                  schedule=schedule, ckpt=ckpt, tb=tb,
-                  start_epoch=start_epoch)
+        print(f"resumed from step {step} (epoch {start_epoch})",
+              flush=True)
+    return state, start_epoch
 
 
 def _resize_param_tree(raw: dict, tmpl: dict, path: str = "") -> dict:

@@ -168,11 +168,13 @@ def train_main(args):
 
     from youku_mplug_tpu.cli import common
     from youku_mplug_tpu.optim.factory import OptimizerConfig
+    from youku_mplug_tpu.runtime.cache import enable_compilation_cache
     from youku_mplug_tpu.train.checkpoint import CheckpointManager
     from youku_mplug_tpu.train.metrics import TensorboardLogger
     from youku_mplug_tpu.train.state import create_train_state
     from youku_mplug_tpu.train.trainer import make_train_step
 
+    enable_compilation_cache()
     cfg, raw_cfg = load_owl_config(args.config)
     policy = FP32_POLICY if args.fp32 else DEFAULT_POLICY
     mesh = make_mesh(MeshConfig(**(raw_cfg.get("mesh") or {})))
@@ -217,21 +219,7 @@ def train_main(args):
     ckpt = CheckpointManager(os.path.join(args.output_dir, "checkpoints"))
     tb = TensorboardLogger(os.path.join(args.output_dir, "tb"),
                            enabled=jax.process_index() == 0)
-    start_epoch = 0
-    ckpt_src = ckpt
-    if args.resume and os.path.abspath(args.resume) != os.path.abspath(
-            args.output_dir):
-        src = os.path.join(args.resume, "checkpoints")
-        ckpt_src = CheckpointManager(
-            src if os.path.isdir(src) else args.resume)
-    step = ckpt_src.latest_step()
-    if step is not None:
-        with jax.set_mesh(mesh):
-            state = common.restore_with_resize(ckpt_src, step, state, mesh)
-        meta = ckpt_src.restore_metadata(step) or {}
-        start_epoch = int(meta.get("epoch", 0))
-        print(f"resumed from step {step} (epoch {start_epoch})",
-              flush=True)
+    state, start_epoch = common.resume_state(args, ckpt, state, mesh)
 
     runner = common.Runner(
         args=args, cfg=raw_cfg, mesh=mesh, model=model,

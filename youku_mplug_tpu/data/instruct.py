@@ -120,7 +120,14 @@ def build_instruct_train_batch(examples: Sequence[Tuple[str, str]],
         a_ids = list(tokenizer.encode(a, add_special_tokens=False))
         a_ids.append(eos_id)
         if max_length and len(p_ids) + len(a_ids) > max_length:
-            keep = max(1, max_length - len(p_ids))
+            keep = max_length - len(p_ids)
+            if keep < 1:
+                # the cap exists to bound compile shapes/memory; a prompt
+                # that alone overflows it must fail loudly, not emit a
+                # silently longer row
+                raise ValueError(
+                    f"prompt is {len(p_ids)} tokens, leaving no room for "
+                    f"an answer under max_length={max_length}: {q[:80]!r}")
             a_ids = a_ids[:keep - 1] + [eos_id]
         rows.append((p_ids, p_media, a_ids))
 

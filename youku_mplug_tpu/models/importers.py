@@ -658,6 +658,37 @@ def import_owl(params: dict, cfg, model_dir: str) -> dict:
         if "vit_eos" in ap and not cfg.use_vit_eos:
             raise ValueError(
                 "checkpoint carries vit_eos but cfg.use_vit_eos=False")
+
+        # fail-loud BOTH ways: unconsumed checkpoint tensors raised
+        # inside the mapper; here the model side — every abstractor-side
+        # target param must be covered, or the import would silently
+        # leave part of the visual conditioning at random init (e.g. a
+        # partially-downloaded shard set).  Legitimately absent:
+        # temporal_embed / in_proj (image-variant checkpoints).
+        def leaf_paths(tree, prefix=""):
+            out = []
+            for k, v in tree.items():
+                p = prefix + "/" + k if prefix else k
+                out += leaf_paths(v, p) if isinstance(v, dict) else [p]
+            return out
+
+        expected = set(leaf_paths(params["abstractor"], "abstractor"))
+        expected |= set(leaf_paths(params["visual_fc"], "visual_fc"))
+        if cfg.use_vit_eos:
+            expected.add("vit_eos")
+        provided = set(leaf_paths(
+            {k: v for k, v in ap.items() if isinstance(v, dict)}))
+        provided |= {k for k, v in ap.items() if not isinstance(v, dict)}
+        optional = {"abstractor/temporal_embed"} | {
+            p for p in expected if "/in_proj/" in p}
+        missing = sorted(expected - provided - optional)
+        if missing:
+            raise ValueError(
+                "abstractor import: checkpoint provides no tensor for "
+                "%d model param(s) — refusing a partial import (random "
+                "init would silently corrupt visual conditioning). "
+                "Missing: %s" % (len(missing), ", ".join(missing)))
+
         n = merge_exact(params, ap)
         print(f"imported {n} abstractor tensors (exact, fail-loud)",
               flush=True)
