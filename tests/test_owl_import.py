@@ -168,6 +168,125 @@ def test_layer_out_of_range_raises(rng):
         owl_abstractor_params_from_torch(sd, cfg.abstractor)
 
 
+def external_vision_sd(rng, depth=1, dim=DV, heads=4, patches=4):
+    """MplugOwlVisionModel (megatron-style) naming at tiny shape."""
+    r = lambda *s: rng.standard_normal(s).astype(np.float32)  # noqa: E731
+    sd = {
+        "embeddings.cls_token": r(1, 1, dim),
+        "embeddings.position_embedding": r(1, patches + 1, dim),
+        "embeddings.patch_embed.weight": r(dim, 3, 8, 8),
+        "embeddings.pre_layernorm.weight": r(dim),
+        "embeddings.pre_layernorm.bias": r(dim),
+        "post_layernorm.weight": r(dim),
+        "post_layernorm.bias": r(dim),
+    }
+    for i in range(depth):
+        p = f"encoder.layers.{i}."
+        sd[p + "input_layernorm.weight"] = r(dim)
+        sd[p + "input_layernorm.bias"] = r(dim)
+        sd[p + "post_attention_layernorm.weight"] = r(dim)
+        sd[p + "post_attention_layernorm.bias"] = r(dim)
+        sd[p + "self_attn.query_key_value.weight"] = r(3 * dim, dim)
+        sd[p + "self_attn.query_key_value.bias"] = r(3 * dim)
+        sd[p + "self_attn.dense.weight"] = r(dim, dim)
+        sd[p + "self_attn.dense.bias"] = r(dim)
+        f = 4 * dim  # VisionConfig mlp_ratio=4 default
+        sd[p + "mlp.fc1.weight"] = r(f, dim)
+        sd[p + "mlp.fc1.bias"] = r(f)
+        sd[p + "mlp.fc2.weight"] = r(dim, f)
+        sd[p + "mlp.fc2.bias"] = r(dim)
+    return sd
+
+
+def test_owl_vision_mapper(rng):
+    """External megatron-style vision tensors land bit-exactly: fused
+    head-major qkv de-interleaved, k-bias dropped (inert), conv patch
+    kernel flattened, layernorms to scale/bias."""
+    from youku_mplug_tpu.models.importers import (
+        owl_vision_params_from_torch,
+    )
+
+    cfg = owl_cfg().vision
+    n, d = cfg.num_heads, cfg.embed_dim // cfg.num_heads
+    sd = external_vision_sd(rng)
+    out = owl_vision_params_from_torch(sd, cfg)
+
+    w = sd["encoder.layers.0.self_attn.query_key_value.weight"]
+    want_qkv = w.T.reshape(DV, n, 3, d).transpose(0, 2, 1, 3)
+    np.testing.assert_array_equal(
+        out["blocks_0"]["attn"]["qkv_kernel"], want_qkv)
+    b = sd["encoder.layers.0.self_attn.query_key_value.bias"
+           ].reshape(n, 3, d)
+    np.testing.assert_array_equal(out["blocks_0"]["attn"]["q_bias"],
+                                  b[:, 0])
+    np.testing.assert_array_equal(out["blocks_0"]["attn"]["v_bias"],
+                                  b[:, 2])
+    np.testing.assert_array_equal(
+        out["blocks_0"]["attn"]["proj_kernel"],
+        sd["encoder.layers.0.self_attn.dense.weight"].T.reshape(n, d, DV))
+    np.testing.assert_array_equal(
+        out["blocks_0"]["norm1"]["scale"],
+        sd["encoder.layers.0.input_layernorm.weight"])
+    np.testing.assert_array_equal(
+        out["blocks_0"]["mlp"]["fc1_kernel"],
+        sd["encoder.layers.0.mlp.fc1.weight"].T)
+    pw = sd["embeddings.patch_embed.weight"]
+    np.testing.assert_array_equal(
+        out["patch_embed"]["kernel"], pw.reshape(DV, -1).T)
+    np.testing.assert_array_equal(out["norm"]["scale"],
+                                  sd["post_layernorm.weight"])
+    np.testing.assert_array_equal(out["norm_pre"]["bias"],
+                                  sd["embeddings.pre_layernorm.bias"])
+
+    # fail-loud on unknown vision tensors
+    sd["encoder.layers.0.mystery.weight"] = np.zeros((2,), np.float32)
+    with pytest.raises(ValueError, match="no mapping"):
+        owl_vision_params_from_torch(sd, cfg)
+
+
+def test_import_owl_external_vision_forward(rng, tmp_path):
+    """A checkpoint with external-style vision + abstractor imports
+    through import_owl and the imported vision tower runs finitely."""
+    torch = pytest.importorskip("torch")
+    import jax
+    import jax.numpy as jnp
+
+    cfg = owl_cfg()
+    model = MPLUGOwlVideo(cfg, policy=FP32_POLICY)
+    B, S, T = 1, 8, 2
+    video = jnp.zeros((B, 3, T, 16, 16), jnp.float32)
+    ids = jnp.ones((B, S), jnp.int32)
+    media = jnp.zeros((B, S), jnp.int32).at[:, 1:1 + cfg.num_media_tokens
+                                            ].set(1)
+    params = model.init(jax.random.key(0), video, ids,
+                        jnp.ones_like(ids), media,
+                        jnp.zeros_like(ids))["params"]
+
+    sd = {("abstractor." + k if not k.startswith("query_tokens") else k):
+          v for k, v in external_abstractor_sd(rng).items()}
+    sd.update({"vision_model." + k: v
+               for k, v in external_vision_sd(rng).items()})
+    torch.save({k: torch.from_numpy(np.asarray(v))
+                for k, v in sd.items()},
+               tmp_path / "pytorch_model.bin")
+    imported = import_owl(params, cfg, str(tmp_path))
+
+    np.testing.assert_array_equal(
+        np.asarray(imported["visual_encoder"]["cls_token"]),
+        sd["vision_model.embeddings.cls_token"])
+    qf = model.apply({"params": imported}, video,
+                     method=MPLUGOwlVideo.encode_video)
+    assert np.isfinite(np.asarray(qf)).all()
+
+    # a vision tensor set missing a required param refuses to import
+    sd.pop("vision_model.encoder.layers.0.mlp.fc2.weight")
+    torch.save({k: torch.from_numpy(np.asarray(v))
+                for k, v in sd.items()},
+               tmp_path / "pytorch_model.bin")
+    with pytest.raises(ValueError):
+        import_owl(params, cfg, str(tmp_path))
+
+
 def test_import_owl_end_to_end(rng, tmp_path):
     """Full-path round trip: torch-save an external-named checkpoint,
     import into an initialized MPLUGOwlVideo tree, verify tensors landed

@@ -588,6 +588,135 @@ def owl_abstractor_params_from_torch(sd: Dict[str, np.ndarray],
     return out
 
 
+def owl_vision_params_from_torch(sd: Dict[str, np.ndarray],
+                                 vision_cfg) -> dict:
+    """External MplugOwlVisionModel tensors -> our VisionTransformer
+    params (models/vision.py, clip_model layout).
+
+    The external vision tower uses megatron-style naming — fused
+    ``self_attn.query_key_value`` with HEAD-MAJOR interleaved rows
+    [n, 3, d] (the same fused layout as the checkpoint's Bloom side),
+    ``self_attn.dense``, ``input_layernorm``/``post_attention_layernorm``
+    per layer, ``embeddings.{cls_token,patch_embed,position_embedding,
+    pre_layernorm}`` and a final ``post_layernorm`` — none of which the
+    timm converter (:func:`vision_params_from_torch`) recognizes.
+
+    Like the abstractor mapper this is deterministic and fail-loud:
+    unconsumed input tensors raise.  The fused k-bias is dropped by the
+    zero-k convention — attention scores are invariant to a constant
+    key offset (q·(k+b) shifts every logit in the row equally), so the
+    drop is mathematically exact.
+    """
+    dim = vision_cfg.embed_dim
+    n = vision_cfg.num_heads
+    d = dim // n
+    params: dict = {}
+    unconsumed = []
+
+    def ln_assign(tree, key, v, is_weight):
+        tree.setdefault(key, {})[
+            "scale" if is_weight else "bias"] = np.asarray(v)
+
+    layer_re = re.compile(r"encoder\.layers\.(\d+)\.")
+    for name, v in sorted(sd.items()):
+        v = np.asarray(v)
+        is_weight = name.endswith(".weight")
+        m = layer_re.search(name)
+        if m is None:
+            # ---- embeddings / final norm -----------------------------
+            if "cls_token" in name:
+                params["cls_token"] = v.reshape(1, 1, dim)
+            elif "position_embedding" in name or "pos_embed" in name:
+                pe = v if v.ndim == 3 else v[None]
+                params["pos_embed"] = resize_pos_embed(
+                    pe, vision_cfg.num_patches)
+            elif "patch_embed" in name and is_weight:
+                params.setdefault("patch_embed", {})[
+                    "kernel"] = v.reshape(v.shape[0], -1).T
+            elif "patch_embed" in name and name.endswith(".bias"):
+                params.setdefault("patch_embed", {})["bias"] = v
+            elif "pre_layernorm" in name or "pre_layrnorm" in name:
+                ln_assign(params, "norm_pre", v, is_weight)
+            elif "post_layernorm" in name:
+                ln_assign(params, "norm", v, is_weight)
+            else:
+                unconsumed.append(name)
+            continue
+
+        # ---- per-layer tensors ---------------------------------------
+        li = int(m.group(1))
+        if li >= vision_cfg.depth:
+            raise ValueError(
+                f"{name}: layer {li} >= depth {vision_cfg.depth}")
+        suffix = name[m.end():]
+        blk = params.setdefault(f"blocks_{li}", {})
+        if suffix.startswith(("input_layernorm", "layer_norm1")):
+            ln_assign(blk, "norm1", v, is_weight)
+        elif suffix.startswith(("post_attention_layernorm",
+                                "layer_norm2")):
+            ln_assign(blk, "norm2", v, is_weight)
+        elif "query_key_value" in suffix:
+            attn = blk.setdefault("attn", {})
+            if is_weight:  # [3D, D] head-major rows -> [D, 3, n, d]
+                attn["qkv_kernel"] = (
+                    v.T.reshape(dim, n, 3, d).transpose(0, 2, 1, 3))
+            else:  # [3D] head-major -> q/v per-head; k dropped (inert)
+                b = v.reshape(n, 3, d)
+                attn["q_bias"] = b[:, 0]
+                attn["v_bias"] = b[:, 2]
+        elif "self_attn.dense" in suffix or suffix.startswith(
+                ("self_attn.out_proj", "self_attn.proj")):
+            attn = blk.setdefault("attn", {})
+            if is_weight:
+                attn["proj_kernel"] = v.T.reshape(n, d, dim)
+            else:
+                attn["proj_bias"] = v
+        elif "mlp.fc1" in suffix:
+            mlp = blk.setdefault("mlp", {})
+            mlp["fc1_kernel" if is_weight else "fc1_bias"] = (
+                v.T if is_weight else v)
+        elif "mlp.fc2" in suffix:
+            mlp = blk.setdefault("mlp", {})
+            mlp["fc2_kernel" if is_weight else "fc2_bias"] = (
+                v.T if is_weight else v)
+        else:
+            unconsumed.append(name)
+
+    if unconsumed:
+        raise ValueError(
+            "owl vision import: %d tensor(s) have no mapping — refusing "
+            "a partial vision import. Unconsumed: %s"
+            % (len(unconsumed), ", ".join(sorted(unconsumed))))
+    return params
+
+
+def _leaf_paths(tree, prefix=""):
+    out = []
+    for k, v in tree.items():
+        p = prefix + "/" + k if prefix else k
+        out += _leaf_paths(v, p) if isinstance(v, dict) else [p]
+    return out
+
+
+def check_covered(expected_tree: dict, provided_tree: dict, what: str,
+                  optional=()):
+    """Raise unless every leaf of ``expected_tree`` has a value in
+    ``provided_tree`` (fail-loud against partial checkpoint imports);
+    ``optional`` is an iterable of substrings marking legitimately
+    absent paths."""
+    expected = set(_leaf_paths(expected_tree))
+    provided = set(_leaf_paths(provided_tree))
+    missing = sorted(
+        p for p in expected - provided
+        if not any(o in p for o in optional))
+    if missing:
+        raise ValueError(
+            "%s import: checkpoint provides no tensor for %d model "
+            "param(s) — refusing a partial import (random init would "
+            "silently corrupt the model). Missing: %s"
+            % (what, len(missing), ", ".join(missing)))
+
+
 def merge_exact(params: dict, imported: dict, prefix="") -> int:
     """Like :func:`merge_into` but FAIL-LOUD: every imported leaf must
     have a matching target key (and shape) in ``params``."""
@@ -645,9 +774,21 @@ def import_owl(params: dict, cfg, model_dir: str) -> dict:
     vis = {k[len("vision_model."):]: v for k, v in sd.items()
            if k.startswith("vision_model.")}
     if vis:
-        vp = vision_params_from_torch(vis, cfg.vision)
-        n = merge_into(params["visual_encoder"], vp)
-        print(f"imported {n} vision tensors", flush=True)
+        if any("encoder.layers." in k for k in vis):
+            # external MplugOwlVisionModel naming (megatron-style) —
+            # deterministic fail-loud mapper, like the abstractor side
+            vp = owl_vision_params_from_torch(vis, cfg.vision)
+            # patch-embed conv has no bias in the external tower
+            check_covered(params["visual_encoder"], vp, "owl vision",
+                          optional=("patch_embed/bias",))
+            n = merge_exact(params["visual_encoder"], vp)
+            print(f"imported {n} vision tensors (exact, fail-loud)",
+                  flush=True)
+        else:
+            # timm/CLIP "blocks.{i}" naming: the shared converter
+            vp = vision_params_from_torch(vis, cfg.vision)
+            n = merge_into(params["visual_encoder"], vp)
+            print(f"imported {n} vision tensors", flush=True)
 
     abst = {k: v for k, v in sd.items()
             if k.startswith("abstractor.") or k.startswith("query_tokens")}
@@ -665,29 +806,12 @@ def import_owl(params: dict, cfg, model_dir: str) -> dict:
         # leave part of the visual conditioning at random init (e.g. a
         # partially-downloaded shard set).  Legitimately absent:
         # temporal_embed / in_proj (image-variant checkpoints).
-        def leaf_paths(tree, prefix=""):
-            out = []
-            for k, v in tree.items():
-                p = prefix + "/" + k if prefix else k
-                out += leaf_paths(v, p) if isinstance(v, dict) else [p]
-            return out
-
-        expected = set(leaf_paths(params["abstractor"], "abstractor"))
-        expected |= set(leaf_paths(params["visual_fc"], "visual_fc"))
+        expected = {"abstractor": params["abstractor"],
+                    "visual_fc": params["visual_fc"]}
         if cfg.use_vit_eos:
-            expected.add("vit_eos")
-        provided = set(leaf_paths(
-            {k: v for k, v in ap.items() if isinstance(v, dict)}))
-        provided |= {k for k, v in ap.items() if not isinstance(v, dict)}
-        optional = {"abstractor/temporal_embed"} | {
-            p for p in expected if "/in_proj/" in p}
-        missing = sorted(expected - provided - optional)
-        if missing:
-            raise ValueError(
-                "abstractor import: checkpoint provides no tensor for "
-                "%d model param(s) — refusing a partial import (random "
-                "init would silently corrupt visual conditioning). "
-                "Missing: %s" % (len(missing), ", ".join(missing)))
+            expected["vit_eos"] = params["vit_eos"]
+        check_covered(expected, ap, "abstractor",
+                      optional=("temporal_embed", "/in_proj/"))
 
         n = merge_exact(params, ap)
         print(f"imported {n} abstractor tensors (exact, fail-loud)",
