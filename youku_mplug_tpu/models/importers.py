@@ -816,6 +816,17 @@ def import_owl(params: dict, cfg, model_dir: str) -> dict:
         n = merge_exact(params, ap)
         print(f"imported {n} abstractor tensors (exact, fail-loud)",
               flush=True)
+
+    claimed = ("language_model.", "vision_model.", "abstractor.",
+               "query_tokens")
+    leftovers = sorted(k for k in sd if not k.startswith(claimed))
+    if leftovers:
+        # not fatal (checkpoints carry tied lm_head copies, rotary
+        # buffers etc.) but never silent
+        print(f"WARNING: {len(leftovers)} checkpoint tensor(s) outside "
+              f"the known module prefixes were ignored: "
+              f"{leftovers[:6]}{'...' if len(leftovers) > 6 else ''}",
+              flush=True)
     return params
 
 
