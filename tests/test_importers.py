@@ -148,6 +148,27 @@ def test_pos_embed_resize():
     np.testing.assert_allclose(out[:, 0], posemb[:, 0])  # cls kept
 
 
+def test_pos_embed_resize_matches_torch():
+    """Exact vs the reference's F.interpolate(mode='bilinear',
+    align_corners=False) (vision_transformer.py:731-749), including a
+    1024-dim grid (where the old cv2 path crashed at OpenCV's
+    512-channel cap — the ViT-L regression the full-shape owl import
+    test caught)."""
+    for gs_old, gs_new, dim in ((14, 16, 1024), (7, 14, 768),
+                                (16, 10, 32)):
+        posemb = np.random.default_rng(gs_old).normal(
+            size=(1, 1 + gs_old * gs_old, dim)).astype(np.float32)
+        out = resize_pos_embed(posemb, gs_new * gs_new)
+        grid = torch.tensor(posemb[0, 1:]).reshape(
+            1, gs_old, gs_old, dim).permute(0, 3, 1, 2)
+        want = torch.nn.functional.interpolate(
+            grid, size=(gs_new, gs_new), mode="bilinear"
+        ).permute(0, 2, 3, 1).reshape(1, gs_new * gs_new, dim).numpy()
+        np.testing.assert_allclose(out[:, 1:], want, rtol=2e-5,
+                                   atol=2e-6)
+        np.testing.assert_allclose(out[:, 0], posemb[:, 0])
+
+
 def test_temporal_embed_resize_matches_torch():
     temb = np.random.default_rng(1).normal(size=(1, 4, 6)).astype(
         np.float32)

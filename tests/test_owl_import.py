@@ -287,6 +287,82 @@ def test_import_owl_external_vision_forward(rng, tmp_path):
         import_owl(params, cfg, str(tmp_path))
 
 
+def test_owl_import_full_shape(rng):
+    """Production geometry for the round-5 mappers: ViT-L/14 (1024 dim,
+    16 heads, 257 positions) + the real abstractor (1024/2816, 64
+    queries, 6 layers -> 2 here for speed; layers are homogeneous) with
+    pos-embed identity at matching grid and resize from a 197-position
+    (16x16-patch) checkpoint.  Catches geometry bugs tiny shapes hide
+    (head de-interleave at n=16, 3*1024 fused rows, 2816 ffn_ln)."""
+    from youku_mplug_tpu.models.importers import (
+        owl_abstractor_params_from_torch,
+        owl_vision_params_from_torch,
+    )
+    from youku_mplug_tpu.models.vision import VisionConfig
+
+    vis_cfg = VisionConfig(img_size=224, patch_size=14, embed_dim=1024,
+                           depth=2, num_heads=16, clip_model=True,
+                           attn_impl="xla")
+    n, d = 16, 64
+    sd = external_vision_sd(rng, depth=2, dim=1024, heads=16,
+                            patches=vis_cfg.num_patches)
+    sd["embeddings.patch_embed.weight"] = rng.standard_normal(
+        (1024, 3, 14, 14)).astype(np.float32)
+    out = owl_vision_params_from_torch(sd, vis_cfg)
+    assert out["blocks_1"]["attn"]["qkv_kernel"].shape == (1024, 3, n, d)
+    assert out["pos_embed"].shape == (1, vis_cfg.num_patches + 1, 1024)
+    assert out["patch_embed"]["kernel"].shape == (3 * 14 * 14, 1024)
+    w = sd["encoder.layers.1.self_attn.query_key_value.weight"]
+    np.testing.assert_array_equal(
+        out["blocks_1"]["attn"]["qkv_kernel"],
+        w.T.reshape(1024, n, 3, d).transpose(0, 2, 1, 3))
+
+    # checkpoint at a DIFFERENT patch grid: bilinear pos-embed resize
+    sd197 = dict(sd)
+    sd197["embeddings.position_embedding"] = rng.standard_normal(
+        (1, 197, 1024)).astype(np.float32)  # 14x14 grid + cls
+    out197 = owl_vision_params_from_torch(sd197, vis_cfg)
+    assert out197["pos_embed"].shape == (1, vis_cfg.num_patches + 1,
+                                         1024)
+
+    # production abstractor geometry (1024/2816/16h/64q)
+    acfg = OwlAbstractorConfig(hidden_size=1024, num_layers=2,
+                               num_heads=16, intermediate_size=2816,
+                               num_queries=64, max_frames=32)
+    asd = {}
+    r = lambda *s: rng.standard_normal(s).astype(np.float32)  # noqa: E731
+    asd["query_tokens"] = r(1, 64, 1024)
+    for i in range(2):
+        p = f"encoder.layers.{i}.crossattention."
+        for nrm in ("norm1", "normk"):
+            asd[p + nrm + ".weight"] = r(1024)
+            asd[p + nrm + ".bias"] = r(1024)
+        for proj in ("query", "key", "value"):
+            asd[p + "attention." + proj + ".weight"] = r(1024, 1024)
+            asd[p + "attention." + proj + ".bias"] = r(1024)
+        asd[p + "output.out_proj.weight"] = r(1024, 1024)
+        asd[p + "output.out_proj.bias"] = r(1024)
+        asd[p + "output.norm2.weight"] = r(1024)
+        asd[p + "output.norm2.bias"] = r(1024)
+        for w_, shp in (("w1", (2816, 1024)), ("w2", (1024, 2816)),
+                        ("w3", (2816, 1024))):
+            asd[p + "output.mlp." + w_ + ".weight"] = r(*shp)
+            asd[p + "output.mlp." + w_ + ".bias"] = r(shp[0])
+        asd[p + "output.mlp.ffn_ln.weight"] = r(2816)
+        asd[p + "output.mlp.ffn_ln.bias"] = r(2816)
+    asd["visual_fc.weight"] = r(4096, 1024)  # bloomz-7b1 hidden
+    asd["visual_fc.bias"] = r(4096)
+    asd["vit_eos"] = r(1, 1, 4096)
+    aout = owl_abstractor_params_from_torch(asd, acfg)
+    lt = aout["abstractor"]["layers_1"]
+    assert lt["mlp"]["w1_kernel"].shape == (1024, 2816)
+    assert lt["mlp"]["ffn_ln"]["scale"].shape == (2816,)
+    assert aout["visual_fc"]["kernel"].shape == (1024, 4096)
+    np.testing.assert_array_equal(
+        lt["q_kernel"],
+        asd["encoder.layers.1.crossattention.attention.query.weight"].T)
+
+
 def test_import_owl_end_to_end(rng, tmp_path):
     """Full-path round trip: torch-save an external-named checkpoint,
     import into an initialized MPLUGOwlVideo tree, verify tensors landed

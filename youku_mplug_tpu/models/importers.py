@@ -294,19 +294,38 @@ def bloom_params_from_torch(sd: Dict[str, np.ndarray], cfg,
     }
 
 
+def _interp_linear_axis(x: np.ndarray, new_len: int,
+                        axis: int) -> np.ndarray:
+    """1-D linear interpolation along ``axis`` with torch
+    F.interpolate's align_corners=False half-pixel sampling."""
+    old = x.shape[axis]
+    if old == new_len:
+        return x
+    src = (np.arange(new_len) + 0.5) * old / new_len - 0.5
+    lo = np.clip(np.floor(src).astype(int), 0, old - 1)
+    hi = np.clip(lo + 1, 0, old - 1)
+    w = np.clip(src - lo, 0.0, 1.0)
+    shape = [1] * x.ndim
+    shape[axis] = new_len
+    w = w.reshape(shape)
+    return (np.take(x, lo, axis=axis) * (1 - w)
+            + np.take(x, hi, axis=axis) * w)
+
+
 def resize_pos_embed(posemb: np.ndarray, num_patches_new: int) -> np.ndarray:
     """[1, 1+N_old, D] -> [1, 1+N_new, D], bilinear over the patch grid
-    (reference vision_transformer.py:731-749)."""
-    import cv2
-
+    (reference vision_transformer.py:731-749, torch F.interpolate
+    mode='bilinear' align_corners=False — bilinear is separable, so two
+    half-pixel 1-D passes reproduce it exactly; the previous cv2.resize
+    crashed past OpenCV's 512-channel cap, i.e. on every >512-dim ViT)."""
     tok, grid = posemb[:, :1], posemb[0, 1:]
     gs_old = int(np.sqrt(len(grid)))
     gs_new = int(np.sqrt(num_patches_new))
     if gs_old == gs_new:
         return posemb
-    grid = grid.reshape(gs_old, gs_old, -1)
-    grid = cv2.resize(grid.astype(np.float32), (gs_new, gs_new),
-                      interpolation=cv2.INTER_LINEAR)
+    grid = grid.reshape(gs_old, gs_old, -1).astype(np.float32)
+    grid = _interp_linear_axis(grid, gs_new, axis=0)
+    grid = _interp_linear_axis(grid, gs_new, axis=1)
     return np.concatenate(
         [tok, grid.reshape(1, gs_new * gs_new, -1)], axis=1)
 
