@@ -797,9 +797,10 @@ def import_owl(params: dict, cfg, model_dir: str) -> dict:
             # external MplugOwlVisionModel naming (megatron-style) —
             # deterministic fail-loud mapper, like the abstractor side
             vp = owl_vision_params_from_torch(vis, cfg.vision)
-            # patch-embed conv has no bias in the external tower
+            # patch-embed conv has no bias in the external tower; lora
+            # adapters are finetune-side params no checkpoint carries
             check_covered(params["visual_encoder"], vp, "owl vision",
-                          optional=("patch_embed/bias",))
+                          optional=("patch_embed/bias", "lora_"))
             n = merge_exact(params["visual_encoder"], vp)
             print(f"imported {n} vision tensors (exact, fail-loud)",
                   flush=True)
@@ -830,7 +831,7 @@ def import_owl(params: dict, cfg, model_dir: str) -> dict:
         if cfg.use_vit_eos:
             expected["vit_eos"] = params["vit_eos"]
         check_covered(expected, ap, "abstractor",
-                      optional=("temporal_embed", "/in_proj/"))
+                      optional=("temporal_embed", "/in_proj/", "lora_"))
 
         n = merge_exact(params, ap)
         print(f"imported {n} abstractor tensors (exact, fail-loud)",
