@@ -168,7 +168,7 @@ def test_layer_out_of_range_raises(rng):
         owl_abstractor_params_from_torch(sd, cfg.abstractor)
 
 
-def external_vision_sd(rng, depth=1, dim=DV, heads=4, patches=4):
+def external_vision_sd(rng, depth=1, dim=DV, patches=4):
     """MplugOwlVisionModel (megatron-style) naming at tiny shape."""
     r = lambda *s: rng.standard_normal(s).astype(np.float32)  # noqa: E731
     sd = {
@@ -304,7 +304,7 @@ def test_owl_import_full_shape(rng):
                            depth=2, num_heads=16, clip_model=True,
                            attn_impl="xla")
     n, d = 16, 64
-    sd = external_vision_sd(rng, depth=2, dim=1024, heads=16,
+    sd = external_vision_sd(rng, depth=2, dim=1024,
                             patches=vis_cfg.num_patches)
     sd["embeddings.patch_embed.weight"] = rng.standard_normal(
         (1024, 3, 14, 14)).astype(np.float32)
@@ -361,6 +361,41 @@ def test_owl_import_full_shape(rng):
     np.testing.assert_array_equal(
         lt["q_kernel"],
         asd["encoder.layers.1.crossattention.attention.query.weight"].T)
+
+
+def test_owl_vision_uses_quick_gelu(rng):
+    """The external vision tower is CLIP-lineage (hidden_act =
+    'quick_gelu'); the owl config must run x*sigmoid(1.702x), not
+    standard GELU (max |Δ| ~2e-2 — far above the bf16 tanh/erf budget,
+    so the wrong activation silently corrupts imported features)."""
+    import jax
+    import jax.numpy as jnp
+
+    from youku_mplug_tpu.models.vision import Mlp
+
+    assert MPLUGOwlVideoConfig().vision.gelu == "quick"  # class default
+    # run_instruct's YAML loader applies the same default
+    import yaml as _yaml
+
+    from youku_mplug_tpu.cli.run_instruct import load_owl_config
+    import tempfile
+
+    with tempfile.NamedTemporaryFile("w", suffix=".yaml") as f:
+        f.write(_yaml.safe_dump({"vision_overrides": {"img_size": 16,
+                                                      "patch_size": 8}}))
+        f.flush()
+        loaded, _ = load_owl_config(f.name)
+    assert loaded.vision.gelu == "quick"
+
+    x = jnp.asarray(rng.standard_normal((2, 3, 8)).astype(np.float32))
+    mlp = Mlp(8, 16, gelu="quick")
+    p = mlp.init(jax.random.key(0), x)["params"]
+    got = mlp.apply({"params": p}, x)
+    h = x @ p["fc1_kernel"] + p["fc1_bias"]
+    h = h * jax.nn.sigmoid(1.702 * h)  # QuickGELU
+    want = h @ p["fc2_kernel"] + p["fc2_bias"]
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-6, atol=1e-6)
 
 
 def test_import_owl_end_to_end(rng, tmp_path):

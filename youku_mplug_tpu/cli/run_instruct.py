@@ -272,6 +272,9 @@ def load_owl_config(path: str) -> tuple:
     text = (BloomConfig.from_json_file(tj, **text_kw) if tj
             else BloomConfig(**text_kw))
     vis_kw = dict(raw.get("vision_overrides") or {})
+    # the owl vision tower is CLIP-lineage: QuickGELU unless the YAML
+    # overrides (see MPLUGOwlVideoConfig)
+    vis_kw.setdefault("gelu", "quick")
     vj = resolve(raw.get("vision_model_json", ""))
     vision = (VisionConfig.from_json_file(vj, **vis_kw) if vj
               else VisionConfig(**vis_kw))

@@ -334,15 +334,7 @@ def resize_temporal_embed(temb: np.ndarray, t_new: int) -> np.ndarray:
     """[1, T_old, D] -> [1, T_new, D], linear interp (reference
     vision_transformer.py:752-764, torch F.interpolate mode='linear',
     align_corners=False)."""
-    t_old = temb.shape[1]
-    if t_old == t_new:
-        return temb
-    # torch linear interpolate (align_corners=False) sampling positions
-    src = (np.arange(t_new) + 0.5) * t_old / t_new - 0.5
-    lo = np.clip(np.floor(src).astype(int), 0, t_old - 1)
-    hi = np.clip(lo + 1, 0, t_old - 1)
-    w = np.clip(src - lo, 0.0, 1.0)[None, :, None]
-    return temb[:, lo] * (1 - w) + temb[:, hi] * w
+    return _interp_linear_axis(temb, t_new, axis=1)
 
 
 def vision_params_from_torch(sd: Dict[str, np.ndarray], vision_cfg) -> dict:
@@ -793,22 +785,28 @@ def import_owl(params: dict, cfg, model_dir: str) -> dict:
     vis = {k[len("vision_model."):]: v for k, v in sd.items()
            if k.startswith("vision_model.")}
     if vis:
-        if any("encoder.layers." in k for k in vis):
+        # the timm converter only understands "blocks.{i}" naming; any
+        # OTHER layer naming (or no layer keys at all — e.g. a missing
+        # by-key HF shard leaving only embeddings.*) routes through the
+        # external mapper, whose coverage check then rejects partial
+        # checkpoints instead of silently importing ~0 tensors
+        if any(k.startswith("blocks.") for k in vis):
+            vp = vision_params_from_torch(vis, cfg.vision)
+            check_covered(params["visual_encoder"], vp, "owl vision",
+                          optional=("patch_embed/bias", "lora_"))
+            n = merge_into(params["visual_encoder"], vp)
+            print(f"imported {n} vision tensors", flush=True)
+        else:
             # external MplugOwlVisionModel naming (megatron-style) —
-            # deterministic fail-loud mapper, like the abstractor side
-            vp = owl_vision_params_from_torch(vis, cfg.vision)
-            # patch-embed conv has no bias in the external tower; lora
+            # deterministic fail-loud mapper, like the abstractor side;
+            # patch-embed conv has no bias in the external tower, lora
             # adapters are finetune-side params no checkpoint carries
+            vp = owl_vision_params_from_torch(vis, cfg.vision)
             check_covered(params["visual_encoder"], vp, "owl vision",
                           optional=("patch_embed/bias", "lora_"))
             n = merge_exact(params["visual_encoder"], vp)
             print(f"imported {n} vision tensors (exact, fail-loud)",
                   flush=True)
-        else:
-            # timm/CLIP "blocks.{i}" naming: the shared converter
-            vp = vision_params_from_torch(vis, cfg.vision)
-            n = merge_into(params["visual_encoder"], vp)
-            print(f"imported {n} vision tensors", flush=True)
 
     abst = {k: v for k, v in sd.items()
             if k.startswith("abstractor.") or k.startswith("query_tokens")}

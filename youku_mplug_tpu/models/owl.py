@@ -209,9 +209,12 @@ class OwlVisualAbstractor(nn.Module):
 
 @dataclasses.dataclass(frozen=True)
 class MPLUGOwlVideoConfig:
+    # gelu="quick": the external MplugOwlVisionModel is CLIP-lineage
+    # (hidden_act='quick_gelu'); a standard-GELU forward would silently
+    # drift every vision MLP on imported checkpoints
     vision: VisionConfig = VisionConfig(
         img_size=224, patch_size=14, embed_dim=1024, depth=24,
-        num_heads=16, clip_model=True)
+        num_heads=16, clip_model=True, gelu="quick")
     abstractor: OwlAbstractorConfig = OwlAbstractorConfig()
     text: BloomConfig = BloomConfig()
     # append the learnable vit_eos token after visual_fc (the external

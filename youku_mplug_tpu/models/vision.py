@@ -86,7 +86,9 @@ class VisionConfig:
     # (identical to the decoder's megatron bias_gelu contract) differs
     # from erf-GELU by <1e-3 absolute — below bf16 resolution — so
     # "tanh" is the production default; set "erf" for strict fp32
-    # reference parity.
+    # reference parity.  "quick" = CLIP's QuickGELU x*sigmoid(1.702x)
+    # (NOT within the 1e-3 budget of GELU — required for checkpoints
+    # trained with it, e.g. the mPLUG-Owl CLIP-lineage vision tower).
     gelu: str = "tanh"
     stop_grad_conv1: bool = False
     use_abs_pos_emb: bool = True
@@ -322,7 +324,7 @@ class Mlp(nn.Module):
     hidden: int
     init_std: float = 0.015
     fc2_scale: float = 1.0
-    gelu: str = "tanh"  # "tanh" (fast, default) | "erf" (strict parity)
+    gelu: str = "tanh"  # "tanh" (default) | "erf" (parity) | "quick"
     lora_rank: int = 0
     lora_alpha: float = 16.0
 
@@ -348,9 +350,14 @@ class Mlp(nn.Module):
         if ld is not None:
             y = y + ld
         # reference is torch nn.GELU (exact erf); see VisionConfig.gelu
-        # for why tanh is the TPU production default
-        y = jax.nn.gelu(y + fc1_bias.astype(y.dtype),
-                        approximate=self.gelu == "tanh")
+        # for why tanh is the TPU production default.  "quick" is CLIP's
+        # x*sigmoid(1.702x) — the activation the CLIP-lineage towers
+        # (mPLUG-Owl vision, hidden_act='quick_gelu') were trained with
+        y = y + fc1_bias.astype(y.dtype)
+        if self.gelu == "quick":
+            y = y * jax.nn.sigmoid(1.702 * y)
+        else:
+            y = jax.nn.gelu(y, approximate=self.gelu == "tanh")
         from jax.ad_checkpoint import checkpoint_name
         y = checkpoint_name(y, "vis_fc1h")
         hidden = y
