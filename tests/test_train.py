@@ -185,6 +185,38 @@ def test_checkpoint_roundtrip(tmp_path):
     mngr.close()
 
 
+def test_checkpoint_async_save(tmp_path):
+    """async_save: save() returns without blocking on the disk write;
+    every read path barriers on in-flight writes, so the
+    save-then-immediately-restore sequence stays correct."""
+    from youku_mplug_tpu.train.checkpoint import CheckpointManager
+
+    params = {"w": jnp.arange(8.0), "n": {"b": jnp.full((4, 4), 2.0)}}
+    mngr = CheckpointManager(str(tmp_path / "ckpt"), keep=3,
+                             async_save=True)
+    for step in (1, 2, 3):
+        mngr.save(step, jax.tree.map(lambda x: x * step, params),
+                  metadata={"epoch": step})
+    # reads barrier on the in-flight write
+    assert mngr.latest_step() == 3
+    restored = mngr.restore(3, params)
+    np.testing.assert_allclose(np.asarray(restored["w"]),
+                               np.arange(8.0) * 3)
+    assert mngr.restore_metadata(2) == {"epoch": 2}
+    assert mngr.rollback_step() == 2
+    # explicit barrier is also exposed (pre-exit flush)
+    mngr.wait_until_finished()
+    mngr.close()
+
+    # a fresh SYNC manager over the same directory sees all steps
+    mngr2 = CheckpointManager(str(tmp_path / "ckpt"))
+    assert mngr2.latest_step() == 3
+    r2 = mngr2.restore(2, params)
+    np.testing.assert_allclose(np.asarray(r2["n"]["b"]),
+                               np.full((4, 4), 4.0))
+    mngr2.close()
+
+
 def test_lr_scale_rules_two_optimizer_split():
     p = _toy_params()
     s = lr_scale_tree(p, lr_scale_rules=((r"visual_encoder", 0.2),

@@ -146,7 +146,9 @@ def setup(args, niter_per_ep: int = 1000) -> Runner:
     os.makedirs(args.output_dir, exist_ok=True)
     if is_main:
         dump_config(cfg, args.output_dir)
-    ckpt = CheckpointManager(os.path.join(args.output_dir, "checkpoints"))
+    ckpt = CheckpointManager(
+        os.path.join(args.output_dir, "checkpoints"),
+        async_save=bool(cfg.get("async_checkpointing", False)))
     tb = TensorboardLogger(os.path.join(args.output_dir, "tb"),
                            enabled=is_main)
 

@@ -216,7 +216,9 @@ def train_main(args):
             frozen_dtype=None if args.fp32 else policy.compute_dtype)
 
     os.makedirs(args.output_dir, exist_ok=True)
-    ckpt = CheckpointManager(os.path.join(args.output_dir, "checkpoints"))
+    ckpt = CheckpointManager(
+        os.path.join(args.output_dir, "checkpoints"),
+        async_save=bool(raw_cfg.get("async_checkpointing", False)))
     tb = TensorboardLogger(os.path.join(args.output_dir, "tb"),
                            enabled=jax.process_index() == 0)
     state, start_epoch = common.resume_state(args, ckpt, state, mesh)

@@ -22,26 +22,44 @@ import orbax.checkpoint as ocp
 
 
 class CheckpointManager:
-    def __init__(self, directory: str, keep: int = 10):
+    def __init__(self, directory: str, keep: int = 10,
+                 async_save: bool = False):
+        """async_save: background the device-to-disk write (orbax async
+        checkpointing) so multi-GB saves overlap the next train steps —
+        save() returns after snapshotting device arrays; every read path
+        (latest_step/restore/...) barriers on in-flight writes first.
+        YAML knob: ``async_checkpointing: true``."""
         self.directory = os.path.abspath(directory)
+        self._async = bool(async_save)
         os.makedirs(self.directory, exist_ok=True)
         self._mngr = ocp.CheckpointManager(
             self.directory,
             options=ocp.CheckpointManagerOptions(
-                max_to_keep=keep, create=True, enable_async_checkpointing=False),
+                max_to_keep=keep, create=True,
+                enable_async_checkpointing=self._async),
         )
 
     def save(self, step: int, state: Any, metadata: Optional[dict] = None,
-             wait: bool = True):
+             wait: Optional[bool] = None):
         args = ocp.args.Composite(
             state=ocp.args.StandardSave(state),
             **({"metadata": ocp.args.JsonSave(metadata)}
                if metadata is not None else {}))
         self._mngr.save(int(step), args=args)
+        if wait is None:
+            wait = not self._async
         if wait:
             self._mngr.wait_until_finished()
 
+    def wait_until_finished(self):
+        self._mngr.wait_until_finished()
+
+    def _barrier(self):
+        if self._async:
+            self._mngr.wait_until_finished()
+
     def all_steps(self):
+        self._barrier()
         return sorted(self._mngr.all_steps())
 
     def latest_step(self) -> Optional[int]:
@@ -58,6 +76,7 @@ class CheckpointManager:
     def restore(self, step: int, template: Any):
         """Restore into the shapes/shardings of ``template`` (an abstract
         or concrete pytree)."""
+        self._barrier()
         abstract = jax.tree.map(ocp.utils.to_shape_dtype_struct, template)
         restored = self._mngr.restore(
             int(step),
@@ -72,12 +91,14 @@ class CheckpointManager:
         pos/temporal embed shapes differ from the checkpoint's, the exact
         template restore would fail, so the caller restores raw and
         interpolates."""
+        self._barrier()
         restored = self._mngr.restore(
             int(step),
             args=ocp.args.Composite(state=ocp.args.StandardRestore()))
         return restored["state"]
 
     def restore_metadata(self, step: int) -> Optional[dict]:
+        self._barrier()
         try:
             out = self._mngr.restore(
                 int(step),
