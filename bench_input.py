@@ -86,8 +86,10 @@ def main():
 
     ds = PretrainVideoDataset([ann_path], root,
                               transform=train_transform(224), num_frames=8)
-    loader = ShardedLoader(ds, batch_size=32, num_workers=num_workers,
-                           prefetch=8, process_index=0, process_count=1)
+    loader = ShardedLoader(
+        ds, batch_size=32, num_workers=num_workers, prefetch=8,
+        process_index=0, process_count=1,
+        workers_impl=os.environ.get("BENCH_WORKER_IMPL", "thread"))
 
     it = iter(loader)
     next(it)  # warm up caches/threads

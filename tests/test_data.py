@@ -199,6 +199,28 @@ def test_sharded_loader_partitions_disjointly():
     assert sorted(seen) == list(range(16))
 
 
+def test_process_workers_match_threads():
+    """workers_impl='process' (forked workers, the GIL-immune mode for
+    many-core hosts) yields batch-identical output to the thread pool."""
+    import numpy as np
+
+    ds = SyntheticVideoDataset(length=8, num_frames=2, size=8)
+    kw = dict(batch_size=2, num_workers=2, seed=5, shuffle=True,
+              process_index=0, process_count=1)
+    got_t = list(ShardedLoader(ds, workers_impl="thread", **kw))
+    got_p = list(ShardedLoader(ds, workers_impl="process", **kw))
+    assert len(got_t) == len(got_p) == 4
+    for bt, bp in zip(got_t, got_p):
+        assert bt.keys() == bp.keys()
+        np.testing.assert_array_equal(bt["video"], bp["video"])
+        assert list(bt["index"]) == list(bp["index"])
+        assert bt["text"] == bp["text"]
+    import pytest
+
+    with pytest.raises(ValueError, match="workers_impl"):
+        ShardedLoader(ds, workers_impl="greenlet", **kw)
+
+
 def test_retry_walks_to_next_index(video_dir, tmp_path):
     ann = [{"clip_name": "missing.mp4", "caption": "bad"},
            {"clip_name": "vid0.mp4", "caption": "good"}]

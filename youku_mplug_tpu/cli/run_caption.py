@@ -53,7 +53,8 @@ def build_loaders(args, cfg):
             **common.decode_kwargs(cfg))
     mk_loader = lambda ds, sh: ShardedLoader(
         ds, cfg.batch_size, shuffle=sh, seed=args.seed,
-        num_workers=cfg.num_workers)
+        num_workers=cfg.num_workers,
+        workers_impl=cfg.get("workers_impl", "thread"))
     return mk_loader(train_ds, True), mk_loader(val_ds, False), \
         mk_loader(test_ds, False)
 

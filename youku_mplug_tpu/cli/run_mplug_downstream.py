@@ -96,7 +96,8 @@ def main(args):
         test_ds.vid2txt = {i: [i] for i in range(len(test_ds))}
         test_ds.txt2vid = {i: [i] for i in range(len(test_ds))}
     loader = ShardedLoader(train_ds, cfg.batch_size, shuffle=True,
-                           seed=args.seed, num_workers=cfg.num_workers)
+                           seed=args.seed, num_workers=cfg.num_workers,
+                           workers_impl=cfg.get("workers_impl", "thread"))
     niter = len(loader) if args.max_steps <= 0 else min(len(loader),
                                                         args.max_steps)
     opt_cfg = dataclasses.replace(cfg.optimizer, niter_per_ep=max(niter, 1),

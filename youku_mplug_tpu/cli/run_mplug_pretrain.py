@@ -106,7 +106,8 @@ def main(args):
                                   num_frames=cfg.num_frames, seed=args.seed,
                                   **common.decode_kwargs(cfg))
     loader = ShardedLoader(ds, cfg.batch_size, shuffle=True, seed=args.seed,
-                           num_workers=cfg.num_workers)
+                           num_workers=cfg.num_workers,
+                           workers_impl=cfg.get("workers_impl", "thread"))
     niter = len(loader) if args.max_steps <= 0 else min(len(loader),
                                                         args.max_steps)
     opt_cfg = dataclasses.replace(cfg.optimizer, niter_per_ep=max(niter, 1),

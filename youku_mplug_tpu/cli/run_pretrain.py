@@ -32,7 +32,8 @@ def build_loader(args, cfg):
             length=cfg.get("synthetic_length", 64),
             num_frames=cfg.num_frames, size=cfg.image_res)
         return ShardedLoader(ds, cfg.batch_size, shuffle=True,
-                             seed=args.seed, num_workers=cfg.num_workers)
+                             seed=args.seed, num_workers=cfg.num_workers,
+                             workers_impl=cfg.get("workers_impl", "thread"))
     groups = cfg.get("train_file_groups")
     if groups:
         # multi-source interleaving (reference create_pretrain_loader +
@@ -48,7 +49,8 @@ def build_loader(args, cfg):
                 **common.decode_kwargs(cfg))
             loaders.append(ShardedLoader(
                 ds, cfg.batch_size, shuffle=True, seed=args.seed,
-                num_workers=cfg.num_workers))
+                num_workers=cfg.num_workers,
+                workers_impl=cfg.get("workers_impl", "thread")))
         return _MetaLoaderAdapter(MetaLoader(loaders, seed=args.seed))
     ds = PretrainVideoDataset(
         cfg.get("train_file"), cfg.get("train_video_root"),
@@ -56,7 +58,8 @@ def build_loader(args, cfg):
         num_frames=cfg.num_frames, seed=args.seed,
         **common.decode_kwargs(cfg))
     return ShardedLoader(ds, cfg.batch_size, shuffle=True, seed=args.seed,
-                         num_workers=cfg.num_workers)
+                         num_workers=cfg.num_workers,
+                         workers_impl=cfg.get("workers_impl", "thread"))
 
 
 class _MetaLoaderAdapter:

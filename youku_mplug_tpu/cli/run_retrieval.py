@@ -116,7 +116,8 @@ def evaluation(runner, dataset, batch_size=None):
     # DistributedSampler and merges on rank 0 (run_retrieval:245-295).
     vfeats = []
     loader = ShardedLoader(dataset, bs, shuffle=False, drop_last=False,
-                           num_workers=cfg.num_workers)
+                           num_workers=cfg.num_workers,
+                           workers_impl=cfg.get("workers_impl", "thread"))
     order = []
     for raw in loader:
         with jax.set_mesh(runner.mesh):
@@ -139,7 +140,8 @@ def main(args):
     train_ds, val_ds, test_ds = build_datasets(args, cfg)
     train_loader = ShardedLoader(train_ds, cfg.batch_size, shuffle=True,
                                  seed=args.seed,
-                                 num_workers=cfg.num_workers)
+                                 num_workers=cfg.num_workers,
+                                 workers_impl=cfg.get("workers_impl", "thread"))
     niter = len(train_loader) if args.max_steps <= 0 else min(
         len(train_loader), args.max_steps)
     runner = common.setup(args, niter_per_ep=niter)

@@ -101,7 +101,8 @@ def evaluation(runner, dataset, text_bs: int = 8):
     # (run_retrieval_itm:279-281)
     vb = cfg.get("eval_video_batch", 4)
     loader = ShardedLoader(dataset, vb, shuffle=False, drop_last=False,
-                           num_workers=cfg.num_workers)
+                           num_workers=cfg.num_workers,
+                           workers_impl=cfg.get("workers_impl", "thread"))
     gen_rows, cls_rows, order = [], [], []
     for raw in loader:
         nv = len(raw["video"])
@@ -153,7 +154,8 @@ def main(args):
     train_ds, val_ds, test_ds = build_datasets(args, cfg)
     train_loader = ShardedLoader(train_ds, cfg.batch_size, shuffle=True,
                                  seed=args.seed,
-                                 num_workers=cfg.num_workers)
+                                 num_workers=cfg.num_workers,
+                                 workers_impl=cfg.get("workers_impl", "thread"))
     niter = len(train_loader) if args.max_steps <= 0 else min(
         len(train_loader), args.max_steps)
     runner = common.setup(args, niter_per_ep=niter)

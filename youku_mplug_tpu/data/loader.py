@@ -6,9 +6,13 @@ The TPU-native replacement for torch DataLoader + DistributedSampler
 - **per-host sharding** (jax.process_index/count) instead of per-GPU rank
   sharding: each host feeds its local devices; inside jit the global batch
   is assembled by GSPMD from the per-host shards.
-- **thread pool** decode workers instead of forked worker processes: the
-  decode path (native libav / cv2) releases the GIL, and threads share the
-  annotation memory; no pickling, no fork.
+- **thread pool** decode workers by default: the decode path (native
+  libav / cv2) releases the GIL, and threads share the annotation
+  memory; no pickling, no fork.  ``workers_impl="process"`` switches to
+  forked worker PROCESSES (the torch-DataLoader model) for pipelines
+  whose per-sample python/numpy time would otherwise serialize through
+  the GIL on many-core hosts — the honest lever if thread scaling ever
+  plateaus below the per-core rate on a real TPU host.
 - **deterministic order**: epoch shuffles come from a seeded Generator,
   identical on every host (the reference broadcasts a shuffled order from
   rank 0 — seeding makes the broadcast unnecessary, same trick as its
@@ -21,10 +25,19 @@ from __future__ import annotations
 
 import queue
 import threading
-from concurrent.futures import ThreadPoolExecutor
+from concurrent.futures import ProcessPoolExecutor, ThreadPoolExecutor
 from typing import Any, Callable, Dict, Iterator, List, Optional, Sequence
 
 import numpy as np
+
+# fork-inherited dataset registry for workers_impl="process": children
+# created with the fork start method see the parent's registry without
+# pickling the dataset (annotations, decoder handles re-open lazily)
+_FORK_DATASETS: Dict[int, Any] = {}
+
+
+def _fetch_forked(ds_key: int, index: int):
+    return _FORK_DATASETS[ds_key][index]
 
 
 def _default_collate(samples: List[dict]) -> Dict[str, Any]:
@@ -49,9 +62,14 @@ class ShardedLoader:
                  seed: int = 0, drop_last: bool = True, num_workers: int = 8,
                  prefetch: int = 4, collate: Callable = _default_collate,
                  process_index: Optional[int] = None,
-                 process_count: Optional[int] = None):
+                 process_count: Optional[int] = None,
+                 workers_impl: str = "thread"):
         import jax
 
+        if workers_impl not in ("thread", "process"):
+            raise ValueError(f"workers_impl must be 'thread' or "
+                             f"'process', got {workers_impl!r}")
+        self.workers_impl = workers_impl
         self.dataset = dataset
         self.batch_size = batch_size  # per host
         self.shuffle = shuffle
@@ -100,13 +118,30 @@ class ShardedLoader:
         stop = threading.Event()
 
         def produce():
-            with ThreadPoolExecutor(self.num_workers) as pool:
+            if self.workers_impl == "process":
+                # fork AFTER set_epoch so children see this epoch's
+                # sampling state; children run pure host code (decode /
+                # numpy), never jax
+                import multiprocessing as mp
+
+                key = id(self.dataset)
+                _FORK_DATASETS[key] = self.dataset
+                pool = ProcessPoolExecutor(
+                    self.num_workers,
+                    mp_context=mp.get_context("fork"))
+                submit = lambda i: pool.submit(_fetch_forked, key, i)
+            else:
+                pool = ThreadPoolExecutor(self.num_workers)
+                submit = lambda i: pool.submit(
+                    self.dataset.__getitem__, i)
+            try:
                 # pipeline: submit the next batch's samples while the
                 # previous is being consumed
                 pending = []
                 for bidx in batches:
-                    pending.append([pool.submit(self.dataset.__getitem__,
-                                                int(i)) for i in bidx])
+                    if stop.is_set():  # consumer broke out early
+                        return
+                    pending.append([submit(int(i)) for i in bidx])
                     while len(pending) > 2:
                         if stop.is_set():
                             return
@@ -116,6 +151,9 @@ class ShardedLoader:
                     if stop.is_set():
                         return
                     q.put(self.collate([f.result() for f in futs]))
+            finally:
+                pool.shutdown(wait=False, cancel_futures=True)
+                _FORK_DATASETS.pop(id(self.dataset), None)
             q.put(None)
 
         thread = threading.Thread(target=produce, daemon=True)
