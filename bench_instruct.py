@@ -67,7 +67,14 @@ def synth_int8_bloom(cfg, policy, seed=0):
             axes, base_rank = spec
             shift = leaf.ndim - base_rank
             key, sub = jax.random.split(key)
-            q = jax.random.randint(sub, leaf.shape, -127, 128, jnp.int8)
+            # randint would materialize a 4-byte random word per int8
+            # element (an ~8 GB transient on the 7B fused kernels — the
+            # actual OOM/wedge risk); random bits bitcast to int8 keep
+            # the transient at exactly the weight size
+            n_el = int(np.prod(leaf.shape))
+            words = jax.random.bits(sub, ((n_el + 3) // 4,), jnp.uint32)
+            q = jax.lax.bitcast_convert_type(
+                words, jnp.int8).reshape(-1)[:n_el].reshape(leaf.shape)
             s_shape = tuple(1 if (i - shift) in axes else d
                             for i, d in enumerate(leaf.shape))
             # scale ~ N(0, 0.02)-weight absmax/127 over hidden-size fan-in
@@ -124,6 +131,28 @@ def main():
                                depth=24, num_heads=16, clip_model=True)
         abst_cfg = OwlAbstractorConfig()
         frames = 8
+
+    # ---- device-capacity pre-check (host-side arithmetic) -----------
+    # an oversized allocation doesn't just OOM: it can wedge the
+    # tunneled relay backend for many minutes.  Estimate resident bytes
+    # (int8 weights + embedding + KV cache + decode workspace) and
+    # refuse configs that cannot fit 16 GB BEFORE touching the device.
+    n_layers, h = text_cfg.num_hidden_layers, text_cfg.hidden_size
+    weight_b = (12 * h * h * n_layers            # int8 kernels
+                + text_cfg.vocab_size * h)       # int8 embedding
+    kv_len = prompt_len + nq + new_tokens + 2
+    kv_b = n_layers * batch * kv_len * 2 * h * 2  # bf16 packed cache
+    logits_b = batch * text_cfg.vocab_size * 4    # decode-step logits
+    est_gb = (weight_b + kv_b + 4 * logits_b) / 2**30
+    budget_gb = float(os.environ.get("BENCH_HBM_GB", "16")) * 0.85
+    if est_gb > budget_gb:
+        raise SystemExit(
+            f"estimated resident {est_gb:.1f} GB exceeds "
+            f"{budget_gb:.1f} GB usable HBM — lower "
+            f"BENCH_INSTRUCT_BATCH/TOKENS (refusing to risk wedging "
+            f"the relay)")
+    print(f"# capacity check: ~{est_gb:.1f} GB resident (budget "
+          f"{budget_gb:.1f})", file=sys.stderr)
 
     policy = Policy(param_dtype=jnp.bfloat16)
     lm, qparams, scales = synth_int8_bloom(text_cfg, policy)
