@@ -19,6 +19,7 @@ from tools.metric_parity import (
     load_reference_eval_modules,
     max_divergence,
     run_cls_parity,
+    run_itm_loop_parity,
     run_itm_parity,
     run_topk_parity,
 )
@@ -56,6 +57,19 @@ def test_itm_metric_parity():
         assert max_divergence(pair) < 1e-9, pair
         # sanity: the bumped diagonal makes R@1 meaningfully nonzero
         assert pair["reference"]["txt_r1"] > 0
+
+
+def test_itm_eval_loop_parity(tmp_path):
+    """The reference's WHOLE retrieval-ITM evaluation (chunked V x T
+    是-probability matrices + its own itm_eval) agrees with
+    run_retrieval_itm.evaluation to float round-off on shared weights,
+    batches and texts — gen and cls heads both."""
+    _require_reference()
+    pair = run_itm_loop_parity(str(tmp_path))
+    assert {"gen_r_mean", "cls_r_mean"} <= set(pair["ours"])
+    assert max_divergence(pair) < 1e-9, pair
+    vals = list(pair["reference"].values())
+    assert any(0.0 < v < 100.0 for v in vals), pair
 
 
 def test_cls_eval_loop_parity(tmp_path):

@@ -361,6 +361,125 @@ def _with_mesh(mesh, fn, *args):
         return jax.device_get(fn(*args))
 
 
+class _ItmLoaderAdapter:
+    """Video batches re-served as the (video, vid_id) torch tuples +
+    .dataset.{text,video} attributes the reference ITM evaluation loop
+    expects."""
+
+    def __init__(self, batches, texts, num_video):
+        self._batches = batches
+        self.dataset = types.SimpleNamespace(
+            text=list(texts), video=list(range(num_video)))
+
+    def __iter__(self):
+        import torch
+
+        for raw in self._batches:
+            yield (torch.from_numpy(np.asarray(raw["video"])),
+                   list(raw["index"]))
+
+
+class _ItmModelAdapter:
+    """(video, text_input, prompt_text_input, train=False) ->
+    (generation_prob, cls_prob) torch tensors from this repo's jitted
+    MPLUGVideo.itm_eval_scores (one jit per text-chunk size)."""
+
+    def __init__(self, runner):
+        import functools
+
+        import jax
+
+        from youku_mplug_tpu.models.tasks import MPLUGVideo
+        from youku_mplug_tpu.ops.preprocess import normalize_clip
+
+        model = runner.model
+        dtype = model.policy.compute_dtype
+        self._mesh = runner.mesh
+        self._params = runner.params
+
+        @functools.lru_cache(maxsize=None)
+        def score_fn(chunk):
+            @jax.jit
+            def score(params, video, ids, mask, plens, pids, pmask):
+                v = normalize_clip(video, dtype=dtype)
+                return model.apply(
+                    {"params": params}, v, ids, mask, plens,
+                    prompt_ids=pids, prompt_mask=pmask, num_text=chunk,
+                    method=MPLUGVideo.itm_eval_scores)
+            return score
+
+        self._score_fn = score_fn
+
+    def eval(self):
+        return self
+
+    def __call__(self, video, text_input, prompt_text_input,
+                 train=False):
+        import jax
+        import torch
+
+        nv = video.shape[0]
+        chunk = np.asarray(text_input["input_ids"]).shape[0] // nv
+        with jax.set_mesh(self._mesh):
+            out = jax.device_get(self._score_fn(chunk)(
+                self._params, video.numpy(),
+                np.asarray(text_input["input_ids"]),
+                np.asarray(text_input["attention_mask"]),
+                np.asarray(text_input["prompt_lengths"]),
+                np.asarray(prompt_text_input["input_ids"]),
+                np.asarray(prompt_text_input["attention_mask"])))
+        gen = torch.from_numpy(np.asarray(out["generation_logits"],
+                                          np.float32))
+        cls = torch.from_numpy(np.asarray(out["cls_logits"], np.float32))
+        return gen, cls
+
+
+def run_itm_loop_parity(tmp_dir: str, seed: int = 0) -> Dict[str, dict]:
+    """The reference's WHOLE retrieval-ITM evaluation (chunked V x T
+    是-probability matrix build, run_retrieval_distributed_gpt3_itm.py
+    :229-294) driven by this repo's model/tokenizer, its matrices fed to
+    ITS OWN itm_eval — compared against run_retrieval_itm.evaluation on
+    the same dataset and weights."""
+    import torch
+
+    from youku_mplug_tpu.cli import run_retrieval_itm
+    from youku_mplug_tpu.data.datasets import SyntheticVideoDataset
+
+    _, ref_run_itm = load_reference_eval_modules()
+    runner, _ = make_cls_runner(tmp_dir, num_classes=2, seed=seed)
+
+    n = 6
+    ds = SyntheticVideoDataset(length=n, num_frames=2, size=32)
+    ds.text = [f"synthetic clip {i}" for i in range(n)]
+    ds.vid2txt = {i: [i] for i in range(n)}
+    ds.txt2vid = {i: i for i in range(n)}
+
+    ours = run_retrieval_itm.evaluation(runner, ds)
+
+    # reference loop over the SAME video batches / texts / tokenizer
+    batches = []
+    for lo in range(0, n, 4):
+        idx = list(range(lo, min(n, lo + 4)))
+        batches.append({
+            "video": np.stack([ds[i]["video"] for i in idx]),
+            "index": idx})
+    ref_run_itm.args = types.SimpleNamespace(
+        max_length=runner.cfg.max_length, distributed=False)
+    model = _ItmModelAdapter(runner)
+    tok = _TokenizerAdapter(runner.tokenizer)
+    loader = _ItmLoaderAdapter(batches, ds.text, n)
+    gen_v2t, gen_t2v, cls_v2t, cls_t2v = ref_run_itm.evaluation(
+        model, loader, tok, torch.device("cpu"), {})
+    ref_gen = ref_run_itm.itm_eval(gen_v2t, gen_t2v, ds.txt2vid,
+                                   ds.vid2txt)
+    ref_cls = ref_run_itm.itm_eval(cls_v2t, cls_t2v, ds.txt2vid,
+                                   ds.vid2txt)
+    theirs = {**{f"gen_{k}": float(v) for k, v in ref_gen.items()},
+              **{f"cls_{k}": float(v) for k, v in ref_cls.items()}}
+    return {"ours": {k: float(v) for k, v in ours.items()},
+            "reference": theirs}
+
+
 def run_itm_parity(seed: int = 0) -> Dict[str, dict]:
     """Reference itm_eval vs evals.metrics.itm_eval on shared score
     matrices + shared multi-caption annotations."""
@@ -416,12 +535,15 @@ def main():
 
     with tempfile.TemporaryDirectory() as d:
         cls = run_cls_parity(d)
+    with tempfile.TemporaryDirectory() as d:
+        itm_loop = run_itm_loop_parity(d)
     itm = run_itm_parity()
     topk = run_topk_parity()
     report = {
-        "cls": cls, "itm": itm, "topk": topk,
+        "cls": cls, "itm": itm, "itm_loop": itm_loop, "topk": topk,
         "max_divergence": {"cls": max_divergence(cls),
                            "itm": max_divergence(itm),
+                           "itm_loop": max_divergence(itm_loop),
                            "topk": max_divergence(topk)},
     }
     print(json.dumps(report))
