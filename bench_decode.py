@@ -180,6 +180,15 @@ def main():
 
 
 if __name__ == "__main__":
+    # a driver timeout delivers SIGTERM, which would kill the process
+    # with no parseable record; convert it to SystemExit so the except
+    # below still emits the artifact line (e.g. backend-unavailable
+    # hangs killed from outside)
+    import signal as _signal
+    import sys as _sys
+
+    _signal.signal(_signal.SIGTERM, lambda *_: _sys.exit("SIGTERM "
+                   "(driver timeout — likely backend unavailable/hang)"))
     # emit a machine-readable error record as the last stdout line on any
     # failure so driver artifacts stay parseable even when hardware flakes
     try:
