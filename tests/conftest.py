@@ -83,6 +83,7 @@ _SLOW_TESTS = {
     "test_generate_instruct_e2e",
     "test_run_instruct_cli_smoke",
     "test_instruct_finetune_e2e",
+    "test_finetune_from_external_checkpoint",
     "test_mplug_pretrain_and_heads",
     "test_gpt2_coca",
     "test_prefix_decoder_parity",

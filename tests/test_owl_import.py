@@ -398,6 +398,102 @@ def test_owl_vision_uses_quick_gelu(rng):
                                rtol=1e-6, atol=1e-6)
 
 
+def external_bloom_sd(rng, cfg):
+    """HF BloomModel naming at tiny shape (the language_model side of
+    the external checkpoint; bloom_params_from_torch is oracle-exact,
+    this just provides integration-test tensors)."""
+    h, n, L = cfg.hidden_size, cfg.num_attention_heads, \
+        cfg.num_hidden_layers
+    r = lambda *s: rng.standard_normal(s).astype(np.float32)  # noqa: E731
+    sd = {
+        "word_embeddings.weight": r(cfg.vocab_size, h),
+        "word_embeddings_layernorm.weight": r(h),
+        "word_embeddings_layernorm.bias": r(h),
+        "ln_f.weight": r(h),
+        "ln_f.bias": r(h),
+    }
+    for i in range(L):
+        t = f"h.{i}."
+        sd[t + "input_layernorm.weight"] = r(h)
+        sd[t + "input_layernorm.bias"] = r(h)
+        sd[t + "post_attention_layernorm.weight"] = r(h)
+        sd[t + "post_attention_layernorm.bias"] = r(h)
+        sd[t + "self_attention.query_key_value.weight"] = r(3 * h, h)
+        sd[t + "self_attention.query_key_value.bias"] = r(3 * h)
+        sd[t + "self_attention.dense.weight"] = r(h, h)
+        sd[t + "self_attention.dense.bias"] = r(h)
+        sd[t + "mlp.dense_h_to_4h.weight"] = r(4 * h, h)
+        sd[t + "mlp.dense_h_to_4h.bias"] = r(4 * h)
+        sd[t + "mlp.dense_4h_to_h.weight"] = r(h, 4 * h)
+        sd[t + "mlp.dense_4h_to_h.bias"] = r(h)
+    return sd
+
+
+def test_finetune_from_external_checkpoint(rng, tmp_path):
+    """Capstone user journey: a FULL external-naming checkpoint (Bloom +
+    vision + abstractor) imports into `run_instruct --train`, the frozen
+    Bloom side carries the imported values through the trainable/frozen
+    split, and a finetune epoch runs finitely on top."""
+    torch = pytest.importorskip("torch")
+    import yaml
+
+    from youku_mplug_tpu.cli import run_instruct
+
+    cfg = owl_cfg()
+    sd = {("abstractor." + k if not k.startswith("query_tokens") else k):
+          v for k, v in external_abstractor_sd(rng).items()}
+    sd.update({"vision_model." + k: v
+               for k, v in external_vision_sd(rng).items()})
+    sd.update({"language_model.transformer." + k: v
+               for k, v in external_bloom_sd(rng, cfg.text).items()})
+    ckpt_dir = tmp_path / "hf"
+    ckpt_dir.mkdir()
+    torch.save({k: torch.from_numpy(np.asarray(v))
+                for k, v in sd.items()},
+               ckpt_dir / "pytorch_model.bin")
+
+    cfg_yaml = {
+        "text_overrides": {
+            "vocab_size": 64, "hidden_size": HTXT,
+            "num_hidden_layers": 1, "num_attention_heads": 4,
+            "attn_impl": "xla", "decode_attn_impl": "gather",
+            "lora_rank": 2},
+        "vision_overrides": {
+            "img_size": 16, "patch_size": 8, "embed_dim": DV, "depth": 1,
+            "num_heads": 4, "num_frames": 2, "attn_impl": "xla",
+            "clip_model": True},
+        "abstractor": {
+            "hidden_size": D, "num_layers": NL, "num_heads": 4,
+            "intermediate_size": F, "num_queries": NQ, "max_frames": TMAX},
+        "num_frames": 2, "image_res": 16, "batch_size": 8, "epochs": 1,
+        "synthetic_length": 8, "num_workers": 1,
+        "optimizer": {"lr": 0.001, "warmup_steps": 1},
+    }
+    cfg_path = tmp_path / "owl.yaml"
+    cfg_path.write_text(yaml.safe_dump(cfg_yaml))
+    args = run_instruct.parser().parse_args([
+        "--config", str(cfg_path), "--output_dir",
+        str(tmp_path / "out"), "--synthetic_data", "--train", "--fp32",
+        "--hf_checkpoint", str(ckpt_dir), "--log_freq", "1"])
+    runner = run_instruct.main(args)
+    assert int(runner.state.step) == 1
+
+    # the imported (frozen) Bloom embedding carries the checkpoint
+    # values through the trainable/frozen split, untouched by the step
+    got = np.asarray(
+        runner.state.frozen["text_decoder"]["word_embeddings"]
+        ["embedding"], np.float32)
+    np.testing.assert_allclose(
+        got, sd["language_model.transformer.word_embeddings.weight"],
+        rtol=1e-6)
+    # the imported abstractor queries were the TRAIN starting point
+    # (one warmup step at lr~0 leaves them ~unchanged; movement over
+    # epochs is pinned by test_instruct_finetune_e2e's loss-drop)
+    q0 = sd["query_tokens"]
+    q1 = np.asarray(runner.state.trainable["abstractor"]["query_embeds"])
+    assert np.abs(q1 - q0).max() < 0.1
+
+
 def test_import_owl_end_to_end(rng, tmp_path):
     """Full-path round trip: torch-save an external-named checkpoint,
     import into an initialized MPLUGOwlVideo tree, verify tensors landed
