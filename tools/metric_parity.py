@@ -4,10 +4,12 @@ The oracle tests pin logit-level parity (tests/test_parity_gpt3 etc.);
 this harness closes the remaining gap to the BASELINE.md north star
 ("Retrieval R@1 / cls top-1 parity") by executing the reference's OWN
 eval functions — ``evaluation`` + ``cal_metric`` from
-downstream/run_cls_distributed_gpt3.py:201,250 and ``itm_eval`` from
-downstream/run_retrieval_distributed_gpt3_itm.py:296 — side by side with
-this repo's run_cls / run_retrieval eval paths on SHARED model outputs
-and SHARED synthetic annotations, and asserting the metrics agree.
+downstream/run_cls_distributed_gpt3.py:201,250, ``itm_eval`` from
+downstream/run_retrieval_distributed_gpt3_itm.py:296, and the full
+retrieval-ITM ``evaluation`` loop (:229-294, the chunked V×T
+是-probability matrix build) — side by side with this repo's run_cls /
+run_retrieval_itm eval paths on SHARED model outputs and SHARED
+synthetic annotations, and asserting the metrics agree.
 
 How the reference loop runs here (read-only import, nothing copied):
 
